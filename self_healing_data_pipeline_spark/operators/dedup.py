@@ -1,0 +1,165 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11).
+
+Scale design (the point of each method at 100 TB):
+
+- **Exact**: hash-groupBy on the dedup key — one shuffle, map-side partial.
+- **Normalized**: same, after a deterministic text normalization.
+- **MinHash + LSH**: shingle → k minhashes → band into b buckets →
+  self-join *within buckets only*. Candidate pairs are O(collisions), not
+  O(n²); each stage is a narrow map + one shuffle on (band, signature).
+- **SimHash**: 64-bit weighted-projection fingerprint; near-dups differ in
+  few bits. Banding the 64 bits into 4×16-bit keys finds all pairs within
+  Hamming distance 3 with 4 equi-joins — again no O(n²).
+
+All hashing uses Spark built-ins (xxhash64 / crc32) — JVM-side, seeded,
+deterministic; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """Deterministic normalization: lowercase, collapse non-alphanumerics
+    to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
+    """Exact dedup keeping a deterministic representative per key group."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(col, n: int = 5) -> F.Column:
+    """Word n-gram shingle array from normalized text (distinct shingles)."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: per seed h, min over shingles of xxhash64(shingle, seed).
+
+    array<bigint> of length ``num_hashes``; computed entirely in Catalyst
+    (transform + array_min over the shingle array)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    rows → (id, signature) → explode into ``bands`` band-keys → self-join on
+    identical band hash → distinct (id_l < id_r) pairs. The only wide ops
+    are the band-key shuffle and the bucket join; bucket sizes bound the
+    join fan-out, so skewed buckets (boilerplate docs) are the thing to
+    monitor at scale — cap bucket size or salt if needed.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig").getItem(b * rows_per_band + r)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_l"), F.col("r.__id").alias("id_r")
+        )
+        .distinct()
+    )
+
+
+def simhash64(text_col, ngram: int = 3) -> F.Column:
+    """64-bit SimHash over word n-grams, built from Catalyst primitives.
+
+    For each bit position, sum ±1 over token hashes and take the sign.
+    Expressed as 64 aggregations over the exploded token hash — compiled
+    into one pass over the token array per row (no shuffle).
+    """
+    toks = shingles(text_col, ngram)
+    hashes = F.transform(toks, lambda s: F.xxhash64(s))
+    bit_cols = []
+    for bit in range(64):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            * F.lit(2 ** bit).cast("bigint")
+            if bit < 63
+            # avoid bigint overflow on the sign bit
+            else F.when(contrib > 0, F.lit(-(2 ** 63)).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def ngram_jaccard(text_l, text_r, n: int = 5) -> F.Column:
+    """Exact word-n-gram Jaccard similarity between two text columns."""
+    a = shingles(text_l, n)
+    b = shingles(text_r, n)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2.11).
+
+All are single-pass, shuffle-free per-row transforms built from Catalyst
+primitives (split / transform / aggregate / regexp) — the shapes that scale
+linearly to 100 TB. No Python UDFs in any of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.operators.dedup import normalize_text
+
+# A compact stopword list for quality heuristics (language-agnostic core).
+_STOPWORDS = (
+    "the a an and or of to in is it for on with as at by from that this be are was".split()
+)
+
+# BPE-ish token regex: words, numbers, or single punctuation marks —
+# a deterministic proxy for subword token counting.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def regex_tokens(col) -> Column:
+    """BPE-ish regex tokenization (words / digit runs / punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX))
+
+
+def token_count(col, mode: str = "whitespace") -> Column:
+    return F.size(tokens(col) if mode == "whitespace" else regex_tokens(col)).cast(
+        "bigint"
+    )
+
+
+def quality_score(text_col, n_chars_col) -> Column:
+    """Deterministic quality heuristics → score in [0, 1].
+
+    Components: length band, alpha ratio, stopword hit-rate, mean word
+    length band — the deterministic stand-in for the reference's LLM
+    quality assessment (geminiService.ts:64 categories).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.col(n_chars_col).cast("double")
+    toks = tokens(c)
+    n_toks = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+    alpha_ratio = F.when(F.length(c) > 0, alpha / F.length(c).cast("double")).otherwise(0.0)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(0.0)
+    mean_wlen = F.when(n_toks > 0, n / n_toks).otherwise(0.0)
+    len_ok = (n >= 100) & (n <= 20000)
+    wlen_ok = (mean_wlen >= 3.0) & (mean_wlen <= 12.0)
+    return (
+        F.when(len_ok, 0.25).otherwise(0.0)
+        + F.when(wlen_ok, 0.25).otherwise(0.0)
+        + alpha_ratio * 0.25
+        + F.least(stop_ratio * F.lit(2.5), F.lit(1.0)) * 0.25
+    )
+
+
+def lang_id(text_col) -> Column:
+    """Heuristic language ID via stopword-family hit counting.
+
+    Counts hits against tiny per-language function-word sets and returns
+    the argmax (ties → 'und'). A real pipeline would swap in a model; the
+    Spark shape (per-row map, no shuffle) is identical.
+    """
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "de": ["der", "die", "und", "ist", "nicht"],
+        "fr": ["le", "la", "et", "est", "les"],
+        "es": ["el", "la", "que", "de", "es"],
+        "it": ["il", "che", "di", "non", "per"],
+    }
+    toks = tokens(text_col)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*words))))
+        for lang, words in markers.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint64(text_col) -> Column:
+    """64-bit document fingerprint: xxhash64 of normalized text (the
+    rolling-hash style content signature used for exact-dup detection)."""
+    return F.xxhash64(normalize_text(text_col))
+
+
+def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level term frequencies: explode tokens → count → top-k.
+
+    Map-side partial aggregation keeps the shuffle at |vocab|, not |tokens|.
+    """
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

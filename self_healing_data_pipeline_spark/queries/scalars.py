@@ -1,0 +1,172 @@
+"""Scalar-function surface queries (SURVEY.md §2.8, build step 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTRING(c_name, 1, 50) AS name_trunc,
+           LENGTH(c_name) AS name_len,
+           REGEXP_REPLACE(c_name, '[^a-zA-Z0-9_]', '_', 'g') AS name_ident,
+           TRIM(CONCAT(c_name, ' ')) AS name_trim,
+           CONCAT_WS('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           SPLIT_PART(c_name, '#', 1) AS name_prefix
+    FROM customer
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String family: case, substring/truncate (reference DataTable.tsx:39
+    50-char cut), regex sanitize (reference App.tsx:132 identifier rule),
+    trim, concat, split."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 50).alias("name_trunc"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_replace("c_name", "[^a-zA-Z0-9_]", "_").alias("name_ident"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Date/time family: extract, trunc, diff, format (SURVEY.md §2.8)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS discount_amt,
+           ABS(l_extendedprice - 1000.0) AS dist_from_1000,
+           CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_tax * 100.0) AS BIGINT) AS tax_pct_ceil,
+           MOD(l_orderkey, 7) AS key_mod,
+           POWER(CAST(l_quantity AS DOUBLE), 2.0) AS qty_sq,
+           SQRT(CAST(l_quantity AS DOUBLE)) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """Math family. The price·discount product goes through exact decimal
+    (ROUND on doubles is not portable: Spark rounds the shortest-decimal
+    representation, DuckDB the binary value — they split on .xx5 cases)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from self_healing_data_pipeline_spark.functions.scalar import dec
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * dec("l_discount")).cast("double").alias("discount_amt"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_from_1000"),
+        F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_bucket"),
+        F.ceil(F.col("l_tax") * 100.0).cast("bigint").alias("tax_pct_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.pow(F.col("l_quantity").cast("double"), 2.0).alias("qty_sq"),
+        F.sqrt(F.col("l_quantity").cast("double")).alias("qty_sqrt"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[64] AS DOUBLE) AS last_elem
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array family over the embedding column: size, element access.
+    (Vector math lives in q_sim_* — functions.vector.)"""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        F.col("embedding").getItem(63).cast("double").alias("last_elem"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """Semi-structured extraction from a JSON string column (the reference
+    keeps JSON values opaque — dataProcessingService.ts:19-27; we extract
+    with get_json_object, no UDF)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "q_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 10000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    """,
+)
+def q_conditional(spark, sf_dir):
+    """CASE / COALESCE / NULLIF."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000, "large")
+        .when(F.col("o_totalprice") >= 10000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+    )

@@ -1,0 +1,278 @@
+"""Tier-C north-star queries: dedup, similarity, text analysis, UDF surface
+(SURVEY.md §2.10-2.11, build step 7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from self_healing_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    normalize_text,
+)
+from self_healing_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    similarity_join,
+)
+from self_healing_data_pipeline_spark.operators.text import (
+    fingerprint64,
+    lang_id,
+    quality_score,
+    token_count,
+    top_terms,
+)
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@query(
+    "q_dedup_normalized",
+    oracle=f"""
+    SELECT {_NORM_SQL.format(c='text')} AS norm_text,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Normalized-text dedup groups: normalize → hash-groupBy (one shuffle
+    on the normalized key; at scale, group on fingerprint64 instead of the
+    full string to shrink shuffle bytes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(normalize_text("text").alias("norm_text"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("representative_id"),
+        )
+    )
+
+
+@query(
+    "q_dedup_keep_first_docs",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars FROM (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first_docs(spark, sf_dir):
+    """Exact dedup by key with deterministic representative (longest doc,
+    then lowest id) — dropDuplicates with a defined winner."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact(
+        docs.select("lang", "source", "doc_id", "n_chars"),
+        keys=["lang", "source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+
+
+@query(
+    "q_dedup_pairs",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, {_NORM_SQL.format(c='text')} AS nt FROM documents)
+    SELECT l.doc_id AS id_l, r.doc_id AS id_r
+    FROM n l JOIN n r
+      ON l.lang = r.lang AND SUBSTRING(l.nt, 1, 40) = SUBSTRING(r.nt, 1, 40)
+     AND l.doc_id < r.doc_id
+    """,
+)
+def q_dedup_pairs(spark, sf_dir):
+    """Candidate dup pairs via blocked self-join (block = lang + normalized
+    40-char prefix): the O(Σ|block|²) pattern that replaces O(n²) at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(normalize_text("text"), 1, 40).alias("blk"),
+    )
+    l = n.alias("l")
+    r = n.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+    )
+
+
+@query("q_dedup_minhash")  # LSH banding is not SQL-expressible → rows-only
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands over 5-gram shingles).
+    See operators.dedup.minhash_lsh_pairs for the scale analysis."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           (SELECT SUM(CAST(e.embedding[i] * q.qv[i] AS DOUBLE))
+              FROM generate_series(1, 64) AS t(i)) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Exact vector top-k: dot product vs the vec_id=0 embedding, all in
+    Catalyst (zip_with + aggregate) → TakeOrderedAndProject."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return brute_force_topk(emb, list(qvec), k=10)
+
+
+@query("q_sim_ann_lsh")  # approximate: candidate set differs by design → rows-only
+def q_sim_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate NN for the same query vector — the scale
+    path (probes ~n/2^bits · tables rows instead of n)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_ann_topk(emb, list(qvec), k=10)
+
+
+@query(
+    "q_sim_join",
+    oracle="""
+    SELECT l.vec_id AS id_l, r.vec_id AS id_r
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE (SELECT SUM(CAST(l.embedding[i] * r.embedding[i] AS DOUBLE))
+             FROM generate_series(1, 64) AS t(i))
+          / (SQRT((SELECT SUM(CAST(l.embedding[i] * l.embedding[i] AS DOUBLE))
+                     FROM generate_series(1, 64) AS t(i)))
+             * SQRT((SELECT SUM(CAST(r.embedding[i] * r.embedding[i] AS DOUBLE))
+                       FROM generate_series(1, 64) AS t(i))))
+          >= 0.2
+    """,
+)
+def q_sim_join(spark, sf_dir):
+    """Blocked pairwise cosine-similarity join (block = label, τ=0.2).
+    Pair ids only in the checked output; scores are float-sensitive."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity_join(emb, block_col="label", threshold=0.2).select(
+        "id_l", "id_r"
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS token
+      FROM documents
+    ) WHERE LENGTH(token) > 0
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Corpus top terms: tokenize → explode → count → top-k."""
+    return top_terms(read_table(spark, sf_dir, "documents"), "text", 20)
+
+
+@query(
+    "q_text_rollup",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def q_text_rollup(spark, sf_dir):
+    """Per-language/source corpus rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' '),
+                                t -> LENGTH(t) > 0)) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    """Per-doc token counting (whitespace mode)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 0)).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query("q_text_fingerprint")  # xxhash64 is Spark-specific → rows-only
+def q_text_fingerprint(spark, sf_dir):
+    """64-bit content fingerprints (xxhash64 of normalized text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint64("text").alias("fingerprint"))
+
+
+@query("q_text_langid")  # heuristic marker sets → rows-only
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID (stopword-family argmax) vs the labeled lang."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@query("q_text_quality")  # heuristic composite → rows-only
+def q_text_quality(spark, sf_dir):
+    """Deterministic quality scores (length/alpha/stopword/word-len bands)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text", "n_chars"), 4).alias("quality")
+    )
+
+
+@query(
+    "q_pandas_udf",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.07 + 5.0 AS fee
+    FROM orders
+    """,
+)
+def q_pandas_udf(spark, sf_dir):
+    """Vectorized (Arrow) pandas UDF — the sanctioned slow path for logic
+    Catalyst can't express (reference twin: LLM-generated Python transform
+    scripts, geminiService.ts:150-159). Checked against a SQL oracle
+    (same IEEE multiply-add on both sides → bit-identical doubles)."""
+
+    @pandas_udf("double")
+    def fee_udf(price: pd.Series) -> pd.Series:
+        return price * 0.07 + 5.0
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", fee_udf(F.col("o_totalprice")).alias("fee"))

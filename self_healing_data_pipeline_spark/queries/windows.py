@@ -1,0 +1,129 @@
+"""Window-function queries (SURVEY.md §2.5, build step 5).
+
+Every ORDER BY inside a window carries a unique tie-break key
+(o_orderkey / event_id) so ranks and offsets are total-ordered and
+reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.functions.scalar import dec
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Ranking family: row_number / rank / dense_rank / ntile."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_dense = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_rank).alias("price_rank"),
+        F.dense_rank().over(w_dense).alias("prio_dense"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           STRFTIME(LAG(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS prev_ts,
+           STRFTIME(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS next_ts,
+           LAG(event_type, 1) OVER w AS prev_type,
+           FIRST_VALUE(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    """Analytic family: lag / lead / first_value."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.lag("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("prev_ts"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("next_ts"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_3,
+           CAST(COUNT(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS cnt_3
+    FROM events
+    """,
+)
+def q_window_frame(spark, sf_dir):
+    """Explicit ROWS frames (moving window aggregate)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w.rowsBetween(-2, 0)).cast("double").alias("sum_3"),
+        F.count(F.lit(1)).over(w.rowsBetween(-1, 1)).cast("bigint").alias("cnt_3"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(COUNT(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_10
+    FROM events
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Running total + 10-row moving average (exact-decimal accumulation)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov = w.rowsBetween(-9, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(run).cast("double").alias("running_total"),
+        (
+            F.sum(dec("value")).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov).cast("double")
+        ).alias("moving_avg_10"),
+    )

@@ -1,0 +1,49 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2).
+
+Each ``q_*`` key maps to a PySpark callable ``(spark, sf_dir) -> DataFrame``
+plus (where SQL-expressible) a DuckDB-runnable ANSI-SQL oracle string over
+the same parquet tables. Column names/aliases match exactly on both sides —
+the driver's compare sorts columns by name before hashing values.
+
+Determinism rules applied throughout (SURVEY.md §7 "what's hard"):
+- monetary aggregates in exact decimal, cast to double at the end
+  (bit-identical across engines — ``functions.scalar``);
+- every LIMIT carries a total order with a unique tie-break key;
+- timestamps rendered with second precision via ``ts_str`` where emitted;
+- no sampling, no approx functions in oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Imported for side effects: each module registers its queries.
+def load_all() -> None:
+    from self_healing_data_pipeline_spark.queries import (  # noqa: F401
+        core,
+        relational,
+        aggregates,
+        scalars,
+        windows,
+        events,
+        tier_c,
+    )

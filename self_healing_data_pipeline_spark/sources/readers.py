@@ -1,0 +1,134 @@
+"""File sources with the reference's inference-and-freeze semantics.
+
+Reference behavior being re-expressed (SURVEY.md §1.3, §2.1):
+
+- CSV: header row defines columns, empty lines skipped, dynamic typing
+  (``automated-data-catalog-&-etl/services/dataProcessingService.ts:8-18``).
+  Spark twin: ``spark.read.option("header", True).option("inferSchema", True)``
+  — inference over the data, not just the first row.
+- JSON: array-of-objects or single object (wrapped to one row)
+  (``dataProcessingService.ts:19-27``). Spark twin: ``spark.read.json`` with
+  ``multiLine`` for pretty-printed arrays/objects; JSONL handled natively.
+- Unsupported extensions raise before any read
+  (``dataProcessingService.ts:28-30``).
+- Schemas can be *frozen*: inferred once, then re-applied as an explicit
+  ``StructType`` contract so later loads cast/reject instead of re-inferring
+  (reference freezes via LLM-generated DDL, ``geminiService.ts:101-147``).
+
+Scale notes: these are plain Spark readers, so parquet scans get predicate
+pushdown / column pruning / partition pruning from Catalyst for free; CSV and
+JSON scans are splittable (uncompressed) and parallelize across executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class UnsupportedFormatError(ValueError):
+    """Raised for non-CSV/JSON/Parquet inputs.
+
+    Mirrors the reference's throw at
+    ``automated-data-catalog-&-etl/services/dataProcessingService.ts:28-30``.
+    """
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = True,
+) -> DataFrame:
+    """CSV scan: header-derived columns + dynamic typing (or a frozen schema)."""
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multi_line: bool = True,
+) -> DataFrame:
+    """JSON scan; ``multiLine=True`` covers array-of-objects and the
+    single-object-wraps-to-one-row rule. JSONL works with ``multi_line=False``.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multi_line:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the analytics-layer store (SURVEY.md §2.1, STORE.md:3)."""
+    return spark.read.parquet(path)
+
+
+_READERS = {
+    ".csv": read_csv,
+    ".json": read_json,
+    ".jsonl": lambda spark, path, **kw: read_json(spark, path, multi_line=False, **kw),
+    ".parquet": read_parquet,
+}
+
+
+def read_any(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Extension-dispatched read; raises ``UnsupportedFormatError`` otherwise."""
+    ext = os.path.splitext(path)[1].lower()
+    reader = _READERS.get(ext)
+    if reader is None:
+        raise UnsupportedFormatError(
+            f"Unsupported file format: {ext!r}. Please upload a CSV or JSON file."
+        )
+    return reader(spark, path, **kwargs)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (``<sf_dir>/<name>.parquet``).
+
+    Handles parquet INT64 TIMESTAMP(NANOS) columns (Spark has no native
+    nanosecond timestamp): reads them as raw nanosecond longs via the
+    legacy conf, then converts to TimestampType at microsecond precision
+    (integer ``div`` — no double round-trip, which would lose precision on
+    1.7e18-scale counts).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # Leave the conf on: it is consulted again at scan execution time, and
+    # it only affects files that actually contain NANOS columns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    out = df
+    for name_ in nanos_cols:
+        out = out.withColumn(name_, F.expr(f"timestamp_micros({name_} div 1000)"))
+    return out
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Names of parquet fields typed timestamp[ns] (from the footer)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [
+        schema.field(i).name
+        for i in range(len(schema))
+        if str(schema.field(i).type).startswith("timestamp[ns")
+    ]
