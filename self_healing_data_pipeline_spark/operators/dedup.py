@@ -50,16 +50,29 @@ def shingles(col, n: int = 5) -> F.Column:
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
-    """MinHash signature: per seed h, min over shingles of xxhash64(shingle, seed).
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash signatures via explode → hash-aggregate.
 
-    array<bigint> of length ``num_hashes``; computed entirely in Catalyst
-    (transform + array_min over the shingle array)."""
-    return F.array(
+    (id, shingle) rows → ``num_hashes`` seeded xxhash64 columns → one
+    hash aggregate taking min per id. One shuffle keyed on id with
+    map-side partial mins (shuffle rows = |ids| per partition, not
+    |shingles|), and whole-stage-codegen'd hashing — the shape that holds
+    at 100 TB, unlike a per-row nested loop over 32 array passes.
+    Returns (``__id``, m0..m{num_hashes-1}).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    return exploded.groupBy("__id").agg(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
-            )
+            F.min(F.xxhash64("__sh", F.lit(seed))).alias(f"m{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -75,17 +88,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
-    rows → (id, signature) → explode into ``bands`` band-keys → self-join on
-    identical band hash → distinct (id_l < id_r) pairs. The only wide ops
-    are the band-key shuffle and the bucket join; bucket sizes bound the
-    join fan-out, so skewed buckets (boilerplate docs) are the thing to
-    monitor at scale — cap bucket size or salt if needed.
+    signatures → explode into ``bands`` band-keys → self-join on identical
+    band hash → distinct (id_l < id_r) pairs. The only wide ops are the
+    signature aggregate and the bucket join; bucket sizes bound the join
+    fan-out, so skewed buckets (boilerplate docs) are the thing to monitor
+    at scale — cap bucket size or salt if needed.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "__id",
         F.explode(
@@ -94,13 +104,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig").getItem(b * rows_per_band + r)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col(f"m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)

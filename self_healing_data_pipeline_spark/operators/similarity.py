@@ -17,8 +17,11 @@ LSH / IVF pruning):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from self_healing_data_pipeline_spark.functions.vector import (
     cosine_similarity,
@@ -80,35 +83,33 @@ def similarity_join(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
-def _hyperplane(table: int, bit: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component d is a hash of
-    (table, bit, d) mapped to [-1, 1). Seeded, engine-side, reproducible."""
-    return F.array(
-        *[
-            (
-                F.xxhash64(F.lit(f"hp:{table}:{bit}:{d}")).cast("double")
-                / F.lit(float(2 ** 63))
-            )
-            for d in range(dim)
-        ]
-    )
+def hyperplanes(tables: int, bits: int, dim: int, seed: int = 42):
+    """Deterministic random hyperplanes, shape (tables, bits, dim).
+
+    Seeded PCG64 — reproducible across runs/machines; generated once on
+    the driver (tables·bits·dim floats, trivially broadcastable)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((tables, bits, dim))
 
 
-def lsh_bucket_key(vec_col, table: int, bits: int, dim: int) -> F.Column:
-    """Random-hyperplane LSH bucket id: ``bits`` sign bits packed into a long."""
-    key = F.lit(0).cast("bigint")
-    for b in range(bits):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                _hyperplane(table, b, dim),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        key = key + F.when(proj >= 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
-    return key
+def lsh_bucket_udf(planes):
+    """Vectorized bucket-key computation: one Arrow batch → numpy matmul →
+    packed sign-bit keys per table. A (batch × dim) @ (dim × bits) GEMM per
+    table beats thousands of scalar expressions and is the shape that
+    saturates SIMD on executors at scale. Returns array<bigint> (one key
+    per table)."""
+    n_tables, n_bits, _ = planes.shape
+    weights = [planes[t].T.copy() for t in range(n_tables)]  # dim × bits
+    powers = (2 ** np.arange(n_bits)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def bucket_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype("float64")  # batch × dim
+        keys = [((mat @ w) >= 0).astype("int64") @ powers for w in weights]
+        stacked = np.stack(keys, axis=1)  # batch × tables
+        return pd.Series(list(stacked))
+
+    return bucket_keys
 
 
 def lsh_ann_topk(
@@ -119,19 +120,31 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     tables: int = 4,
     bits: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate NN: score only rows sharing an LSH bucket with the query
-    in any of ``tables`` hash tables. At scale, bucket keys are precomputed
-    and partitioned-by, so a query touches ~n/2^bits · tables rows."""
+    in any of ``tables`` hash tables.
+
+    At scale the bucket-key column is precomputed at ingest and the table
+    is partitioned by it, so a query probes ~n/2^bits · tables rows; here
+    keys are computed inline (one narrow pandas-UDF pass, no shuffle).
+    """
     dim = len(query_vec)
+    planes = hyperplanes(tables, bits, dim, seed)
+    qv = np.asarray(query_vec, dtype="float64")
+    powers = (2 ** np.arange(bits)).astype("int64")
+    q_keys = [
+        int(((planes[t] @ qv) >= 0).astype("int64") @ powers) for t in range(tables)
+    ]
+
+    keys = lsh_bucket_udf(planes)
     q = F.array(*[F.lit(float(v)).cast("float") for v in query_vec])
-    cand = None
+    with_keys = embeddings.withColumn("__keys", keys(F.col(vec_col)))
+    match = None
     for t in range(tables):
-        bucket = lsh_bucket_key(F.col(vec_col), t, bits, dim)
-        qbucket = lsh_bucket_key(q, t, bits, dim)
-        hit = embeddings.filter(bucket == qbucket)
-        cand = hit if cand is None else cand.unionByName(hit)
-    cand = cand.dropDuplicates([id_col])
+        cond = F.col("__keys").getItem(t) == F.lit(q_keys[t])
+        match = cond if match is None else (match | cond)
+    cand = with_keys.filter(match)
     return (
         cand.select(F.col(id_col), dot_product(F.col(vec_col), q).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())

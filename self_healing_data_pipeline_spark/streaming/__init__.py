@@ -1,0 +1,13 @@
+from self_healing_data_pipeline_spark.streaming.windows import (
+    streaming_tumbling_counts,
+    streaming_sliding_counts,
+    streaming_session_agg,
+    streaming_dedup,
+)
+
+__all__ = [
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_session_agg",
+    "streaming_dedup",
+]

@@ -1,0 +1,88 @@
+"""Structured Streaming twins of the batch event queries (SURVEY.md §2.9).
+
+Each function takes a *streaming* DataFrame (``spark.readStream...``) with
+an event-time column and returns the transformed streaming DataFrame; the
+caller attaches ``writeStream``. The transformations are the SAME
+DataFrame expressions as the batch queries in ``queries/events.py`` — that
+equivalence is the point: batch twins are oracle-checkable, and these give
+the continuous form with watermarked state eviction.
+
+Unit tests drive them with the file/memory sources (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling via watermark
+    (state for a window is dropped once event time passes end+watermark)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), key, "n_events", "total_value")
+    )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native session windows (dynamic gap-close) — the streaming form of
+    operators.windows.sessionize."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming dedup bounded by watermark — the continuous form
+    of the keep-first batch query (state is evicted after the watermark,
+    so memory is bounded by the dedup horizon, not the stream length)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

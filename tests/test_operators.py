@@ -1,0 +1,142 @@
+"""Golden-output unit tests for composition operators on tiny literal
+DataFrames (SURVEY.md §5 strategy #3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    normalize_text,
+)
+from self_healing_data_pipeline_spark.operators.relational import asof_join, top_k
+from self_healing_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    similarity_join,
+)
+from self_healing_data_pipeline_spark.operators.windows import keep_first, sessionize
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "p1"), (1, ts("2024-01-01 12:00:00"), "p2"),
+         (2, ts("2024-01-01 09:00:00"), "p3")],
+        "k int, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), 10.0),
+         (1, ts("2024-01-01 10:00:00"), 20.0),   # ties with p1 → inclusive
+         (1, ts("2024-01-01 11:00:00"), 30.0),
+         (2, ts("2024-01-01 09:30:00"), 40.0)],  # after p3 → no match
+        "k int, rts timestamp, val double",
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["val"])
+    got = {r["tag"]: r["asof_val"] for r in out.collect()}
+    assert got == {"p1": 20.0, "p2": 30.0, "p3": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"), "p")], "k int, lts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 1.0)], "k int, rts timestamp, val double"
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["val"], tolerance="1 HOUR")
+    assert out.collect()[0]["asof_val"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1),
+         (1, ts("2024-01-01 10:29:00"), 2),   # within 30min → same session
+         (1, ts("2024-01-01 11:10:00"), 3),   # 41min gap → new session
+         (2, ts("2024-01-01 10:00:00"), 4)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    out = sessionize(ev, gap_minutes=30).orderBy("event_id").collect()
+    assert [r["session_id"] for r in out] == [1, 1, 2, 1]
+
+
+def test_keep_first_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "keep"), ("a", 5, "drop"), ("b", 1, "only")],
+        "k string, ord int, tag string",
+    )
+    out = keep_first(df, ["k"], [F.col("ord").asc()])
+    assert {r["tag"] for r in out.collect()} == {"keep", "only"}
+
+
+def test_dedup_exact_representative(spark):
+    df = spark.createDataFrame(
+        [("x", 10), ("x", 3), ("y", 7)], "k string, id int"
+    )
+    out = dedup_exact(df, ["k"], [F.col("id").asc()])
+    assert sorted(r["id"] for r in out.collect()) == [3, 7]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello,   WORLD!! 42 ",)], "t string")
+    assert df.select(normalize_text("t").alias("n")).collect()[0]["n"] == "hello world 42"
+
+
+def test_minhash_finds_near_duplicates(spark):
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near_words = list(words)
+    near_words[30] = "changed"  # one word differs → Jaccard ≈ 0.84
+    near = " ".join(near_words)
+    other = " ".join(f"other{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id_l"], r["id_r"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f g", "a b c d e f g", "x y z w v u t")],
+        "t1 string, t2 string, t3 string",
+    )
+    row = df.select(
+        ngram_jaccard(F.col("t1"), F.col("t2"), 3).alias("same"),
+        ngram_jaccard(F.col("t1"), F.col("t3"), 3).alias("diff"),
+    ).collect()[0]
+    assert row["same"] == 1.0
+    assert row["diff"] == 0.0
+
+
+def test_brute_force_topk_orders_by_score(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, [1.0, 0.0], k=2)
+    assert [r["vec_id"] for r in out.collect()] == [1, 2]
+
+
+def test_similarity_join_blocks_and_thresholds(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity_join(emb, "label", 0.9)
+    pairs = {(r["id_l"], r["id_r"]) for r in out.collect()}
+    assert pairs == {(1, 2)}  # 3 is in another block despite identical vector
+
+
+def test_top_k_tie_break(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)], "id int, v double")
+    out = top_k(df, [F.col("v").desc(), F.col("id").asc()], 2)
+    assert [r["id"] for r in out.collect()] == [1, 2]

@@ -1,0 +1,107 @@
+"""Ingestion semantics tests: the reference's parse rules re-expressed
+(CSV header+dynamic typing, JSON array/single-object, unsupported-format
+rejection, empty-input guard) — FIXTURES.md §2 scenarios."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from self_healing_data_pipeline_spark.sources.readers import (
+    UnsupportedFormatError,
+    read_any,
+    read_csv,
+    read_json,
+    read_table,
+)
+
+MESSY_CSV = """cust_id,full_name,email,signup_date,balance,is_active,notes
+1,Alice Smith,alice@example.com,2024-01-15,1203.50,true,
+2,Bob Jones,,2024-02-01,-50.25,false,vip
+3,Carol Díaz,carol@example,2024-02-30,abc,true,"has, comma"
+,Dave Null,dave@example.com,,0,maybe,
+"""
+
+
+@pytest.fixture(scope="module")
+def messy_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fixtures") / "messy_customers.csv"
+    p.write_text(MESSY_CSV)
+    return str(p)
+
+
+def test_csv_header_and_dynamic_typing(spark, messy_csv):
+    df = read_csv(spark, messy_csv)
+    assert df.columns == [
+        "cust_id",
+        "full_name",
+        "email",
+        "signup_date",
+        "balance",
+        "is_active",
+        "notes",
+    ]
+    assert df.count() == 4
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds["cust_id"] in ("int", "bigint")  # numeric promoted
+    assert kinds["balance"] == "string"  # mixed numeric/text → string fallback
+    assert kinds["is_active"] == "string"  # mixed boolean/text → string
+
+
+def test_csv_embedded_comma_quoted(spark, messy_csv):
+    row = read_csv(spark, messy_csv).filter("cust_id = 3").collect()[0]
+    assert row["notes"] == "has, comma"
+
+
+def test_json_array_of_objects(spark, tmp_path):
+    p = tmp_path / "orders.json"
+    p.write_text(
+        '[{"order_id": 100, "total": 19.98}, {"order_id": 101, "total": 0}]'
+    )
+    df = read_json(spark, str(p))
+    assert df.count() == 2
+    assert set(df.columns) == {"order_id", "total"}
+
+
+def test_json_single_object_wraps_to_one_row(spark, tmp_path):
+    p = tmp_path / "one.json"
+    p.write_text('{"order_id": 100, "total": 19.98}')
+    df = read_json(spark, str(p))
+    assert df.count() == 1
+
+
+def test_json_nested_schema(spark, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text(
+        '[{"order_id": 100, "customer": {"id": 1, "name": "Alice"},'
+        ' "items": [{"sku": "A1", "qty": 2, "price": 9.99}]}]'
+    )
+    df = read_json(spark, str(p))
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds["customer"].startswith("struct<")
+    assert kinds["items"].startswith("array<struct<")
+
+
+def test_unsupported_format_rejected(spark, tmp_path):
+    p = tmp_path / "data.xlsx"
+    p.write_text("not really excel")
+    with pytest.raises(UnsupportedFormatError):
+        read_any(spark, str(p))
+
+
+def test_empty_csv_header_only(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("a,b,c\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 0
+
+
+def test_events_nanos_timestamp_readable(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    assert dict((f.name, f.dataType.simpleString()) for f in ev.schema.fields)[
+        "ts"
+    ] == "timestamp"
+    first = ev.orderBy("event_id").first()
+    assert first["ts"].year == 2024

@@ -1,0 +1,73 @@
+"""Structured Streaming twin tests: drive the streaming transforms with a
+file source reading the events fixture and assert equivalence with the
+batch forms (rows-only semantics, SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from self_healing_data_pipeline_spark.sources.readers import read_table
+from self_healing_data_pipeline_spark.streaming.windows import (
+    streaming_dedup,
+    streaming_session_agg,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, sf_dir, tmp_path_factory):
+    # Re-materialize events as µs-timestamp parquet a stream can read.
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_path):
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
+    out = _run_stream(
+        spark, streaming_tumbling_counts(stream_ev), "t_tumbling"
+    )
+    got = out.groupBy().sum("n_events").collect()[0][0]
+    assert got == batch_ev.count()  # every event lands in exactly one window
+
+
+def test_streaming_session_agg_runs(spark, events_stream_path, sf_dir):
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
+    out = _run_stream(spark, streaming_session_agg(stream_ev), "t_session")
+    assert out.count() > 0
+    r = out.first()
+    assert r["session_end"] >= r["session_start"]
+
+
+def test_streaming_dedup_bounded_state(spark, events_stream_path, sf_dir):
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
+    dedup = streaming_dedup(stream_ev, keys=["user_id", "event_type"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    n_keys = batch_ev.select("user_id", "event_type").distinct().count()
+    # dropDuplicatesWithinWatermark keeps ≥ one row per key (watermark may
+    # admit re-emission across far-apart event times, never fewer).
+    assert got.count() >= n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
