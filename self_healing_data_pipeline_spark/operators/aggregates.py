@@ -33,7 +33,7 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
     charge = disc * (F.lit(1).cast("decimal(12,2)") + dec("l_tax"))
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -50,12 +50,11 @@ def asof_join(
     sort + linear scan. Skewed keys can be salted upstream by the caller.
     ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) bounds staleness.
     """
-    lt = left.withColumn("__side", F.lit(1)).withColumn(
-        "__ts", F.col(left_ts).cast("timestamp")
-    )
-    rt = right.withColumn("__side", F.lit(0)).withColumn(
-        "__ts", F.col(right_ts).cast("timestamp")
-    )
+    # Keep the inputs' timestamp flavor (TIMESTAMP or TIMESTAMP_NTZ) — both
+    # order and subtract consistently; forcing LTZ would make results
+    # session-timezone-dependent.
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
     for c in right_value_cols:
         lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(rt.schema[c].dataType))
         rt = rt.withColumn(f"__r_{c}", F.col(c))

@@ -25,12 +25,11 @@ def sessionize(
     Structured Streaming's ``session_window`` (see ``streaming.windows``).
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tie_break).asc())
-    gap_sec = gap_minutes * 60
     prev_ts = F.lag(F.col(ts)).over(w)
-    is_new = (
-        prev_ts.isNull()
-        | (F.col(ts).cast("double") - prev_ts.cast("double") > F.lit(gap_sec))
-    ).cast("bigint")
+    # Interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ and is
+    # session-timezone-independent.
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    is_new = (prev_ts.isNull() | (F.col(ts) - prev_ts > gap)).cast("bigint")
     return events.withColumn("__new_session", is_new).withColumn(
         "session_id",
         F.sum("__new_session").over(

@@ -146,6 +146,6 @@ def q_filter_pred(spark, sf_dir):
         (F.col("o_orderstatus") == "O")
         & F.col("o_totalprice").between(1000, 150000)
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & F.col("o_custkey").isNotNull()
     ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")

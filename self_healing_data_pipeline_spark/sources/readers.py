@@ -118,7 +118,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     out = df
     for name_ in nanos_cols:
-        out = out.withColumn(name_, F.expr(f"timestamp_micros({name_} div 1000)"))
+        # Exact ns→µs as TIMESTAMP_NTZ (naive, like the file): integer
+        # interval arithmetic, no double round-trip, no session-timezone
+        # dependence (timestamp_micros() would yield LTZ, whose rendering
+        # shifts with the session timezone).
+        out = out.withColumn(
+            name_,
+            F.expr(
+                "timestamp_ntz '1970-01-01 00:00:00'"
+                f" + (INTERVAL 1 SECOND) * ({name_} div 1000000000)"
+                f" + (INTERVAL 1 MICROSECOND) * (({name_} % 1000000000) div 1000)"
+            ),
+        )
     return out
 
 

@@ -2,7 +2,8 @@
 
 Each function takes a *streaming* DataFrame (``spark.readStream...``) with
 an event-time column and returns the transformed streaming DataFrame; the
-caller attaches ``writeStream``. The transformations are the SAME
+caller attaches ``writeStream``. Event-time columns are cast to
+TIMESTAMP (LTZ) up front: Spark watermarks require instants, not NTZ. The transformations are the SAME
 DataFrame expressions as the batch queries in ``queries/events.py`` — that
 equivalence is the point: batch twins are oracle-checkable, and these give
 the continuous form with watermarked state eviction.
@@ -25,6 +26,7 @@ def streaming_tumbling_counts(
 ) -> DataFrame:
     """Tumbling-window counts with late-data handling via watermark
     (state for a window is dropped once event time passes end+watermark)."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.window(ts, window).alias("w"), key)
@@ -45,6 +47,7 @@ def streaming_sliding_counts(
     slide: str = "15 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.window(ts, window, slide).alias("w"))
@@ -62,6 +65,7 @@ def streaming_session_agg(
 ) -> DataFrame:
     """Native session windows (dynamic gap-close) — the streaming form of
     operators.windows.sessionize."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("sw"), key)
@@ -85,4 +89,5 @@ def streaming_dedup(
     of the keep-first batch query (state is evicted after the watermark,
     so memory is bounded by the dedup horizon, not the stream length)."""
     keys = keys or ["user_id", "event_type"]
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

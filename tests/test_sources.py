@@ -100,8 +100,9 @@ def test_empty_csv_header_only(spark, tmp_path):
 
 def test_events_nanos_timestamp_readable(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
+    # naive parquet nanos → NTZ (session-timezone-independent rendering)
     assert dict((f.name, f.dataType.simpleString()) for f in ev.schema.fields)[
         "ts"
-    ] == "timestamp"
+    ] == "timestamp_ntz"
     first = ev.orderBy("event_id").first()
     assert first["ts"].year == 2024
