@@ -131,36 +131,36 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col, ngram: int = 3) -> F.Column:
-    """64-bit SimHash over word n-grams, built from Catalyst primitives.
-
-    For each bit position, sum ±1 over token hashes and take the sign.
-    Expressed as 64 aggregations over the exploded token hash — compiled
-    into one pass over the token array per row (no shuffle).
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document: for each bit, sum ±1 over shingle
+    hashes; the sign becomes the bit. Explode → one hash aggregate with 64
+    conditional sums → flat bit-packing projection. Same scale shape as
+    MinHash: shuffle rows = |ids|, hashing whole-stage-codegen'd.
+    Returns (id_col, simhash bigint).
     """
-    toks = shingles(text_col, ngram)
-    hashes = F.transform(toks, lambda s: F.xxhash64(s))
-    bit_cols = []
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, ngram)).alias("__sh"),
+    ).select("__id", F.xxhash64("__sh").alias("__h"))
+    agg = exploded.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("__h", bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(64)
+        ]
+    )
+    packed = None
     for bit in range(64):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(
-            F.when(contrib > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-            * F.lit(2 ** bit).cast("bigint")
-            if bit < 63
-            # avoid bigint overflow on the sign bit
-            else F.when(contrib > 0, F.lit(-(2 ** 63)).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+        # two's-complement sign bit for bit 63 (avoid bigint overflow)
+        val = F.lit(-(2**63) if bit == 63 else 2**bit).cast("bigint")
+        term = F.when(F.col(f"b{bit}") > 0, val).otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed + term
+    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash"))
 
 
 def ngram_jaccard(text_l, text_r, n: int = 5) -> F.Column:

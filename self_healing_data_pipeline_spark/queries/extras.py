@@ -1,0 +1,156 @@
+"""Additional SURVEY.md §2 surface: cube, cross join, subqueries, listagg,
+row-distinct, simhash, n-gram-Jaccard verification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.functions.scalar import dsum
+from self_healing_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_signatures,
+)
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE: all 4 grouping-set combinations in one pass (Expand operator —
+    rows are replicated per grouping set map-side, one shuffle total)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, p.o_orderpriority, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    CROSS JOIN nation n
+    WHERE n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, p.o_orderpriority
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    """Cartesian product of small dims (broadcast nested loop) + filter."""
+    r = read_table(spark, sf_dir, "region")
+    p = read_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(p)
+        .crossJoin(n)
+        .filter(F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                           FROM orders) AS diff_from_mean
+    FROM orders
+    """,
+)
+def q_subquery_scalar(spark, sf_dir):
+    """Scalar subquery (global mean) — planned as a broadcast of the 1-row
+    aggregate, not a per-row subquery."""
+    o = read_table(spark, sf_dir, "orders")
+    mean = o.agg(
+        (dsum("o_totalprice") / F.count(F.lit(1)).cast("double")).alias("__mean")
+    )
+    return o.crossJoin(F.broadcast(mean)).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") - F.col("__mean")).alias("diff_from_mean"),
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation: collect_list → array_sort → join
+    (deterministic — never rely on collect_list order alone)."""
+    return (
+        read_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_rows(spark, sf_dir):
+    """Whole-row DISTINCT (hash aggregate on all columns)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+@query("q_dedup_simhash")  # bit-level fingerprint → rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints over 3-gram shingles; near-dups differ
+    in few bits (banded Hamming join is the scale path)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text", ngram=3)
+
+
+@query("q_dedup_ngram_verify")  # candidate generation uses LSH → rows-only
+def q_dedup_ngram_verify(spark, sf_dir):
+    """The full near-dup pipeline: MinHash-LSH candidates → exact n-gram
+    Jaccard verification ≥ 0.5. Candidates are O(collisions); the exact
+    check touches only candidate pairs, never n²."""
+    docs = read_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    l = docs.select(F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"))
+    r = docs.select(F.col("doc_id").alias("id_r"), F.col("text").alias("text_r"))
+    return (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.round(ngram_jaccard(F.col("text_l"), F.col("text_r"), 5), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

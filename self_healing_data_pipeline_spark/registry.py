@@ -46,4 +46,5 @@ def load_all() -> None:
         windows,
         events,
         tier_c,
+        extras,
     )

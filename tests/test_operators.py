@@ -12,6 +12,7 @@ from self_healing_data_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard,
     normalize_text,
+    simhash_signatures,
 )
 from self_healing_data_pipeline_spark.operators.relational import asof_join, top_k
 from self_healing_data_pipeline_spark.operators.similarity import (
@@ -102,6 +103,24 @@ def test_minhash_finds_near_duplicates(spark):
              minhash_lsh_pairs(docs, "doc_id", "text").collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    words = [f"w{i}" for i in range(80)]
+    near = list(words)
+    near[40] = "x"
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(near)),
+         (3, " ".join(f"z{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in
+           simhash_signatures(docs, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+    assert ham(sig[1], sig[2]) < 16 < ham(sig[1], sig[3])
 
 
 def test_ngram_jaccard_identical_and_disjoint(spark):
