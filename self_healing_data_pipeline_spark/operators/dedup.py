@@ -11,14 +11,25 @@ Scale design (the point of each method at 100 TB):
   few bits. Banding the 64 bits into 4×16-bit keys finds all pairs within
   Hamming distance 3 with 4 equi-joins — again no O(n²).
 
-All hashing uses Spark built-ins (xxhash64 / crc32) — JVM-side, seeded,
-deterministic; no Python in the hot path.
+Signature computation (shingle → hash → min/sign-pack) is an Arrow-batched
+numpy kernel, NOT Catalyst higher-order functions: Spark's array
+``transform``/``aggregate`` lambdas are interpreted per element (measured
+~60k shingle evals/s — pathological), while the vectorized kernel is a
+narrow per-row map with no shuffle that runs at millions of shingles/s per
+core. Banding, bucket joins, and verification stay JVM-side. Hashing is
+blake2b-seeded + affine re-hash — deterministic across runs and machines
+(never Python's builtin ``hash``).
 """
 
 from __future__ import annotations
 
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def normalize_text(col) -> F.Column:
@@ -50,6 +61,40 @@ def shingles(col, n: int = 5) -> F.Column:
     )
 
 
+import re as _re
+
+_NORM_RE = _re.compile(r"[^a-z0-9]+")
+
+
+def _py_shingles(text: str, n: int) -> set[str]:
+    """Python twin of ``shingles`` (same normalization, distinct n-grams)."""
+    toks = _NORM_RE.sub(" ", (text or "").lower()).strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _shingle_base_hashes(text: str, n: int) -> np.ndarray:
+    """One deterministic 64-bit hash per distinct shingle (blake2b)."""
+    sh = _py_shingles(text, n)
+    return np.fromiter(
+        (
+            int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in sh
+        ),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    """Affine re-hash parameters (odd multipliers, uint64 wraparound)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -57,24 +102,29 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """MinHash signatures via explode → hash-aggregate.
+    """MinHash signatures: per doc, min over shingles of ``num_hashes``
+    affine re-hashes of one base hash per shingle.
 
-    (id, shingle) rows → ``num_hashes`` seeded xxhash64 columns → one
-    hash aggregate taking min per id. One shuffle keyed on id with
-    map-side partial mins (shuffle rows = |ids| per partition, not
-    |shingles|), and whole-stage-codegen'd hashing — the shape that holds
-    at 100 TB, unlike a per-row nested loop over 32 array passes.
-    Returns (``__id``, m0..m{num_hashes-1}).
+    Arrow-batched numpy kernel — narrow map, no shuffle; hashing cost is
+    one blake2b per distinct shingle plus a (num_hashes × shingles) uint64
+    GEMM-like min-reduce. Returns (``__id``, sig array<bigint>).
     """
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(text_col, shingle_n)).alias("__sh"),
-    )
-    return exploded.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64("__sh", F.lit(seed))).alias(f"m{seed}")
-            for seed in range(num_hashes)
-        ]
+    a, b = _minhash_params(num_hashes)
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            hs = _shingle_base_hashes(text, shingle_n)
+            if hs.size == 0:
+                out.append(np.zeros(num_hashes, dtype=np.int64))
+                continue
+            mins = (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+            out.append(mins.view(np.int64))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("__id"), sig_udf(F.col(text_col)).alias("__sig")
     )
 
 
@@ -85,14 +135,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
-    signatures → explode into ``bands`` band-keys → self-join on identical
-    band hash → distinct (id_l < id_r) pairs. The only wide ops are the
-    signature aggregate and the bucket join; bucket sizes bound the join
-    fan-out, so skewed buckets (boilerplate docs) are the thing to monitor
-    at scale — cap bucket size or salt if needed.
+    signatures → explode into ``bands`` band-keys → groupBy (band, bucket)
+    collecting the id list → generate in-bucket pairs → distinct.
+    One signature pass and ONE shuffle (the bucket groupBy) — no self-join,
+    so the signature UDF is not evaluated twice. Buckets larger than
+    ``max_bucket`` (degenerate boilerplate collisions — would produce
+    O(size²) pairs) are dropped; at 100 TB that cap is what keeps the
+    worst-case bounded. Pair generation inside a bucket uses array HOFs,
+    fine because bucket sizes are capped.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -105,7 +159,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.col(f"m{b * rows_per_band + r}")
+                                F.col("__sig").getItem(b * rows_per_band + r)
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
@@ -115,18 +169,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.bucket")
-    l = banded.alias("l")
-    r = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS id_l, y AS id_r))))"
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_l"), F.col("r.__id").alias("id_r")
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_l", "p.id_r")
         .distinct()
     )
 
@@ -135,32 +190,31 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 3
 ) -> DataFrame:
     """64-bit SimHash per document: for each bit, sum ±1 over shingle
-    hashes; the sign becomes the bit. Explode → one hash aggregate with 64
-    conditional sums → flat bit-packing projection. Same scale shape as
-    MinHash: shuffle rows = |ids|, hashing whole-stage-codegen'd.
-    Returns (id_col, simhash bigint).
+    hashes; the sign becomes the bit.
+
+    Same Arrow-batched kernel shape as MinHash: per doc, unpack shingle
+    hashes to a (shingles × 64) ±1 matrix, column-sum, sign, bit-pack —
+    all numpy, narrow map, no shuffle. Returns (id_col, simhash bigint).
     """
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(text_col, ngram)).alias("__sh"),
-    ).select("__id", F.xxhash64("__sh").alias("__h"))
-    agg = exploded.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("__h", bit).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{bit}")
-            for bit in range(64)
-        ]
+    bit_positions = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            hs = _shingle_base_hashes(text, ngram)
+            if hs.size == 0:
+                continue
+            bits = ((hs[:, None] >> bit_positions[None, :]) & 1).astype(np.int64)
+            contrib = (2 * bits - 1).sum(axis=0)
+            sign_bits = (contrib > 0).astype(np.uint64)
+            packed = (sign_bits << bit_positions).sum(dtype=np.uint64)
+            out[i] = np.asarray([packed], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), sim_udf(F.col(text_col)).alias("simhash")
     )
-    packed = None
-    for bit in range(64):
-        # two's-complement sign bit for bit 63 (avoid bigint overflow)
-        val = F.lit(-(2**63) if bit == 63 else 2**bit).cast("bigint")
-        term = F.when(F.col(f"b{bit}") > 0, val).otherwise(F.lit(0).cast("bigint"))
-        packed = term if packed is None else packed + term
-    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash"))
 
 
 def ngram_jaccard(text_l, text_r, n: int = 5) -> F.Column:

@@ -125,6 +125,93 @@ def q_distinct_rows(spark, sf_dir):
     )
 
 
+@query(
+    "q_profile_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment, c_acctbal AS median_low
+    FROM ranked WHERE rn = (n + 1) // 2
+    ORDER BY c_mktsegment
+    """,
+)
+def q_profile_median(spark, sf_dir):
+    """Exact rank-based median (lower median) — deterministic across
+    engines, unlike interpolated percentile arithmetic; the profiling
+    primitive for outlier bounds. One window pass per group."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_low"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_profile_catalog",
+    oracle="""
+    SELECT column_name, sql_type, null_count, distinct_count FROM (
+      SELECT 'o_orderkey' AS column_name, 'INTEGER' AS sql_type,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+             COUNT(DISTINCT o_orderkey) AS distinct_count FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', 'TEXT',
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', 'REAL',
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_totalprice) FROM orders
+    ) ORDER BY column_name
+    """,
+)
+def q_profile_catalog(spark, sf_dir):
+    """The catalog as a query: per-column type/null/cardinality rows — the
+    deterministic ColumnAnalysis core (reference types.ts:2-9) over orders,
+    with the reference's type-lattice names (geminiService.ts:61)."""
+    from self_healing_data_pipeline_spark.plans.catalog import SPARK_TO_SQL
+
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    kinds = {f.name: SPARK_TO_SQL.get(f.dataType.simpleString(), "TEXT")
+             for f in o.schema.fields}
+    agg = o.agg(
+        *[F.sum(F.col(c).isNull().cast("bigint")).alias(f"n__{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"d__{c}") for c in cols],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(kinds[c]).alias("sql_type"),
+                F.col(f"n__{c}").alias("null_count"),
+                F.col(f"d__{c}").alias("distinct_count"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.column_name", "r.sql_type", "r.null_count", "r.distinct_count")
+        .orderBy("column_name")
+    )
+
+
 @query("q_dedup_simhash")  # bit-level fingerprint → rows-only
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints over 3-gram shingles; near-dups differ
