@@ -112,6 +112,76 @@ def lsh_bucket_udf(planes):
     return bucket_keys
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    One Arrow-batched (batch × dim) @ (dim × K) matmul per batch — narrow
+    map, no shuffle. At scale this column is computed at ingest and the
+    table is repartitioned/sorted by it, so probes touch only the listed
+    partitions.
+    """
+    c_t = centroids.T.copy()  # dim × K
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype("float64")
+        return pd.Series((mat @ c_t).argmax(axis=1).astype("int32"))
+
+    return embeddings.withColumn("centroid_id", assign(F.col(vec_col)))
+
+
+def deterministic_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic seed centroids: the ``n_centroids`` lowest-id vectors,
+    L2-normalized. (A production index would run a few k-means rounds —
+    also expressible as repeated assign+average aggregates; seeds keep the
+    fixture pipeline deterministic.)"""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return c / norms
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate NN: probe only the ``n_probe`` inverted lists
+    whose centroids are closest to the query (~n·n_probe/n_centroids rows
+    scored instead of n)."""
+    centroids = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype="float64")
+    probe = np.argsort(-(centroids @ qv))[:n_probe].tolist()
+    q = F.array(*[F.lit(float(v)).cast("float") for v in query_vec])
+    assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("centroid_id").isin(probe))
+    return (
+        cand.select(F.col(id_col), dot_product(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],

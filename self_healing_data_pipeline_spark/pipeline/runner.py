@@ -78,6 +78,7 @@ class PipelineResult:
     step: PipelineStep
     value: Any = None
     logs: list[EtlLogEntry] = field(default_factory=list)
+    lineage: Any = None  # plans.lineage.LineageLog when the flow records it
 
 
 class SelfHealingPipeline:
@@ -169,6 +170,7 @@ def ingest_file_pipeline(
         schema_to_struct,
         struct_to_ddl,
     )
+    from self_healing_data_pipeline_spark.plans.lineage import LineageLog
     from self_healing_data_pipeline_spark.plans.profiler import profile_dataframe
     from self_healing_data_pipeline_spark.sources.readers import read_any
 
@@ -176,17 +178,24 @@ def ingest_file_pipeline(
 
     name = table_name or sanitize_identifier(os.path.basename(path))
     pipe = SelfHealingPipeline(spark)
+    lineage = LineageLog(run_id=f"ingest:{name}:{int(time.time())}")
 
     def parse(_):
+        t0 = time.time()
         df = read_any(spark, path)
         if df.isEmpty():
             raise ValueError("The file contains no data rows.")
+        lineage.record("Upload", [path], f"{name}:raw", df, t0)
         return df
 
     def profile(df):
-        return (df, profile_dataframe(df, name))
+        t0 = time.time()
+        prof = profile_dataframe(df, name)
+        lineage.record("AnalyzingSchema", [f"{name}:raw"], f"{name}:profile", None, t0)
+        return (df, prof)
 
     def freeze(state):
+        t0 = time.time()
         df, schema = state
         struct = schema_to_struct(schema)
         ddl = struct_to_ddl(name, struct)
@@ -196,11 +205,17 @@ def ingest_file_pipeline(
         casted = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in struct.fields]
         )
+        lineage.record(
+            "GeneratingSql", [f"{name}:raw", f"{name}:profile"], f"{name}:frozen",
+            casted, t0,
+        )
         return (casted, ddl)
 
     def load(state):
+        t0 = time.time()
         df, _ddl = state
         df.createOrReplaceTempView(name)
+        lineage.record("ProcessingDb", [f"{name}:frozen"], name, df, t0)
         return name
 
     result = pipe.run(
@@ -211,6 +226,7 @@ def ingest_file_pipeline(
             Stage("ProcessingDb", load),
         ]
     )
+    result.lineage = lineage
     if result.ok:
         _, warn = verify_readback(spark, name)
         if warn:

@@ -14,6 +14,7 @@ from self_healing_data_pipeline_spark.operators.dedup import (
 )
 from self_healing_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_ann_topk,
     similarity_join,
 )
@@ -145,6 +146,15 @@ def q_sim_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_ann_topk(emb, list(qvec), k=10)
+
+
+@query("q_sim_ivf")  # approximate: probes a subset of inverted lists → rows-only
+def q_sim_ivf(spark, sf_dir):
+    """IVF-style ANN (coarse quantizer + probed inverted lists) — the
+    partition-pruned alternative to LSH bucketing."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(qvec), k=10)
 
 
 @query(

@@ -155,6 +155,27 @@ def test_similarity_join_blocks_and_thresholds(spark):
     assert pairs == {(1, 2)}  # 3 is in another block despite identical vector
 
 
+def test_ivf_topk_finds_exact_neighbors_when_probing_enough(spark):
+    import numpy as np
+
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[5]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=3).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()]
+    assert approx == exact  # probing all lists == exact
+
+
 def test_top_k_tie_break(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)], "id int, v double")
     out = top_k(df, [F.col("v").desc(), F.col("id").asc()], 2)

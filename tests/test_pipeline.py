@@ -74,6 +74,26 @@ def test_ingest_file_pipeline_end_to_end(spark, tmp_path):
     assert kinds == {"id": "bigint", "name": "string", "score": "double"}
 
 
+def test_ingest_records_lineage(spark, tmp_path):
+    p = tmp_path / "lin.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    result = ingest_file_pipeline(spark, str(p))
+    assert result.ok
+    stages = [r.stage for r in result.lineage.records]
+    assert stages == ["Upload", "AnalyzingSchema", "GeneratingSql", "ProcessingDb"]
+    # impact analysis: everything downstream of the raw parse
+    assert result.lineage.downstream_of("lin:raw") == [
+        "lin",
+        "lin:frozen",
+        "lin:profile",
+    ]
+    ldf = result.lineage.to_dataframe(spark)
+    assert ldf.count() == 4
+    assert ldf.filter("output = 'lin'").collect()[0]["output_schema"].startswith(
+        "struct<a:bigint,b:bigint"
+    )
+
+
 def test_ingest_empty_file_rejected(spark, tmp_path):
     p = tmp_path / "empty.csv"
     p.write_text("a,b,c\n")
