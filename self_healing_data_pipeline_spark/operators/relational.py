@@ -99,16 +99,36 @@ def range_join(
     left: DataFrame,
     right: DataFrame,
     condition: Column,
-    left_bucket: Column | None = None,
-    right_bucket: Column | None = None,
+    left_value: Column | None = None,
+    right_value: Column | None = None,
+    band_width: float | None = None,
 ) -> DataFrame:
-    """Theta/range join. With bucket columns provided, rewrites to an
-    equi-join on the bucket + residual predicate — shuffle-hash/broadcast
-    instead of broadcast-nested-loop, which is the difference between
-    minutes and never at 100 TB.
+    """Theta/range join.
+
+    Plain form: Catalyst plans a (broadcast) nested-loop — fine when one
+    side is small. Banded form (``left_value``/``right_value``/
+    ``band_width`` for a |l−r| ≤ band_width condition): the left side
+    explodes into its bucket and both neighbors, the right side buckets
+    once, and the join becomes bucket-equality + residual predicate —
+    an equi-join Catalyst can shuffle-hash, instead of nested-loop.
+    Neighbor explosion is what makes it *correct*: a pair within
+    band_width can straddle a bucket boundary, so same-bucket-only
+    joins silently drop matches.
     """
-    if left_bucket is not None and right_bucket is not None:
-        l = left.withColumn("__bkt", left_bucket)
-        r = right.withColumn("__bkt", right_bucket)
+    if left_value is not None and right_value is not None and band_width is not None:
+        l = left.withColumn(
+            "__bkt",
+            F.explode(
+                F.array(
+                    *[
+                        (F.floor(left_value / band_width) + F.lit(d)).cast("bigint")
+                        for d in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
+        r = right.withColumn(
+            "__bkt", F.floor(right_value / band_width).cast("bigint")
+        )
         return l.join(r, (l["__bkt"] == r["__bkt"]) & condition).drop("__bkt")
     return left.join(right, condition)

@@ -80,8 +80,8 @@ def q_agg_approx_distinct(spark, sf_dir):
     return (
         read_table(spark, sf_dir, "lineitem")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         )
     )
 

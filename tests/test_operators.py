@@ -155,6 +155,22 @@ def test_similarity_join_blocks_and_thresholds(spark):
     assert pairs == {(1, 2)}  # 3 is in another block despite identical vector
 
 
+def test_banded_range_join_matches_plain_theta_join(spark):
+    from self_healing_data_pipeline_spark.operators.relational import range_join
+
+    l = spark.createDataFrame([(i, float(i * 7 % 100)) for i in range(40)], "lid int, lv double")
+    r = spark.createDataFrame([(i, float(i * 13 % 100)) for i in range(40)], "rid int, rv double")
+    cond = (r["rv"] >= l["lv"] - 10) & (r["rv"] <= l["lv"] + 10)
+    plain = {(x["lid"], x["rid"]) for x in range_join(l, r, cond).collect()}
+    banded = {
+        (x["lid"], x["rid"])
+        for x in range_join(
+            l, r, cond, left_value=l["lv"], right_value=r["rv"], band_width=10.0
+        ).collect()
+    }
+    assert banded == plain  # boundary-straddling pairs must not be dropped
+
+
 def test_ivf_topk_finds_exact_neighbors_when_probing_enough(spark):
     import numpy as np
 

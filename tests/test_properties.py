@@ -1,0 +1,53 @@
+"""Property-based checks (hypothesis) for inference/healing paths
+(SURVEY.md §5 strategy #4): the TEXT-on-mixed rule and normalization
+idempotence hold for arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from self_healing_data_pipeline_spark.functions.scalar import sanitize_identifier
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    ints=st.lists(st.integers(-10**9, 10**9).map(str), min_size=1, max_size=5),
+    words=st.lists(st.text("abcXYZ _", min_size=1, max_size=8), min_size=1, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_mixed_numeric_and_text_always_falls_back_to_text(spark, ints, words):
+    from self_healing_data_pipeline_spark.plans.profiler import profile_dataframe
+
+    # a column that mixes parseable ints with non-numeric words must be TEXT
+    words = [w for w in words if not w.strip().lstrip("+-").isdigit()]
+    if not words:
+        words = ["xyz"]
+    vals = [(v,) for v in ints + words]
+    df = spark.createDataFrame(vals, "c string")
+    out = profile_dataframe(df, "t").columns[0]
+    assert out.inferred_sql_type == "TEXT"
+
+
+@given(vals=st.lists(st.integers(-10**12, 10**12).map(str), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_all_int_strings_promote_to_integer(spark, vals):
+    from self_healing_data_pipeline_spark.plans.profiler import profile_dataframe
+
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    out = profile_dataframe(df, "t").columns[0]
+    assert out.inferred_sql_type == "INTEGER"
+
+
+@given(name=st.text(min_size=0, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_sanitize_identifier_always_safe(name):
+    out = sanitize_identifier(name)
+    assert out
+    assert all(c.isalnum() or c == "_" for c in out)
+    # idempotent
+    assert sanitize_identifier(out) == out
