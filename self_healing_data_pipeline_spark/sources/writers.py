@@ -1,0 +1,47 @@
+"""Table sinks (SURVEY.md §2.1): bulk partitioned writes replacing the
+reference's row-at-a-time transactional insert loop
+(``automated-data-catalog-&-etl/services/pgliteService.ts:51-78``).
+
+Atomicity: Spark writes to a staging directory and commits by rename
+(FileOutputCommitter) — the bulk twin of the reference's all-or-nothing
+transaction. ``errorifexists`` mode mirrors its fresh-table-per-run rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "errorifexists",
+    partition_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` gives directory partition pruning for
+    downstream scans; ``target_partitions`` controls file count/size (at
+    100 TB, aim for 128–512 MB files — thousands of tiny files break the
+    driver's file-listing, one giant file breaks parallelism)."""
+    out = df
+    if target_partitions is not None:
+        if partition_by:
+            out = df.repartition(target_partitions, *partition_by)
+        else:
+            out = df.repartition(target_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def register_table(
+    spark: SparkSession, df: DataFrame, name: str, replace: bool = True
+) -> str:
+    """Catalog sink: register a (temp) table for SQL access — the engine
+    twin of the reference's CREATE TABLE + load step."""
+    if replace:
+        df.createOrReplaceTempView(name)
+    else:
+        df.createTempView(name)  # raises if it exists (errorifexists)
+    return name

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: lock in the shapes that matter at 100 TB
+(pushdown, pruning, broadcast, TakeOrdered, partial aggregation) so a
+refactor that silently degrades a plan fails CI, plus skew/writer tests."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from self_healing_data_pipeline_spark.operators.skew import (
+    salted_agg_count,
+    salted_join,
+)
+from self_healing_data_pipeline_spark.sources.writers import write_parquet
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        entrymod.queries()[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_agg_groupby")
+    assert "LessThanOrEqual(l_shipdate" in p  # predicate reached parquet
+    assert "partial_" in p  # map-side partial aggregation
+    assert "l_orderkey" not in p.split("ReadSchema:")[1].split("\n")[0]  # pruned
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # no shuffle of the fact side
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
+
+
+def test_filter_pushdown_composite_predicates(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_filter_pred")
+    assert "PushedFilters:" in p
+    assert "EqualTo(o_orderstatus,O)" in p.replace("'", "")
+
+
+def test_salted_join_matches_plain_join(spark):
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 10)],
+        "k int, payload int",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 10)], "k int, label string")
+    plain = skewed.join(dim, "k").groupBy("k").count()
+    salted = salted_join(skewed, dim, "k", salt=4).groupBy("k").count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_agg_count_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", i) for i in range(3)],
+        "k string, v int",
+    )
+    got = {tuple(r) for r in salted_agg_count(df, ["k"], salt=8).collect()}
+    assert got == {("hot", 1000), ("cold", 3)}
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "id int, part string"
+    )
+    out = str(tmp_path / "t")
+    write_parquet(df, out, mode="overwrite", partition_by=["part"], target_partitions=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # directory partitioning enables partition pruning on read
+    pruned = back.filter(F.col("part") == "a")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
