@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -28,8 +30,20 @@ def main() -> None:
     from self_healing_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm up the JVM / codegen paths so query 1 doesn't pay session startup.
+    # Warm up the JVM / codegen paths so query 1 doesn't pay session
+    # startup, and the Python UDF workers so Arrow queries don't pay the
+    # one-time worker spin-up (both are per-process costs, not per-query).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):

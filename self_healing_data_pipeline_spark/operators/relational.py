@@ -95,6 +95,59 @@ def asof_join(
     return out
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join via grouped ``pandas.merge_asof`` (applyInPandas).
+
+    Alternative to the window composition in ``asof_join`` for callers who
+    want pandas semantics verbatim. Scale shape: one co-grouped shuffle on
+    ``key``; each group is merge-sorted in an Arrow batch. Prefer
+    ``asof_join`` (pure JVM) unless a per-group pandas feature is needed —
+    and never merge_asof on collected driver data.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType, True)
+        for c in right_value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    lcols = left.columns
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        if rdf.empty:
+            out = ldf[lcols].copy()
+            for c in right_value_cols:
+                out[f"asof_{c}"] = None
+            return out
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        rdf = rdf.sort_values(right_ts, kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf[[right_ts] + right_value_cols].rename(
+                columns={c: f"asof_{c}" for c in right_value_cols}
+            ),
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        keep = lcols + [f"asof_{c}" for c in right_value_cols]
+        return merged[keep]
+
+    grouped = left.groupBy(key).cogroup(right.groupBy(key))
+    return grouped.applyInPandas(merge, schema=out_schema)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -44,6 +44,25 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert got == {"p1": 20.0, "p2": 30.0, "p3": None}
 
 
+def test_asof_join_pandas_matches_window_composition(spark):
+    from self_healing_data_pipeline_spark.operators.relational import asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "p1"), (1, ts("2024-01-01 12:00:00"), "p2"),
+         (2, ts("2024-01-01 09:00:00"), "p3")],
+        "k int, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 20.0),
+         (1, ts("2024-01-01 11:00:00"), 30.0),
+         (2, ts("2024-01-01 09:30:00"), 40.0)],
+        "k int, rts timestamp, val double",
+    )
+    out = asof_join_pandas(left, right, "k", "lts", "rts", ["val"])
+    got = {r["tag"]: r["asof_val"] for r in out.collect()}
+    assert got == {"p1": 20.0, "p2": 30.0, "p3": None}
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, ts("2024-01-01 12:00:00"), "p")], "k int, lts timestamp, tag string"

@@ -53,6 +53,44 @@ def test_streaming_session_agg_runs(spark, events_stream_path, sf_dir):
     assert r["session_end"] >= r["session_start"]
 
 
+def test_stateful_running_stats_matches_batch(spark, events_stream_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
+    q = (
+        running_user_stats(stream_ev)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per key == full-history aggregate
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM t_stateful
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch_ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_bounded_state(spark, events_stream_path, sf_dir):
     batch_ev = read_table(spark, sf_dir, "events")
     stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
