@@ -212,6 +212,65 @@ def q_profile_catalog(spark, sf_dir):
     )
 
 
+# ONE dialect-neutral ANSI string, executed verbatim by BOTH engines —
+# the direct twin of the reference's executeSql choke point
+# (pgliteService.ts:36-49): whatever SQL the (LLM) layer emits, the engine
+# runs it through the same single entry.
+_PASSTHROUGH_SQL = """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+"""
+
+
+@query("q_sql_passthrough", oracle=_PASSTHROUGH_SQL)
+def q_sql_passthrough(spark, sf_dir):
+    """TPC-H-Q3-shaped revenue query executed as a raw SQL string — the
+    reference's arbitrary-SQL surface (§2.1). The oracle is the SAME
+    string: one dialect-neutral statement, two engines."""
+    from self_healing_data_pipeline_spark.sql import (
+        execute_sql,
+        register_fixture_views,
+    )
+
+    register_fixture_views(
+        spark, sf_dir, tables=("orders", "customer", "lineitem")
+    )
+    return execute_sql(spark, _PASSTHROUGH_SQL)
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(json_keys(props), ',') AS prop_keys,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Map-typed semi-structured access: JSON string → MapType →
+    map_keys / element lookup (§2.8 map family)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
 @query("q_dedup_simhash")  # bit-level fingerprint → rows-only
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints over 3-gram shingles; near-dups differ
