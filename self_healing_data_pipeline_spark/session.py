@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Deterministic timestamps across engines (DuckDB oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
+        # Local mode = driver-only JVM; give it headroom for sf0.1 shuffles
+        # (only takes effect when this factory creates the JVM).
+        .config("spark.driver.memory", "8g")
         # Arrow for any pandas-UDF / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
