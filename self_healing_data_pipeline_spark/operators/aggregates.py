@@ -98,7 +98,12 @@ def exact_stats(df: DataFrame, col: str, group_by: list[str]) -> DataFrame:
             F.min(col).alias("min_val"),
             F.max(col).alias("max_val"),
             F.sum(x).cast("double").alias("sum_val"),
-            ((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("var_val"),
+            # max(0, ·) clamps the one-ulp negative variance a
+            # near-constant group can produce (sqrt would give NaN)
+            (
+                F.greatest(n * sxx - sx * sx, F.lit(0.0))
+                / (n * (n - F.lit(1.0)))
+            ).alias("var_val"),
         )
         .withColumn("stddev_val", F.sqrt(F.col("var_val")))
         .drop("var_val")

@@ -40,13 +40,11 @@ def normalize_text(col) -> F.Column:
 
 
 def dedup_exact(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
-    """Exact dedup keeping a deterministic representative per key group."""
-    w = Window.partitionBy(*keys).orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    """Exact dedup keeping a deterministic representative per key group
+    (delegates to the single keep-first implementation)."""
+    from self_healing_data_pipeline_spark.operators.windows import keep_first
+
+    return keep_first(df, keys, order_by)
 
 
 def shingles(col, n: int = 5) -> F.Column:
@@ -148,6 +146,11 @@ def minhash_lsh_pairs(
     worst-case bounded. Pair generation inside a bucket uses array HOFs,
     fine because bucket sizes are capped.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature values would silently be ignored"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(

@@ -42,6 +42,11 @@ def salted_join(
     bucket finds its match. Shuffle volume: |skewed| + salt·|small| —
     the trade that turns one 10-hour straggler into ``salt`` even tasks.
     """
+    if how not in ("inner", "left"):
+        # Replicating the small side ×salt breaks outer-join semantics:
+        # each unmatched small-side key would emit `salt` null-extended
+        # rows instead of one.
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     fp = fingerprint_cols or skewed.columns
     l = with_salt(skewed, fp, salt)
     r = small.withColumn(

@@ -30,7 +30,8 @@ def tokens(col) -> Column:
 def regex_tokens(col) -> Column:
     """BPE-ish regex tokenization (words / digit runs / punctuation)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX))
+    # idx=0 = whole match; the default idx=1 requires a capture group.
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
 
 
 def token_count(col, mode: str = "whitespace") -> Column:

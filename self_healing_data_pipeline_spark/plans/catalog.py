@@ -34,9 +34,19 @@ SPARK_TO_SQL = {
     "float": "REAL",
     "date": "DATE",
     "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",  # the engine's readers emit NTZ
     "boolean": "BOOLEAN",
     "binary": "BLOB",
 }
+
+
+def sql_type_of(spark_simple_string: str) -> str:
+    """Reference-lattice SQL type for a Spark simpleString, with the
+    parameterized families handled (decimal(p,s) → REAL; unknown → TEXT,
+    the geminiService.ts:61 fallback rule)."""
+    if spark_simple_string.startswith("decimal"):
+        return "REAL"
+    return SPARK_TO_SQL.get(spark_simple_string, "TEXT")
 
 
 @dataclass
@@ -80,7 +90,7 @@ def struct_to_ddl(table_name: str, struct: T.StructType) -> str:
     """Render CREATE TABLE DDL from a StructType — the reviewable artifact
     the reference shows its human gate (App.tsx:246-254)."""
     cols = ",\n  ".join(
-        f'"{f.name}" {SPARK_TO_SQL.get(f.dataType.simpleString(), "TEXT")}'
+        f'"{f.name}" {sql_type_of(f.dataType.simpleString())}'
         for f in struct.fields
     )
     return f'CREATE TABLE "{table_name}" (\n  {cols}\n);'

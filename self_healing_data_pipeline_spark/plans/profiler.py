@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.plans.catalog import (
     ColumnAnalysis,
-    SPARK_TO_SQL,
     TableSchema,
+    sql_type_of,
 )
 
 # Regexes for string-typed columns: can the column be promoted?
@@ -49,8 +49,7 @@ def profile_dataframe(
     Quality-issue strings mirror the reference's categories 1:1 so a user
     of the reference sees the same vocabulary.
     """
-    total = df.count()
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__total")]
     for f_ in df.schema.fields:
         c, kind = f_.name, f_.dataType.simpleString()
         col = F.col(c)
@@ -81,6 +80,7 @@ def profile_dataframe(
         else:
             aggs.append(F.sum(F.lit(0)).alias(f"out__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"]
 
     # Second cheap pass only for numeric outlier counts (needs mean/std).
     out_aggs = []
@@ -114,7 +114,7 @@ def profile_dataframe(
             issues.append("Possible outliers detected")
 
         semantic = "unknown"
-        sql_type = SPARK_TO_SQL.get(kind, "TEXT")
+        sql_type = sql_type_of(kind)
         if kind == "string" and non_null > 0:
             matches = {
                 tag: row.get(f"{tag}__{c}") or 0

@@ -202,10 +202,10 @@ def q_profile_nulls(spark, sf_dir):
            MIN(c_acctbal) AS min_val,
            MAX(c_acctbal) AS max_val,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
-           SQRT((CAST(COUNT(*) AS DOUBLE)
+           SQRT(GREATEST(CAST(COUNT(*) AS DOUBLE)
                    * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                  - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                   * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE))
+                   * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 0.0)
                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))) AS stddev_val
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

@@ -184,11 +184,11 @@ def q_profile_catalog(spark, sf_dir):
     """The catalog as a query: per-column type/null/cardinality rows — the
     deterministic ColumnAnalysis core (reference types.ts:2-9) over orders,
     with the reference's type-lattice names (geminiService.ts:61)."""
-    from self_healing_data_pipeline_spark.plans.catalog import SPARK_TO_SQL
+    from self_healing_data_pipeline_spark.plans.catalog import sql_type_of
 
     o = read_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    kinds = {f.name: SPARK_TO_SQL.get(f.dataType.simpleString(), "TEXT")
+    kinds = {f.name: sql_type_of(f.dataType.simpleString())
              for f in o.schema.fields}
     agg = o.agg(
         *[F.sum(F.col(c).isNull().cast("bigint")).alias(f"n__{c}") for c in cols],

@@ -268,4 +268,6 @@ def q_set_except(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key_val")
     )
-    return c.exceptAll(o).distinct()
+    # subtract = set EXCEPT; exceptAll().distinct() is multiset subtraction
+    # and keeps left values whose multiplicity merely exceeds the right's.
+    return c.subtract(o)

@@ -74,8 +74,36 @@ def read_json(
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan — the analytics-layer store (SURVEY.md §2.1, STORE.md:3)."""
-    return spark.read.parquet(path)
+    """Parquet scan — the analytics-layer store (SURVEY.md §2.1, STORE.md:3).
+
+    Handles parquet INT64 TIMESTAMP(NANOS) columns (Spark has no native
+    nanosecond timestamp): reads them as raw nanosecond longs via the
+    legacy conf, then converts to TIMESTAMP_NTZ at microsecond precision
+    (integer ``div`` — no double round-trip, which would lose precision on
+    1.7e18-scale counts; NTZ keeps rendering session-timezone-free).
+    ALL engine parquet reads go through here so the conversion is uniform
+    regardless of read order (the legacy conf, once set, would otherwise
+    make a later plain read silently return bigint nanos).
+    """
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # Leave the conf on: it is consulted again at scan execution time, and
+    # it only affects files that actually contain NANOS columns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(path)
+    for name_ in nanos_cols:
+        out = out.withColumn(
+            name_,
+            F.expr(
+                "timestamp_ntz '1970-01-01 00:00:00'"
+                f" + (INTERVAL 1 SECOND) * ({name_} div 1000000000)"
+                f" + (INTERVAL 1 MICROSECOND) * (({name_} % 1000000000) div 1000)"
+            ),
+        )
+    return out
 
 
 _READERS = {
@@ -98,39 +126,8 @@ def read_any(spark: SparkSession, path: str, **kwargs) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (``<sf_dir>/<name>.parquet``).
-
-    Handles parquet INT64 TIMESTAMP(NANOS) columns (Spark has no native
-    nanosecond timestamp): reads them as raw nanosecond longs via the
-    legacy conf, then converts to TimestampType at microsecond precision
-    (integer ``div`` — no double round-trip, which would lose precision on
-    1.7e18-scale counts).
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _nanos_timestamp_columns(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-    # Leave the conf on: it is consulted again at scan execution time, and
-    # it only affects files that actually contain NANOS columns.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    from pyspark.sql import functions as F
-
-    out = df
-    for name_ in nanos_cols:
-        # Exact ns→µs as TIMESTAMP_NTZ (naive, like the file): integer
-        # interval arithmetic, no double round-trip, no session-timezone
-        # dependence (timestamp_micros() would yield LTZ, whose rendering
-        # shifts with the session timezone).
-        out = out.withColumn(
-            name_,
-            F.expr(
-                "timestamp_ntz '1970-01-01 00:00:00'"
-                f" + (INTERVAL 1 SECOND) * ({name_} div 1000000000)"
-                f" + (INTERVAL 1 MICROSECOND) * (({name_} % 1000000000) div 1000)"
-            ),
-        )
-    return out
+    """Read one fixture table (``<sf_dir>/<name>.parquet``)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 FIXTURE_TABLES = (
@@ -23,7 +21,8 @@ FIXTURE_TABLES = (
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
 ) -> dict[str, DataFrame]:
-    return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for name in names
-    }
+    # Through read_table, not raw spark.read.parquet: events.parquet has
+    # nanosecond timestamps that need the converting reader.
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    return {name: read_table(spark, sf_dir, name) for name in names}

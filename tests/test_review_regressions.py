@@ -1,0 +1,74 @@
+"""Regression tests for defects found in code review (round 1): each case
+reproduces a bug that the oracle/fixture path couldn't catch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.operators.skew import salted_join
+from self_healing_data_pipeline_spark.operators.text import regex_tokens, token_count
+from self_healing_data_pipeline_spark.plans.catalog import sql_type_of
+from self_healing_data_pipeline_spark.sources.tables import load_tables
+
+
+def test_regex_tokens_runs_without_capture_group(spark):
+    df = spark.createDataFrame([("Hello, world 42!",)], "t string")
+    toks = df.select(regex_tokens("t").alias("x")).collect()[0]["x"]
+    assert toks == ["Hello", ",", "world", "42", "!"]
+    n = df.select(token_count("t", mode="regex").alias("n")).collect()[0]["n"]
+    assert n == 5
+
+
+def test_load_tables_handles_nanos_events(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, names=("events", "region"))
+    assert tables["events"].schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert tables["region"].count() == 5
+
+
+def test_set_except_is_set_semantics(spark):
+    left = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    right = spark.createDataFrame([(1,)], "v int")
+    # EXCEPT removes a value entirely if it appears on the right,
+    # regardless of left multiplicity
+    assert [r["v"] for r in left.subtract(right).collect()] == [2]
+
+
+def test_sql_type_of_handles_ntz_and_decimal():
+    assert sql_type_of("timestamp_ntz") == "TIMESTAMP"
+    assert sql_type_of("decimal(18,2)") == "REAL"
+    assert sql_type_of("array<int>") == "TEXT"  # unknown → TEXT fallback
+
+
+def test_profiler_types_ntz_timestamp_as_timestamp(spark, sf_dir):
+    from self_healing_data_pipeline_spark.plans.profiler import profile_dataframe
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").limit(200)
+    prof = {c.column_name: c for c in profile_dataframe(ev, "events").columns}
+    assert prof["ts"].inferred_sql_type == "TIMESTAMP"
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
+
+
+def test_exact_stats_constant_group_stddev_is_zero_not_nan(spark):
+    import math
+
+    from self_healing_data_pipeline_spark.operators.aggregates import exact_stats
+
+    df = spark.createDataFrame([("g", 33.33)] * 5000, "g string, x double")
+    row = exact_stats(df, "x", ["g"]).collect()[0]
+    assert not math.isnan(row["stddev_val"])
+    assert row["stddev_val"] == 0.0
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    from self_healing_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=5)
