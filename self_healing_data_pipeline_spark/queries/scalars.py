@@ -128,6 +128,34 @@ def q_array_funcs(spark, sf_dir):
 
 
 @query(
+    "q_array_explode",
+    oracle="""
+    SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS elem
+    FROM embeddings, generate_series(1, 4) AS t(i)
+    """,
+)
+def q_array_explode(spark, sf_dir):
+    """Array → rows (UNNEST/posexplode) with position, over the first 4
+    embedding components (§2.8 array family, the lateral-view workhorse)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "elem")
+    ).select("vec_id", "pos", F.col("elem").cast("double").alias("elem"))
+
+
+@query("q_agg_approx_percentile")  # sketch-based: engines differ → rows-only
+def q_agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (KLL-style sketch) — the 100 TB quantile profiler
+    (exact percentile needs a global sort; the sketch merges map-side)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
+            "price_quantiles"
+        )
+    )
+
+
+@query(
     "q_json_funcs",
     oracle="""
     SELECT event_id,
