@@ -220,6 +220,72 @@ def simhash_signatures(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    ngram: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: all (id_l, id_r, hamming) with Hamming
+    distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64 bits into ``max_hamming + 1`` bands —
+    any pair within the distance budget must agree exactly on ≥1 band, so
+    grouping on (band, band-bits) finds every such pair with
+    ``max_hamming + 1`` shuffles of |ids| rows and NO O(n²) compare.
+    Final popcount (bit_count of XOR, JVM) verifies candidates exactly.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sig = simhash_signatures(df, id_col, text_col, ngram)
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # band b = bits [b*width, (b+1)*width) (last band
+                        # absorbs the remainder via the next shift)
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "simhash", "bk.band", "bk.bits")
+    buckets = (
+        banded.groupBy("band", "bits")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__id").alias("id"), "simhash"))
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    pair_expr = (
+        "flatten(transform(members, (x, i) ->"
+        " transform(slice(members, i + 2, size(members) - i - 1),"
+        " y -> struct(x.id AS id_l, y.id AS id_r,"
+        " x.simhash AS sim_l, y.simhash AS sim_r))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_l", "p.id_r", "p.sim_l", "p.sim_r")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r")))
+    return (
+        cand.select("id_l", "id_r", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard(text_l, text_r, n: int = 5) -> F.Column:
     """Exact word-n-gram Jaccard similarity between two text columns."""
     a = shingles(text_l, n)

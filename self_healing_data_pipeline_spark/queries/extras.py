@@ -279,6 +279,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_signatures(docs, "doc_id", "text", ngram=3)
 
 
+@query("q_dedup_simhash_pairs")  # hash-specific fingerprints → rows-only
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole banding (Hamming ≤ 8 over
+    3-gram shingles) — 9 band shuffles + exact popcount verify, no O(n²)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from self_healing_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
 @query("q_dedup_ngram_verify")  # candidate generation uses LSH → rows-only
 def q_dedup_ngram_verify(spark, sf_dir):
     """The full near-dup pipeline: MinHash-LSH candidates → exact n-gram

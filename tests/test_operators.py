@@ -142,6 +142,23 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     assert ham(sig[1], sig[2]) < 16 < ham(sig[1], sig[3])
 
 
+def test_simhash_pairs_pigeonhole_finds_near_pair(spark):
+    from self_healing_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    words = [f"w{i}" for i in range(80)]
+    near = list(words)
+    near[40] = "x"
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(near)),
+         (3, " ".join(f"z{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 12
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [("a b c d e f g", "a b c d e f g", "x y z w v u t")],

@@ -91,6 +91,37 @@ def test_stateful_running_stats_matches_batch(spark, events_stream_path, sf_dir)
     assert got == want
 
 
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.streaming.ingest import (
+        incremental_ingest,
+        ingested_table,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    dest = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    (src / "batch1.csv").write_text("id,v\n1,1.5\n2,2.5\n")
+    incremental_ingest(spark, str(src), dest, ckpt, schema)
+    assert ingested_table(spark, dest).count() == 2
+
+    # second batch arrives; re-run ingests ONLY the new file
+    (src / "batch2.csv").write_text("id,v\n3,3.5\n")
+    incremental_ingest(spark, str(src), dest, ckpt, schema)
+    out = ingested_table(spark, dest)
+    assert out.count() == 3  # batch1 not double-loaded
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+
+    # idempotent: a run with nothing new appends nothing
+    incremental_ingest(spark, str(src), dest, ckpt, schema)
+    assert ingested_table(spark, dest).count() == 3
+
+
 def test_streaming_dedup_bounded_state(spark, events_stream_path, sf_dir):
     batch_ev = read_table(spark, sf_dir, "events")
     stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
