@@ -157,6 +157,122 @@ def deterministic_centroids(
     return c / norms
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means for the IVF coarse quantizer, Spark-native.
+
+    Per iteration: assign (Arrow matmul, narrow) → per-centroid mean via
+    posexplode + one hash aggregate keyed on (centroid, dim) — shuffle
+    rows = n_centroids × dim, never the vectors themselves. Centroids
+    (K × dim floats) round-trip through the driver each iteration, which
+    is exactly the state k-means needs and is tiny at any data scale.
+    Deterministic: seed centroids + deterministic assignment tie-breaks
+    (argmax picks the lowest index on ties).
+    """
+    centroids = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assignments(embeddings, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            cid, dim = r["centroid_id"], r["dim"]
+            if cid not in acc:
+                acc[cid] = np.zeros(centroids.shape[1])
+                cnt[cid] = 0
+            acc[cid][dim] = r["s"]
+            cnt[cid] = max(cnt[cid], int(r["n"]))
+        for cid, vec in acc.items():
+            if cnt[cid] > 0:
+                new[cid] = vec / cnt[cid]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+    return centroids
+
+
+def similarity_join_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 4,
+    bits: int = 8,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Label-free near-dup pairs: candidates share a random-hyperplane LSH
+    bucket in ANY of ``tables`` hash tables; exact cosine verifies.
+
+    Same scale skeleton as MinHash banding: one bucket-key pass (Arrow
+    matmul), one groupBy per table, in-bucket pair generation, distinct,
+    exact verify on candidates only — no O(n²).
+    """
+    planes = hyperplanes(tables, bits, dim, seed)
+    keys = lsh_bucket_udf(planes)
+    with_keys = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        keys(F.col(vec_col)).alias("__keys"),
+    )
+    banded = with_keys.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col("__keys").getItem(t).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.tbl", "bk.bucket")
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS id_l, y AS id_r))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_l", "p.id_r")
+        .distinct()
+    )
+    l = with_keys.select(F.col("__id").alias("id_l"), F.col("__vec").alias("vec_l"))
+    r = with_keys.select(F.col("__id").alias("id_r"), F.col("__vec").alias("vec_r"))
+    return (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            cosine_similarity(F.col("vec_l"), F.col("vec_r")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

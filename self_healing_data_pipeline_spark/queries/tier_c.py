@@ -148,6 +148,20 @@ def q_sim_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, list(qvec), k=10)
 
 
+@query("q_sim_join_lsh")  # LSH candidate generation → rows-only
+def q_sim_join_lsh(spark, sf_dir):
+    """Label-free embedding near-dup pairs: LSH-bucket candidates + exact
+    cosine verify ≥ 0.4 (the 100 TB path when no blocking key exists).
+    4 tables × 4 bits ≈ 50% recall at the threshold on random data —
+    recall/bucket-size is the tunable LSH trade."""
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        similarity_join_lsh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity_join_lsh(emb, threshold=0.4, bits=4).select("id_l", "id_r")
+
+
 @query("q_sim_ivf")  # approximate: probes a subset of inverted lists → rows-only
 def q_sim_ivf(spark, sf_dir):
     """IVF-style ANN (coarse quantizer + probed inverted lists) — the

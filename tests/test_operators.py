@@ -228,6 +228,50 @@ def test_ivf_topk_finds_exact_neighbors_when_probing_enough(spark):
     assert approx == exact  # probing all lists == exact
 
 
+def test_ivf_train_separates_blobs(spark):
+    import numpy as np
+
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_train,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    blob_a = rng.standard_normal((30, 6)) * 0.05 + np.array([1, 0, 0, 0, 0, 0])
+    blob_b = rng.standard_normal((30, 6)) * 0.05 + np.array([0, 1, 0, 0, 0, 0])
+    vecs = np.vstack([blob_a, blob_b]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = ivf_train(emb, n_centroids=2, iters=3)
+    got = ivf_assignments(emb, centroids).select("vec_id", "centroid_id").collect()
+    by_blob = {0: set(), 1: set()}
+    for r in got:
+        by_blob[0 if r["vec_id"] < 30 else 1].add(r["centroid_id"])
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1  # each blob pure
+    assert by_blob[0] != by_blob[1]  # and separated
+
+
+def test_similarity_join_lsh_finds_near_identical_vectors(spark):
+    import numpy as np
+
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        similarity_join_lsh,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((20, 16)).astype("float32")
+    vecs = list(base) + [base[4] + 0.001]  # vec 20 ≈ vec 4
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_l"], r["id_r"]) for r in
+             similarity_join_lsh(emb, threshold=0.99, dim=16).collect()}
+    assert (4, 20) in pairs
+
+
 def test_top_k_tie_break(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)], "id int, v double")
     out = top_k(df, [F.col("v").desc(), F.col("id").asc()], 2)
