@@ -47,6 +47,10 @@ def main() -> None:
             f.write(CSV)
         result = ingest_file_pipeline(spark, path)
         print(f"ingest: ok={result.ok} step={result.step.value}")
+        if not result.ok:
+            for log in result.logs:
+                print(f"  [{log.severity}] {log.step}: {log.message}")
+            return
         for rec in result.lineage.records:
             print(f"  lineage {rec.stage}: {rec.inputs} -> {rec.output}")
         table = spark.table("raw_orders")
@@ -81,9 +85,10 @@ def main() -> None:
     scored.orderBy("q", "doc_id").show(3)
 
     emb = read_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    print("nearest neighbors of vec 0:")
-    brute_force_topk(emb, list(qvec), k=5).show()
+    first = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if first is not None:
+        print("nearest neighbors of vec 0:")
+        brute_force_topk(emb, list(first[0]), k=5).show()
 
 
 if __name__ == "__main__":

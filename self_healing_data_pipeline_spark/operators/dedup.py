@@ -126,6 +126,52 @@ def minhash_signatures(
     )
 
 
+def pairs_within_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    payload: str | None = None,
+) -> DataFrame:
+    """Shared LSH-skeleton tail: group rows by bucket, emit all in-bucket
+    (id_l < id_r) pairs, distinct.
+
+    ``banded`` must have an ``__id`` column plus ``bucket_cols``;
+    ``payload`` optionally names one extra column carried onto both sides
+    (as ``<payload>_l`` / ``<payload>_r``). Buckets above ``max_bucket``
+    (degenerate collisions — would emit O(size²) pairs) are dropped.
+    One shuffle; pair generation is an array transform over small,
+    capped buckets.
+    """
+    if payload is None:
+        agg_member = F.sort_array(F.collect_list(F.col("__id"))).alias("members")
+        pair_struct = "struct(x AS id_l, y AS id_r)"
+        out_cols = ["p.id_l", "p.id_r"]
+    else:
+        agg_member = F.sort_array(
+            F.collect_list(F.struct(F.col("__id").alias("id"), F.col(payload)))
+        ).alias("members")
+        pair_struct = (
+            f"struct(x.id AS id_l, y.id AS id_r,"
+            f" x.{payload} AS {payload}_l, y.{payload} AS {payload}_r)"
+        )
+        out_cols = ["p.id_l", "p.id_r", f"p.{payload}_l", f"p.{payload}_r"]
+    pair_expr = (
+        "flatten(transform(members, (x, i) ->"
+        " transform(slice(members, i + 2, size(members) - i - 1),"
+        f" y -> {pair_struct})))"
+    )
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(agg_member)
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(*out_cols)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,21 +218,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.bucket")
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids) - i - 1),"
-        " y -> struct(x AS id_l, y AS id_r))))"
-    )
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_l", "p.id_r")
-        .distinct()
-    )
+    return pairs_within_buckets(banded, ["band", "bucket"], max_bucket)
 
 
 def simhash_signatures(
@@ -231,12 +263,17 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: all (id_l, id_r, hamming) with Hamming
     distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split the 64 bits into ``max_hamming + 1`` bands —
-    any pair within the distance budget must agree exactly on ≥1 band, so
-    grouping on (band, band-bits) finds every such pair with
-    ``max_hamming + 1`` shuffles of |ids| rows and NO O(n²) compare.
-    Final popcount (bit_count of XOR, JVM) verifies candidates exactly.
+    Pigeonhole banding: split the low ``(max_hamming + 1) · width`` bits
+    into ``max_hamming + 1`` bands — any pair within the distance budget
+    must agree exactly on ≥1 band (differences in unbanded high bits break
+    zero bands, so recall is preserved even though 64 may not divide
+    evenly), then grouping on (band, band-bits) finds every such pair with
+    one shuffle and NO O(n²) compare. Final popcount (bit_count of XOR,
+    JVM, over ALL 64 bits) verifies candidates exactly.
     """
+    if not 0 <= max_hamming <= 31:
+        # width = 64 // (h+1) must stay ≥ 2 for bands to discriminate
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sig = simhash_signatures(df, id_col, text_col, ngram)
@@ -248,8 +285,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        # band b = bits [b*width, (b+1)*width) (last band
-                        # absorbs the remainder via the next shift)
+                        # band b = bits [b*width, (b+1)*width); bits above
+                        # n_bands*width stay unbanded (recall unaffected —
+                        # see docstring) but ARE counted in the verify
                         F.shiftrightunsigned("simhash", b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bits"),
@@ -259,27 +297,10 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("__id", "simhash", "bk.band", "bk.bits")
-    buckets = (
-        banded.groupBy("band", "bits")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__id").alias("id"), "simhash"))
-            ).alias("members")
-        )
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    cand = pairs_within_buckets(
+        banded, ["band", "bits"], max_bucket, payload="simhash"
     )
-    pair_expr = (
-        "flatten(transform(members, (x, i) ->"
-        " transform(slice(members, i + 2, size(members) - i - 1),"
-        " y -> struct(x.id AS id_l, y.id AS id_r,"
-        " x.simhash AS sim_l, y.simhash AS sim_r))))"
-    )
-    cand = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_l", "p.id_r", "p.sim_l", "p.sim_r")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r")))
+    ham = F.bit_count(F.col("simhash_l").bitwiseXOR(F.col("simhash_r")))
     return (
         cand.select("id_l", "id_r", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

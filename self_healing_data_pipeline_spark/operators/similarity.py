@@ -210,7 +210,7 @@ def similarity_join_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     tables: int = 4,
     bits: int = 8,
     seed: int = 42,
@@ -221,8 +221,14 @@ def similarity_join_lsh(
 
     Same scale skeleton as MinHash banding: one bucket-key pass (Arrow
     matmul), one groupBy per table, in-bucket pair generation, distinct,
-    exact verify on candidates only — no O(n²).
+    exact verify on candidates only — no O(n²). ``dim`` defaults to the
+    width of the first embedding (a mismatch would otherwise surface as
+    an opaque numpy shape error inside an executor).
     """
+    if dim is None:
+        first = embeddings.select(vec_col).head()
+        # empty input: any width works — no row ever reaches the UDF
+        dim = len(first[0]) if first is not None else 1
     planes = hyperplanes(tables, bits, dim, seed)
     keys = lsh_bucket_udf(planes)
     with_keys = embeddings.select(
@@ -244,21 +250,11 @@ def similarity_join_lsh(
             )
         ).alias("bk"),
     ).select("__id", "bk.tbl", "bk.bucket")
-    buckets = (
-        banded.groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        pairs_within_buckets,
     )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids) - i - 1),"
-        " y -> struct(x AS id_l, y AS id_r))))"
-    )
-    cand = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_l", "p.id_r")
-        .distinct()
-    )
+
+    cand = pairs_within_buckets(banded, ["tbl", "bucket"], max_bucket)
     l = with_keys.select(F.col("__id").alias("id_l"), F.col("__vec").alias("vec_l"))
     r = with_keys.select(F.col("__id").alias("id_r"), F.col("__vec").alias("vec_r"))
     return (

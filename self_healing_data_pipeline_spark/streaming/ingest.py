@@ -56,7 +56,16 @@ def incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    finished = q.awaitTermination(await_seconds)
+    if not finished:
+        # Don't return pretending the drain completed: stop the query so
+        # the checkpoint stays consistent and surface the timeout.
+        q.stop()
+        raise TimeoutError(
+            f"incremental_ingest did not drain {source_dir!r} within "
+            f"{await_seconds}s (processed files remain recorded in the "
+            f"checkpoint; re-run to resume)"
+        )
 
 
 def ingested_table(spark: SparkSession, dest_dir: str) -> DataFrame:
