@@ -47,4 +47,5 @@ def load_all() -> None:
         events,
         tier_c,
         extras,
+        extras2,
     )
