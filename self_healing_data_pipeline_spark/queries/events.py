@@ -122,6 +122,28 @@ def q_stream_session(spark, sf_dir):
 
 
 @query(
+    "q_stream_late_data",
+    oracle="""
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+    """,
+)
+def q_stream_late_data(spark, sf_dir):
+    """Late-data horizon as a batch query: keep events within the
+    watermark delay of the stream's max event time — the batch twin of
+    withWatermark's retention rule (§2.9)."""
+    ev = read_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 DAY"))
+        .select("event_id", "user_id", ts_str("ts").alias("ts_s"))
+    )
+
+
+@query(
     "q_dedup_keep_first",
     oracle="""
     SELECT event_id, user_id, event_type,

@@ -37,6 +37,12 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in p  # no shuffle of the fact side
 
 
+def test_multiway_join_broadcasts_all_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_multiway")
+    # nation and region must never shuffle the fact side
+    assert p.count("BroadcastHashJoin") >= 2
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
 
