@@ -196,6 +196,42 @@ def q_sim_join(spark, sf_dir):
 
 
 @query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT e.vec_id
+    FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings l
+      WHERE l.label = e.label AND l.vec_id < e.vec_id
+        AND (SELECT SUM(CAST(l.embedding[i] * e.embedding[i] AS DOUBLE))
+               FROM generate_series(1, 64) AS t(i))
+            / (SQRT((SELECT SUM(CAST(l.embedding[i] * l.embedding[i] AS DOUBLE))
+                       FROM generate_series(1, 64) AS t(i)))
+               * SQRT((SELECT SUM(CAST(e.embedding[i] * e.embedding[i] AS DOUBLE))
+                         FROM generate_series(1, 64) AS t(i))))
+            >= 0.2
+    )
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: keep each row with no lower-id
+    neighbor at cosine ≥ τ within its block (keep-first representative).
+
+    Composition: blocked pairwise cosine join (operators.similarity.
+    similarity_join — the same pair set q_sim_join verifies against the
+    oracle) → survivors = ids never dominated, via one LEFT ANTI join.
+    At 100 TB the block/LSH-bucket join bounds the pair space and the
+    anti-join is a shuffle on vec_id; no O(n²) stage anywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dominated = (
+        similarity_join(emb, block_col="label", threshold=0.2)
+        .select(F.col("id_r").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select("vec_id")
+
+
+@query(
     "q_text_tokens",
     oracle=f"""
     SELECT token, COUNT(*) AS n FROM (
