@@ -8,6 +8,7 @@ from self_healing_data_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard,
+    ngram_jaccard_udf,
     normalize_text,
     shingles,
     simhash_signatures,
@@ -50,6 +51,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard",
+    "ngram_jaccard_udf",
     "normalize_text",
     "shingles",
     "simhash_signatures",

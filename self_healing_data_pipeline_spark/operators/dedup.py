@@ -308,9 +308,37 @@ def simhash_pairs(
 
 
 def ngram_jaccard(text_l, text_r, n: int = 5) -> F.Column:
-    """Exact word-n-gram Jaccard similarity between two text columns."""
+    """Exact word-n-gram Jaccard similarity between two text columns.
+
+    Pure-Catalyst form (HOF shingling) — oracle-friendly but interpreted
+    lambda evaluation makes it O(tokens) slow per row; prefer
+    :func:`ngram_jaccard_udf` on any volume."""
     a = shingles(text_l, n)
     b = shingles(text_r, n)
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_udf(n: int = 5):
+    """Arrow-batched twin of :func:`ngram_jaccard` (identical results).
+
+    Set intersection/union over ``_py_shingles`` — the same normalization
+    and distinct-n-gram rule as the HOF ``shingles`` — per Arrow batch.
+    Catalyst HOF lambdas are interpreted (~60k evals/s); shingling two
+    long texts per candidate pair dominated the verify stage, while this
+    kernel is one hash-set op per pair. IEEE double division matches the
+    Catalyst expression bit-for-bit."""
+
+    @pandas_udf("double")
+    def jac(tl: pd.Series, tr: pd.Series) -> pd.Series:
+        out = np.zeros(len(tl), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(tl, tr)):
+            sa = _py_shingles(a, n)
+            sb = _py_shingles(b, n)
+            union = len(sa | sb)
+            if union:
+                out[i] = len(sa & sb) / union
+        return pd.Series(out)
+
+    return jac

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from self_healing_data_pipeline_spark.functions.scalar import dsum
 from self_healing_data_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
-    ngram_jaccard,
+    ngram_jaccard_udf,
     simhash_signatures,
 )
 from self_healing_data_pipeline_spark.registry import query
@@ -304,9 +304,9 @@ def q_dedup_ngram_verify(spark, sf_dir):
         .select(
             "id_l",
             "id_r",
-            F.round(ngram_jaccard(F.col("text_l"), F.col("text_r"), 5), 6).alias(
-                "jaccard"
-            ),
+            F.round(
+                ngram_jaccard_udf(5)(F.col("text_l"), F.col("text_r")), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
     )

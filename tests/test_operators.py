@@ -172,6 +172,27 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
     assert row["diff"] == 0.0
 
 
+def test_ngram_jaccard_udf_matches_hof(spark):
+    """The Arrow kernel must agree bit-for-bit with the Catalyst HOF form
+    (it replaces it in the hot verify path)."""
+    from self_healing_data_pipeline_spark.operators.dedup import ngram_jaccard_udf
+
+    pairs = [
+        ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over a lazy dog"),
+        ("a b c d e f g", "x y z w v u t"),
+        ("Short, Text!", "short text"),
+        ("", "anything at all here"),
+        ("one two", "one two"),
+    ]
+    df = spark.createDataFrame(pairs, "tl string, tr string")
+    rows = df.select(
+        ngram_jaccard(F.col("tl"), F.col("tr"), 3).alias("hof"),
+        ngram_jaccard_udf(3)(F.col("tl"), F.col("tr")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert r["hof"] == r["udf"], (r["hof"], r["udf"])
+
+
 def test_brute_force_topk_orders_by_score(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [-1.0, 0.0])],
