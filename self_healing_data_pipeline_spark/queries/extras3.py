@@ -1,0 +1,393 @@
+"""Analytic surface extensions: grouping sets, exact correlation moments,
+boolean aggregates, funnel/retention event analytics, calendar gap-fill,
+fuzzy (edit-distance) matching, correlated-subquery decorrelation, and the
+multimodal feature pipeline as a first-class query.
+
+These extend SURVEY.md §2.4 (aggregation), §2.9 (event analytics) and
+§2.11 (training-data ops). The reference delegates all of this to its
+embedded Postgres via ``executeSql`` (``automated-data-catalog-&-etl/
+services/pgliteService.ts:36-49``); here each is an idiomatic Catalyst
+plan with a DuckDB oracle where SQL-expressible.
+
+Scale notes (100 TB):
+- grouping sets ride Spark's Expand operator — one scan, rows × |sets|
+  before partial aggregation, so shuffle is bounded by group cardinality;
+- correlation/covariance come from ONE pass of exact-decimal moments
+  (sums commute → map-side partials; no second scan, no row reorder
+  sensitivity — see functions.scalar on cross-engine float determinism);
+- funnel/retention shuffle once on user_id (the natural key) and reduce
+  to per-user rows before any join — never a per-event self-join;
+- the fuzzy self-join blocks on lang before the quadratic comparator
+  (same blocking discipline as the MinHash/SimHash dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.functions.scalar import dec, dsum
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): (status, priority),
+    (status), and grand total in one Expand + hash-aggregate pass."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+    )
+
+
+# Exact-decimal moment fragments (x = l_quantity, y = l_extendedprice).
+_SX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+_SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+_SXX = (
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+)
+_SYY = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+)
+_SXY = (
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+)
+
+
+@query(
+    "q_agg_corr",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_SX} AS sx, {_SY} AS sy, {_SXX} AS sxx, {_SYY} AS syy, {_SXY} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (SQRT(GREATEST(n * sxx - sx * sx, 0.0))
+                * SQRT(GREATEST(n * syy - sy * sy, 0.0))) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Pearson correlation + sample covariance from one pass of
+    exact-decimal moments. The built-in ``corr``/``covar_samp`` accumulate
+    doubles in shuffle order (non-reproducible run-to-run at scale and
+    engine-to-engine); decimal moments make every bit deterministic while
+    keeping map-side partial aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity", precision=18)
+    price = dec("l_extendedprice", precision=18)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / (
+                F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0)))
+            )
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias(
+            "covar_samp_qty_price"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice < 300000) AS all_below_300k,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates (BOOL_AND / BOOL_OR) — the SQL form of
+    universally/existentially quantified data-quality assertions."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") < 300000).alias("all_below_300k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+           COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             AS n_full_funnel
+    FROM per_user
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): one shuffle on user_id to
+    per-user first-touch times (conditional MIN), then a global conditional
+    count. NULL-propagating comparisons drop users missing a step — no
+    self-joins, so cost is O(events) + O(users) at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS act_week FROM events
+    )
+    SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((EPOCH(a.act_week) - EPOCH(f.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = ISO week of a user's first event;
+    count distinct users active N weeks later. Both inputs reduce to
+    per-user / per-(user, week) rows *before* the join, so the join input
+    is |users|, not |events| — the shape that survives 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (
+                    F.unix_timestamp("act_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
+    "q_date_series",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ), days AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT CAST(days.day AS VARCHAR) AS day,
+           COALESCE(daily.n, 0) AS n_orders
+    FROM days LEFT JOIN daily ON days.day = daily.day
+    """,
+)
+def q_date_series(spark, sf_dir):
+    """Calendar gap-fill: generate every day in the data's date range
+    (sequence + explode — engine-side, no driver loop) and left-join the
+    daily counts so zero-order days appear explicitly. The generated spine
+    is broadcast (|days| rows) against the aggregated side (|days| rows),
+    never against raw orders."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                AS BIGINT) AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching with blocking: self-join documents
+    within a lang block (never the full cross product), Levenshtein on a
+    40-char prefix, threshold filter. The JVM-side levenshtein() keeps the
+    quadratic comparator inside WholeStageCodegen; at 100 TB the block key
+    would be (lang, length-bucket) to bound block size."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 20)
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery (orders 1.5× above their customer's
+    mean), decorrelated to a window aggregate — one shuffle on o_custkey
+    instead of a per-row subquery. Exact-decimal mean keeps the float
+    comparison bit-identical across engines (functions.scalar)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mean = (
+        F.sum(dec("o_totalprice", precision=18)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        o.withColumn("__mean", mean)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__mean"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query("q_multimodal_features")  # rows-only: byte entropy / fake codec
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature-extraction pipeline as a query: documents' text
+    re-encoded as opaque binary payloads (the fixture set carries no real
+    media; the codec is the documented stub in operators.multimodal), then
+    Arrow-batched mapInPandas feature extraction — n_bytes, byte entropy,
+    and a deterministic feature vector per payload. Rows-only check: byte
+    entropy is not ANSI-SQL-expressible."""
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("txt").alias("format"),
+        ).alias("meta"),
+    )
+    return extract_features(media)

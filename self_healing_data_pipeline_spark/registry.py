@@ -48,4 +48,5 @@ def load_all() -> None:
         tier_c,
         extras,
         extras2,
+        extras3,
     )
