@@ -1,0 +1,154 @@
+"""Scale-path queries with exact oracles: skew-salted aggregation/join
+(SURVEY.md §4 tuning, `operators/skew.py`), equi-width histogram
+profiling (§2.4), and bigram extraction via higher-order array functions
+(§2.8, §2.11 text analysis).
+
+The salted variants are oracle-checked against the PLAIN formulation:
+salting must be a pure physical rewrite — same rows out, hot keys spread
+over `salt` reducers. Locking that equivalence into the correctness gate
+is what makes the skew path safe to reach for at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.functions.scalar import dsum
+from self_healing_data_pipeline_spark.operators.skew import (
+    salted_agg_count,
+    salted_join,
+)
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted count for skewed group keys (partial per
+    (key, salt) → final per key). The oracle is the plain GROUP BY —
+    salting is invisible in the result, only in the shuffle layout.
+    Note lineitem's returnflag/linestatus IS a skewed key set (3×2 groups
+    over all rows), exactly the shape where AQE can't help an aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_agg_count(li, ["l_returnflag", "l_linestatus"], salt=16)
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT s.s_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Salted fact-to-dimension join: lineitem rows get a deterministic
+    hash salt, supplier is replicated ×salt, join on (key, salt). The
+    oracle is the unsalted join — same result set, no straggler reducer.
+    Shuffle trade: |lineitem| + salt·|supplier| for salt-way parallelism
+    on hot supplier keys."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(
+        li, sup, key="l_suppkey", salt=8, fingerprint_cols=["l_extendedprice"]
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+@query(
+    "q_profile_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0))
+                        AS BIGINT), 9) AS bin
+      FROM orders, b
+    )
+    SELECT bin, COUNT(*) AS n_rows FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_profile_histogram(spark, sf_dir):
+    """Equi-width 10-bin histogram of a numeric column — the distribution
+    profile backing the reference's 'Possible outliers detected' category
+    (geminiService.ts:64) in deterministic form. min/max come from a
+    broadcast 1-row aggregate; bin arithmetic is identical IEEE double ops
+    on both engines, so bin edges agree bit-for-bit. One scan for bounds +
+    one for binning; at 100 TB the bounds pass is a cheap column-pruned
+    scan (or comes from catalog stats for free)."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(9).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS ts FROM documents
+    ), grams AS (
+      SELECT UNNEST(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks WHERE len(ts) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_text_ngrams(spark, sf_dir):
+    """Top-20 word bigrams over the corpus, built with engine-side
+    higher-order array functions (transform over an index sequence —
+    no UDF, no Python in the hot path; the oracle mirrors it with
+    DuckDB's list_transform). Tie-broken on the bigram string so top-k
+    is total-ordered."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> concat(ts[i], ' ', ts[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

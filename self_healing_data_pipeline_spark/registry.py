@@ -49,4 +49,5 @@ def load_all() -> None:
         extras,
         extras2,
         extras3,
+        extras4,
     )
