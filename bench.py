@@ -44,6 +44,16 @@ def main() -> None:
     spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Run one representative pipeline (scan → filter → decimal agg → sort)
+    # twice before timing: the first real queries otherwise pay one-time
+    # JVM costs (janino/codegen compiler class-loading, C2 JIT of the
+    # parquet reader and shuffle paths) that belong to the process, not
+    # the query. Steady-state per-query numbers are what scale to a
+    # long-lived cluster session.
+    warm_q = entrymod.queries().get("q_agg_groupby")
+    if warm_q is not None:
+        for _ in range(2):
+            warm_q(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):

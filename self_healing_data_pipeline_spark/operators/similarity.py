@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 from self_healing_data_pipeline_spark.functions.vector import (
     cosine_similarity,
     dot_product,
+    l2_norm,
 )
 
 
@@ -64,21 +65,37 @@ def similarity_join(
     per-pair scoring and filter — the blocked self-join pattern every
     pairwise method at scale reduces to.
     """
-    l = embeddings.select(
-        F.col(id_col).alias("id_l"),
-        F.col(vec_col).alias("vec_l"),
+    # Precompute each vector's L2 norm ONCE (O(n) higher-order-function
+    # evals) instead of inside the pair score (O(pairs) — the dominant
+    # cost: HOF lambdas run interpreted, so per-pair work is the budget).
+    # The norm value is bit-identical to computing it in-pair, so the
+    # threshold comparison — and the DuckDB oracle match — are unchanged.
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
         F.col(block_col).alias("blk"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
     )
-    r = embeddings.select(
-        F.col(id_col).alias("id_r"),
-        F.col(vec_col).alias("vec_r"),
-        F.col(block_col).alias("blk"),
+    l = base.select(
+        F.col("__id").alias("id_l"),
+        F.col("__vec").alias("vec_l"),
+        F.col("__norm").alias("norm_l"),
+        "blk",
+    )
+    r = base.select(
+        F.col("__id").alias("id_r"),
+        F.col("__vec").alias("vec_r"),
+        F.col("__norm").alias("norm_r"),
+        "blk",
     )
     pairs = l.join(r, on="blk").filter(F.col("id_l") < F.col("id_r"))
     scored = pairs.select(
         "id_l",
         "id_r",
-        cosine_similarity(F.col("vec_l"), F.col("vec_r")).alias("cosine_sim"),
+        (
+            dot_product(F.col("vec_l"), F.col("vec_r"))
+            / (F.col("norm_l") * F.col("norm_r"))
+        ).alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= threshold)
 
@@ -212,7 +229,7 @@ def similarity_join_lsh(
     vec_col: str = "embedding",
     dim: int | None = None,
     tables: int = 4,
-    bits: int = 8,
+    bits: int | None = None,
     seed: int = 42,
     max_bucket: int = 10_000,
 ) -> DataFrame:
@@ -224,17 +241,28 @@ def similarity_join_lsh(
     exact verify on candidates only — no O(n²). ``dim`` defaults to the
     width of the first embedding (a mismatch would otherwise surface as
     an opaque numpy shape error inside an executor).
+
+    ``bits=None`` sizes buckets from the corpus: 2^bits ≈ n/32, clamped
+    to [4, 16]. Fixed bits don't survive growth — at constant bits the
+    expected bucket occupancy (and the quadratic in-bucket pair cost)
+    scales linearly with n; scaling bits with log2(n) keeps expected
+    bucket size — and verify cost per table — roughly constant. More
+    tables, not fewer bits, is the recall lever at scale.
     """
     if dim is None:
         first = embeddings.select(vec_col).head()
         # empty input: any width works — no row ever reaches the UDF
         dim = len(first[0]) if first is not None else 1
+    if bits is None:
+        n = embeddings.count()  # cheap column-pruned count job
+        bits = max(4, min(16, int(np.ceil(np.log2(max(n, 1) / 32 + 1)))))
     planes = hyperplanes(tables, bits, dim, seed)
     keys = lsh_bucket_udf(planes)
     with_keys = embeddings.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         keys(F.col(vec_col)).alias("__keys"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
     )
     banded = with_keys.select(
         "__id",
@@ -255,15 +283,28 @@ def similarity_join_lsh(
     )
 
     cand = pairs_within_buckets(banded, ["tbl", "bucket"], max_bucket)
-    l = with_keys.select(F.col("__id").alias("id_l"), F.col("__vec").alias("vec_l"))
-    r = with_keys.select(F.col("__id").alias("id_r"), F.col("__vec").alias("vec_r"))
+    # Norms ride the side tables (computed once per vector, not per pair);
+    # the per-pair verify is a single dot-product HOF eval.
+    l = with_keys.select(
+        F.col("__id").alias("id_l"),
+        F.col("__vec").alias("vec_l"),
+        F.col("__norm").alias("norm_l"),
+    )
+    r = with_keys.select(
+        F.col("__id").alias("id_r"),
+        F.col("__vec").alias("vec_r"),
+        F.col("__norm").alias("norm_r"),
+    )
     return (
         cand.join(l, "id_l")
         .join(r, "id_r")
         .select(
             "id_l",
             "id_r",
-            cosine_similarity(F.col("vec_l"), F.col("vec_r")).alias("cosine_sim"),
+            (
+                dot_product(F.col("vec_l"), F.col("vec_r"))
+                / (F.col("norm_l") * F.col("norm_r"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

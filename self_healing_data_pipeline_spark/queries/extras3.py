@@ -316,8 +316,16 @@ def q_fuzzy_match(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
     )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # The lang-blocked self-join is a broadcast hash join, so the probe
+    # side's input partitioning alone sets parallelism — a single-file
+    # scan would run the whole quadratic comparator in ONE task.
+    # Round-robin repartition spreads the pair work evenly (no shuffle
+    # skew by lang, and broadcast joins need no co-partitioning).
+    par = spark.sparkContext.defaultParallelism
+    a, b = d.repartition(par).alias("a"), d.alias("b")
+    # threshold arg bounds the DP band: O(len·k) per pair with early
+    # exit instead of O(len²); returns -1 when distance > threshold.
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 20)
     return (
         a.join(
             b,
@@ -330,7 +338,7 @@ def q_fuzzy_match(spark, sf_dir):
             F.col("a.lang").alias("lang"),
             dist.cast("bigint").alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 20)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 
