@@ -152,3 +152,58 @@ def q_text_ngrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      UNPIVOT (SELECT c_custkey, c_acctbal AS acctbal,
+                      CAST(c_nationkey AS DOUBLE) AS nationkey
+               FROM customer)
+      ON acctbal, nationkey INTO NAME metric VALUE val
+    )
+    """,
+)
+def q_agg_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — wide→long reshaping (the inverse of q_agg_pivot).
+    Spark's unpivot is a zero-shuffle narrow transform: each input row
+    expands to one row per value column, so it streams at scan speed."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q_stratified_cap",
+    oracle="""
+    SELECT lang, source, doc_id FROM (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_stratified_cap(spark, sf_dir):
+    """Per-stratum cap (keep ≤ N docs per (lang, source)) — the
+    deterministic stratified-sampling shape training-data pipelines use
+    for per-source quotas. One shuffle on the stratum key; at 100 TB the
+    rank-and-filter prunes to N·|strata| rows before anything downstream."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "source", "doc_id")
+    )

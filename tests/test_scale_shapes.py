@@ -87,3 +87,41 @@ def test_write_parquet_partitioned(spark, tmp_path):
     with redirect_stdout(buf):
         pruned.explain("formatted")
     assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with no
+    Exchange on either side — the co-location contract write_bucketed_table
+    exists for."""
+    from self_healing_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    try:
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "orders_b", ["o_custkey"], n_buckets=4, sort_cols=["o_custkey"],
+            mode="overwrite", path=str(tmp_path / "orders_b"),
+        )
+        write_bucketed_table(
+            customer.select("c_custkey", "c_name"),
+            "customer_b", ["c_custkey"], n_buckets=4, sort_cols=["c_custkey"],
+            mode="overwrite", path=str(tmp_path / "customer_b"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_b").join(
+                spark.table("customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            assert joined.count() == orders.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
