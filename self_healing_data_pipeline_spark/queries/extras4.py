@@ -207,3 +207,69 @@ def q_stratified_cap(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("lang", "source", "doc_id")
     )
+
+
+@query(
+    "q_scan_orc",
+    oracle="SELECT p_partkey, p_brand, p_size, p_retailprice FROM part",
+)
+def q_scan_orc(spark, sf_dir):
+    """ORC scan (columnar alternative to parquet, same pushdown/pruning
+    machinery in Spark). Round-trips the part fixture through ORC so the
+    values under test are the driver's; the oracle reads the original
+    parquet — format change must be value-invisible."""
+    import os
+
+    from self_healing_data_pipeline_spark.queries.core import _SCRATCH
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    out = os.path.join(_SCRATCH, "part_orc")
+    read_table(spark, sf_dir, "part").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Join over pre-bucketed tables: both sides bucketed+sorted on the
+    join key at write time (sources.writers.write_bucketed_table), so the
+    join itself plans with NO shuffle and no sort — the ingest-time
+    layout investment every repeated large-large join at 100 TB should
+    make. The oracle is the plain join (layout must be value-invisible).
+    """
+    import os
+
+    from self_healing_data_pipeline_spark.queries.core import _SCRATCH
+    from self_healing_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    n_buckets = 8
+    for tbl, key, cols in (
+        ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ("customer", "c_custkey", ["c_custkey", "c_name"]),
+    ):
+        name = f"{tbl}_bucketed"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(
+            read_table(spark, sf_dir, tbl).select(*cols),
+            name,
+            [key],
+            n_buckets=n_buckets,
+            sort_cols=[key],
+            mode="overwrite",
+            path=os.path.join(_SCRATCH, name),
+        )
+    o = spark.table("orders_bucketed")
+    c = spark.table("customer_bucketed")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
