@@ -273,3 +273,41 @@ def q_join_bucketed(spark, sf_dir):
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_co
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_co DESC, part_a, part_b LIMIT 50
+    """,
+)
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    ranked by frequency — the 'discover relationships in the data'
+    capability the reference's vision assigns to the engine
+    (README.md:21). Self-join on the basket key shuffles each side once
+    on l_orderkey; the pair blow-up is bounded by per-order basket size
+    (≤ ~7 here), so output is Σ|basket|² — linear in orders, never n².
+    Top-k via TakeOrderedAndProject with full tie-break."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(50)
+    )
