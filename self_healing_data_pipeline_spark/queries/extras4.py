@@ -311,3 +311,40 @@ def q_basket_pairs(spark, sf_dir):
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    """,
+)
+def q_scan_partition_pruned(spark, sf_dir):
+    """Directory-partitioned layout + partition pruning: orders written
+    once partitioned by order year, then scanned with a partition filter —
+    the scan touches ONLY the matching directory (PartitionFilters in the
+    plan, asserted in tests). At 100 TB this is the difference between
+    reading one year and reading the decade. The oracle filters the
+    original table — layout must be value-invisible."""
+    import os
+
+    from self_healing_data_pipeline_spark.queries.core import _SCRATCH
+    from self_healing_data_pipeline_spark.sources.writers import write_parquet
+
+    out = os.path.join(_SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
+    if not os.path.exists(out):  # write once per SF, reuse across calls
+        os.makedirs(_SCRATCH, exist_ok=True)
+        write_parquet(
+            read_table(spark, sf_dir, "orders").withColumn(
+                "o_year", F.year("o_orderdate")
+            ),
+            out,
+            mode="overwrite",
+            partition_by=["o_year"],
+        )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

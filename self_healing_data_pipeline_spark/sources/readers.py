@@ -140,3 +140,43 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         for i in range(len(schema))
         if str(schema.field(i).type).startswith("timestamp[ns")
     ]
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV read that QUARANTINES malformed rows instead of
+    silently nulling (PERMISSIVE) or failing the whole load (FAILFAST).
+
+    Returns ``(good, quarantined)``: good rows cast to the frozen schema;
+    quarantined rows as their raw text for repair/re-ingest. This is the
+    data-level twin of the reference's output-repair gates (it re-parses /
+    validates LLM output and routes failures to a recoverable error state,
+    ``geminiService.ts:28-47,131-140``): bad input is isolated, the
+    pipeline keeps going, nothing is dropped on the floor.
+
+    At 100 TB a single malformed row must not kill an 8-hour load, and
+    silent null-coercion poisons downstream aggregates — quarantine is the
+    only shape that scales operationally. The cache() is required: Spark
+    computes the corrupt-record column during parsing, and filtering on it
+    without materialization is rejected (SPARK-21610).
+    """
+    from pyspark.sql import functions as F
+
+    aug = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(aug)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, quarantined

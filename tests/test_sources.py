@@ -106,3 +106,44 @@ def test_events_nanos_timestamp_readable(spark, sf_dir):
     ] == "timestamp_ntz"
     first = ev.orderBy("event_id").first()
     assert first["ts"].year == 2024
+
+
+def test_csv_quarantine_splits_good_and_malformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,amount,label\n"
+        "1,10.5,ok\n"
+        "2,not_a_number,bad\n"  # malformed: amount not numeric
+        "3,30.25,ok\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    good_rows = {r["id"]: r["amount"] for r in good.collect()}
+    assert good_rows == {1: 10.5, 3: 30.25}
+    bad_rows = [r["raw_record"] for r in bad.collect()]
+    assert bad_rows == ["2,not_a_number,bad"]
+
+
+def test_partition_pruned_scan_reads_only_matching_year(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_scan_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan
+    got = df.count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    assert got == orders.filter(F.year("o_orderdate") == 1997).count()
