@@ -348,3 +348,46 @@ def q_scan_partition_pruned(spark, sf_dir):
         .filter(F.col("o_year") == 1997)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@query(
+    "q_groupwise_argmax",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY total_spent DESC, c_custkey) AS rn
+      FROM spend
+    )
+    SELECT c_nationkey, c_custkey, c_name, total_spent
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_groupwise_argmax(spark, sf_dir):
+    """Group-wise argmax (top customer per nation by exact-decimal total
+    spend): join → hash agg → window rank → filter. The aggregation
+    reduces to |customers| rows BEFORE the window, so the rank pass
+    shuffles the reduced set, not raw orders; tie-break on c_custkey
+    keeps the winner total-ordered."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("total_spent"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "total_spent")
+    )
