@@ -391,3 +391,65 @@ def q_groupwise_argmax(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_nationkey", "c_custkey", "c_name", "total_spent")
     )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(SUM(n) AS DOUBLE) AS sx,
+             CAST(SUM(n * n) AS DOUBLE) AS sxx
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, STRFTIME(h.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           h.n,
+           (CAST(h.n AS DOUBLE) - sx / cnt)
+             / SQRT(GREATEST((cnt * sxx - sx * sx)
+                             / (cnt * (cnt - 1.0)), 1e-12)) AS z
+    FROM hourly h JOIN m USING (event_type)
+    WHERE ABS((CAST(h.n AS DOUBLE) - sx / cnt)
+              / SQRT(GREATEST((cnt * sxx - sx * sx)
+                              / (cnt * (cnt - 1.0)), 1e-12))) >= 2.5
+    """,
+)
+def q_events_anomaly(spark, sf_dir):
+    """Volume anomaly detection: hourly event counts per type, flag hours
+    whose z-score ≥ 2.5 — the deterministic engine twin of the
+    reference's LLM quality category 'Possible outliers detected'
+    (geminiService.ts:64), applied to stream monitoring. Moments come
+    from integer count sums (exact), so the z arithmetic is identical
+    IEEE ops on both engines. Two cheap aggregations (events → hours →
+    per-type moments) + a broadcast joinback of the tiny moment table —
+    at 100 TB the hourly rollup is the only pass over raw data."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("n").cast("double").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+    )
+    z = (F.col("n").cast("double") - F.col("sx") / F.col("cnt")) / F.sqrt(
+        F.greatest(
+            (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("cnt") * (F.col("cnt") - F.lit(1.0))),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "n",
+            "z",
+        )
+    )
