@@ -333,7 +333,9 @@ def q_scan_partition_pruned(spark, sf_dir):
     from self_healing_data_pipeline_spark.sources.writers import write_parquet
 
     out = os.path.join(_SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
-    if not os.path.exists(out):  # write once per SF, reuse across calls
+    # Write once per SF, reuse across calls; gate on the _SUCCESS marker so
+    # an interrupted earlier write re-runs instead of poisoning every call.
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         os.makedirs(_SCRATCH, exist_ok=True)
         write_parquet(
             read_table(spark, sf_dir, "orders").withColumn(

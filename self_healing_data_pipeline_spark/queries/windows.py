@@ -127,3 +127,40 @@ def q_window_running(spark, sf_dir):
             / F.count(F.lit(1)).over(mov).cast("double")
         ).alias("moving_avg_10"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                AS BIGINT) AS n_near,
+           CAST(MIN(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS min_near_below
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE (value-based) frames — peers chosen by ORDER-BY value
+    distance, not row position: how many of the customer's orders fall
+    within ±1000 of this one's price. Same single shuffle as a ROWS
+    frame; the frame bound comparison is value arithmetic, deterministic
+    on both engines (counts and MIN only — no float accumulation)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1))
+        .over(w.rangeBetween(-1000, 1000))
+        .cast("bigint")
+        .alias("n_near"),
+        F.min("o_totalprice")
+        .over(w.rangeBetween(-1000, Window.currentRow))
+        .cast("double")
+        .alias("min_near_below"),
+    )
