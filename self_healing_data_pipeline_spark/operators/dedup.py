@@ -342,3 +342,73 @@ def ngram_jaccard_udf(n: int = 5):
         return pd.Series(out)
 
     return jac
+
+
+def connected_components(
+    edges: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: each node gets the
+    MINIMUM id reachable from it (a canonical cluster representative).
+
+    Iterative min-label propagation — the Pregel shape expressed in
+    DataFrame ops: each round, every node takes the min of its own label
+    and its neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are shallow (dozens of docs, diameter ~ a few
+    hops), so the loop terminates in a handful of rounds.
+
+    Scale notes (100 TB): each round is one shuffle of |edges| on the
+    neighbor key plus a join of |nodes|; labels are localCheckpoint-ed
+    every round so plan lineage stays flat instead of growing
+    exponentially. For web-scale graphs swap the propagation body for the
+    large-star/small-star rewrite (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — same outer loop and convergence test.
+    Driver-side iteration is inherent to iterative algorithms on Spark
+    (GraphX/Pregel drive the same loop); per-round work is fully
+    distributed.
+    """
+    nodes = (
+        edges.select(F.col(id_l).alias("node"))
+        .union(edges.select(F.col(id_r).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    sym = edges.select(
+        F.col(id_l).alias("a"), F.col(id_r).alias("b")
+    ).union(edges.select(F.col(id_r).alias("a"), F.col(id_l).alias("b")))
+    sym = sym.localCheckpoint(eager=True)  # reused every round
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("min_neigh"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("min_neigh"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

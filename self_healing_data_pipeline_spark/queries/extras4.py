@@ -455,3 +455,42 @@ def q_events_anomaly(spark, sf_dir):
             "z",
         )
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    ), nodes AS (
+      SELECT DISTINCT x AS n FROM e UNION SELECT DISTINCT y FROM e
+    ), sym AS (
+      SELECT x, y FROM e UNION SELECT y, x FROM e UNION SELECT n, n FROM nodes
+    ), reach(a, b) AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.a, s.y FROM reach r JOIN sym s ON r.b = s.x
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup CLUSTER RESOLUTION: near-dup pairs (the oracle-checked fuzzy
+    edges) resolved into connected components — every document labeled
+    with its cluster's minimum doc_id. Pairwise dedup alone under-merges
+    (A~B, B~C but A!~C must still be ONE group); transitivity is what a
+    keep-one-per-cluster policy needs. Spark side: iterative min-label
+    propagation (operators.dedup.connected_components); oracle: DuckDB
+    recursive-CTE transitive closure — two very different evaluation
+    strategies agreeing exactly."""
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from self_healing_data_pipeline_spark.queries.extras3 import q_fuzzy_match
+
+    edges = q_fuzzy_match(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, id_l="doc_a", id_r="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

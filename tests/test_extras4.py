@@ -55,3 +55,21 @@ def test_ngrams_plan_is_udf_free_and_ordered(spark, sf_dir):
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(" " in r["bigram"] for r in rows)
+
+
+def test_connected_components_on_known_graph(spark):
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (transitivity: 1~2, 2~3 but not 1~3), pair 10-11,
+    # triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_l long, id_r long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
