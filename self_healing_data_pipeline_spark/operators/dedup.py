@@ -349,36 +349,50 @@ def connected_components(
     id_l: str = "id_l",
     id_r: str = "id_r",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve pairwise duplicate edges into clusters: each node gets the
     MINIMUM id reachable from it (a canonical cluster representative).
 
-    Iterative min-label propagation — the Pregel shape expressed in
-    DataFrame ops: each round, every node takes the min of its own label
-    and its neighbors' labels; converges in O(component diameter) rounds.
-    Near-dup components are shallow (dozens of docs, diameter ~ a few
-    hops), so the loop terminates in a handful of rounds.
+    Two execution strategies, picked by edge count — the same size-based
+    dispatch Spark itself applies when it swaps a shuffle join for a
+    broadcast join:
 
-    Scale notes (100 TB): each round is one shuffle of |edges| on the
-    neighbor key plus a join of |nodes|; labels are localCheckpoint-ed
-    every round so plan lineage stays flat instead of growing
-    exponentially. For web-scale graphs swap the propagation body for the
-    large-star/small-star rewrite (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") — same outer loop and convergence test.
-    Driver-side iteration is inherent to iterative algorithms on Spark
-    (GraphX/Pregel drive the same loop); per-round work is fully
-    distributed.
+    - **Small graphs** (≤ `driver_threshold` edges, i.e. broadcastable):
+      collect the edge list and run linear-time union-find on the driver.
+      Dozens of shuffle rounds collapse into one O(E α(E)) pass; exact
+      same labels. Near-dup edge sets are tiny relative to the corpus
+      (they only contain nodes that HAVE a duplicate), so this is the
+      common case even on huge inputs.
+    - **Large graphs**: iterative distributed min-label propagation with
+      POINTER JUMPING — each round every node takes (1) the min label
+      among its neighbors, then (2) its label's own label
+      (`label = label[label]`), which halves the remaining diameter:
+      O(log d) rounds instead of O(d). Convergence is detected from a
+      carried `old` column on the checkpointed result — no extra join.
+
+    Scale notes (100 TB): each distributed round is one shuffle of
+    |edges| on the neighbor key plus two joins of |nodes|; labels are
+    localCheckpoint-ed every round so plan lineage stays flat instead of
+    growing exponentially. For web-scale graphs swap the propagation
+    body for the large-star/small-star rewrite (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same outer loop
+    and convergence test. Driver-side iteration is inherent to iterative
+    algorithms on Spark (GraphX/Pregel drive the same loop); per-round
+    work is fully distributed.
     """
-    nodes = (
-        edges.select(F.col(id_l).alias("node"))
-        .union(edges.select(F.col(id_r).alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("label", F.col("node"))
-    sym = edges.select(
+    e = edges.select(
         F.col(id_l).alias("a"), F.col(id_r).alias("b")
-    ).union(edges.select(F.col(id_r).alias("a"), F.col(id_l).alias("b")))
+    ).localCheckpoint(eager=True)  # upstream edge query computed exactly once
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)  # reused every round
+
+    n_edges = sym.count() // 2
+    if n_edges <= driver_threshold:
+        return _union_find_driver(sym)
+
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -390,25 +404,63 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nl").alias("min_neigh"))
         )
+        cand = labels.join(neigh, labels["node"] == neigh["a"], "left").select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("min_neigh"), F.col("label")),
+            ).alias("label"),
+            F.col("label").alias("old"),
+        )
+        # pointer jumping: follow the label one hop (labels are node ids,
+        # so the label table doubles as the parent table)
+        parent = cand.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            cand.join(parent, cand["label"] == parent["p_node"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"),
-                    F.coalesce(F.col("min_neigh"), F.col("label")),
+                    F.coalesce(F.col("p_label"), F.col("label")),
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def _union_find_driver(sym: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected (broadcast-sized) edge list.
+    Path-halving + union-by-min gives near-linear time; labels are the
+    minimum node id per component, identical to the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in sym.toLocalIterator():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    schema = sym.select(
+        F.col("a").alias("node"), F.col("b").alias("cluster_id")
+    ).schema
+    return sym.sparkSession.createDataFrame(out, schema)

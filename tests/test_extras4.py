@@ -68,8 +68,35 @@ def test_connected_components_on_known_graph(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_l long, id_r long",
     )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # driver union-find fast path (default threshold)
     got = {
         r["node"]: r["cluster_id"]
         for r in connected_components(edges).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == want
+    # distributed pointer-jumping path (threshold forced to 0)
+    got_dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
+
+
+def test_connected_components_long_chain_distributed(spark):
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 33-node chain has diameter 32: min-propagation alone needs 32
+    # rounds; pointer jumping must converge well inside max_iter=10
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_l long, id_r long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, driver_threshold=0, max_iter=10
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(33)}
