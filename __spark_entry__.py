@@ -11,6 +11,8 @@ SURVEY.md §2 section); this module only adapts them to the contract.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -29,9 +31,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q_agg_groupby"](spark, "/root/testdata/sf0.001")
 
 
+def _latest_verdicts() -> dict[str, bool]:
+    """Latest per-key driver verdict from CORRECTNESS_r*.json files.
+
+    True = green (hash-verified, or rows-only-by-design with rows recorded);
+    False = a verdict exists but it failed. Keys never checked are absent.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for key, v in data.items():
+            if isinstance(v, dict):
+                latest[key] = bool(v.get("hash_match")) or (
+                    v.get("err") == "no_oracle"
+                    and v.get("spark_rows") is not None
+                )
+    return latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so verification coverage rotates across driver rounds (the
+    driver records verdicts for a prefix of this dict): keys whose last
+    verdict failed come first, never-checked keys next (registration
+    order), already-green keys last. Pure reordering — the key set is
+    exactly ``registry.QUERIES``.
+    """
+    verdicts = _latest_verdicts()
+    qs = registry.QUERIES
+    failed = {k: f for k, f in qs.items() if verdicts.get(k) is False}
+    # Within never-checked: oracle-backed keys (full hash check) before
+    # rows-only keys (weaker check) — if the driver's per-round budget cuts
+    # off mid-list, the stronger checks land first.
+    unchecked_oracle = {
+        k: f
+        for k, f in qs.items()
+        if k not in verdicts and k in registry.ORACLE
+    }
+    unchecked_rows_only = {
+        k: f
+        for k, f in qs.items()
+        if k not in verdicts and k not in registry.ORACLE
+    }
+    green = {k: f for k, f in qs.items() if verdicts.get(k) is True}
+    return {**failed, **unchecked_oracle, **unchecked_rows_only, **green}
 
 
 def oracle_sql() -> dict[str, str]:

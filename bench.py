@@ -1,8 +1,10 @@
 """Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": <float>}
+Prints the per-query timing dict on an EARLY line (and writes it to
+``bench_queries.json``), then a compact ~100-byte summary as the FINAL
+line so output-tail capture always sees a complete, parseable JSON object:
+  {"metric": "total_query_wall_clock", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <float>}
 
 Execution is forced with the noop sink (full pipeline runs, no driver
 transfer, no disk write) after a warm-up of the session on a trivial scan.
@@ -62,14 +64,31 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full per-query detail first (stdout + file), compact summary LAST:
+    # output-tail capture then always holds one complete ~100-byte JSON
+    # object instead of the tail of a multi-KB line.
+    print(json.dumps(full))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_queries.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
             }
         )
     )

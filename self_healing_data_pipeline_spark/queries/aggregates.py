@@ -76,13 +76,30 @@ def q_agg_distinct(spark, sf_dir):
 def q_agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality
     profiler (exact distinct at that scale is a full shuffle of all keys;
-    HLL is a constant-size sketch merged map-side). Rows-only check."""
-    return (
-        read_table(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        )
+    HLL is a constant-size sketch merged map-side).
+
+    Self-witnessing rows-only check: the exact COUNT(DISTINCT) rides in the
+    same row, with an engine-side relative-error assertion (< 5% at
+    rsd=0.02) so the record shows the sketch landed sane, not just "1 row".
+    """
+    rel_err = lambda approx, exact: F.abs(
+        approx.cast("double") / exact.cast("double") - F.lit(1.0)
+    )
+    agg = read_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "approx_orders",
+        "exact_orders",
+        "approx_parts",
+        "exact_parts",
+        (
+            (rel_err(F.col("approx_orders"), F.col("exact_orders")) < 0.05)
+            & (rel_err(F.col("approx_parts"), F.col("exact_parts")) < 0.05)
+        ).alias("within_5pct"),
     )
 
 
@@ -172,9 +189,9 @@ def q_agg_pivot(spark, sf_dir):
     "q_profile_nulls",
     oracle="""
     WITH t AS (SELECT COUNT(*) AS total,
-                      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_custkey,
-                      SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_totalprice,
-                      SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_orderstatus
+                      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custkey,
+                      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_totalprice,
+                      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderstatus
                FROM orders)
     SELECT column_name, null_count, total_count FROM (
       SELECT 'o_custkey' AS column_name, n_custkey AS null_count, total AS total_count FROM t

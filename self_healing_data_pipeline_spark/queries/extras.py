@@ -167,15 +167,15 @@ def q_profile_median(spark, sf_dir):
     oracle="""
     SELECT column_name, sql_type, null_count, distinct_count FROM (
       SELECT 'o_orderkey' AS column_name, 'INTEGER' AS sql_type,
-             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
              COUNT(DISTINCT o_orderkey) AS distinct_count FROM orders
       UNION ALL
       SELECT 'o_orderstatus', 'TEXT',
-             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_orderstatus) FROM orders
       UNION ALL
       SELECT 'o_totalprice', 'REAL',
-             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_totalprice) FROM orders
     ) ORDER BY column_name
     """,

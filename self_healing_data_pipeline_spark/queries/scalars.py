@@ -146,12 +146,34 @@ def q_array_explode(spark, sf_dir):
 @query("q_agg_approx_percentile")  # sketch-based: engines differ → rows-only
 def q_agg_approx_percentile(spark, sf_dir):
     """approx_percentile (KLL-style sketch) — the 100 TB quantile profiler
-    (exact percentile needs a global sort; the sketch merges map-side)."""
+    (exact percentile needs a global sort; the sketch merges map-side).
+
+    The quantile array is posexploded to scalar (flag, idx, value) rows so
+    the output stays flat (driver canonicalizers can't hash array cells).
+    Self-witnessing: each approx value is bracketed by the group min/max so
+    the rows-only check still sees a sanity-tested number.
+    """
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
             "price_quantiles"
-        )
+        ),
+        F.min("l_extendedprice").alias("grp_min"),
+        F.max("l_extendedprice").alias("grp_max"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("price_quantiles").alias("quantile_idx", "quantile_value"),
+        "grp_min",
+        "grp_max",
+    ).select(
+        "l_returnflag",
+        F.col("quantile_idx").cast("bigint").alias("quantile_idx"),
+        F.col("quantile_value").cast("double").alias("quantile_value"),
+        (
+            (F.col("quantile_value") >= F.col("grp_min"))
+            & (F.col("quantile_value") <= F.col("grp_max"))
+        ).alias("within_bounds"),
     )
 
 
