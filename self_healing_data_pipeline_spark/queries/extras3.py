@@ -308,28 +308,47 @@ def q_date_series(spark, sf_dir):
     """,
 )
 def q_fuzzy_match(spark, sf_dir):
-    """Edit-distance fuzzy matching with blocking: self-join documents
-    within a lang block (never the full cross product), Levenshtein on a
-    40-char prefix, threshold filter. The JVM-side levenshtein() keeps the
-    quadratic comparator inside WholeStageCodegen; at 100 TB the block key
-    would be (lang, length-bucket) to bound block size."""
+    """Edit-distance fuzzy matching blocked on (lang, length-bucket).
+
+    Levenshtein distance is bounded below by the length difference, so with
+    threshold 20 and bucket width 20 a qualifying pair's buckets differ by
+    at most 1 — blocking on (lang, ⌊len/20⌋) with neighbor buckets is
+    LOSSLESS (the oracle is the plain lang-blocked join; result sets are
+    identical). One side explodes to its 3 candidate buckets, making the
+    join a pure equi-join on (lang, bucket): Σ|block|² is bounded by the
+    (lang × 20-char-band) stratum instead of growing quadratically with
+    the whole language's corpus — the difference between a fixed per-block
+    comparator cost and O(n²) at 100 TB.
+
+    The JVM-side levenshtein(_, _, 20) keeps the comparator inside
+    WholeStageCodegen with a banded O(len·k) DP (returns -1 past the
+    threshold).
+    """
     d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
-    )
-    # The lang-blocked self-join is a broadcast hash join, so the probe
-    # side's input partitioning alone sets parallelism — a single-file
-    # scan would run the whole quadratic comparator in ONE task.
-    # Round-robin repartition spreads the pair work evenly (no shuffle
-    # skew by lang, and broadcast joins need no co-partitioning).
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("prefix"),
+    ).withColumn("lb", F.floor(F.length("prefix") / F.lit(20)).cast("int"))
+    # Round-robin repartition spreads the pair work evenly across tasks —
+    # a single-file scan would otherwise run the comparator in ONE task.
     par = spark.sparkContext.defaultParallelism
-    a, b = d.repartition(par).alias("a"), d.alias("b")
-    # threshold arg bounds the DP band: O(len·k) per pair with early
-    # exit instead of O(len²); returns -1 when distance > threshold.
+    a = (
+        d.repartition(par)
+        .withColumn(
+            "lb_probe",
+            F.explode(
+                F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+            ),
+        )
+        .alias("a")
+    )
+    b = d.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 20)
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb_probe") == F.col("b.lb"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

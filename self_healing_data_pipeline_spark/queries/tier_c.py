@@ -34,7 +34,7 @@ _NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
 @query(
     "q_dedup_normalized",
     oracle=f"""
-    SELECT {_NORM_SQL.format(c='text')} AS norm_text,
+    SELECT SUBSTRING(MD5({_NORM_SQL.format(c='text')}), 1, 16) AS fingerprint,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS representative_id
     FROM documents
@@ -42,16 +42,20 @@ _NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
     """,
 )
 def q_dedup_normalized(spark, sf_dir):
-    """Normalized-text dedup groups: normalize → hash-groupBy (one shuffle
-    on the normalized key; at scale, group on fingerprint64 instead of the
-    full string to shrink shuffle bytes)."""
+    """Normalized-text dedup groups keyed on a 64-bit fingerprint.
+
+    normalize → md5-prefix fingerprint (computed map-side) → hash-groupBy.
+    The shuffle key is 16 hex chars, not the document text, so shuffle
+    bytes stay O(|groups| × 16) instead of O(corpus) — the difference
+    between a metadata-sized shuffle and re-shuffling all 100 TB. md5 is
+    computed identically over UTF-8 in Spark and DuckDB, so the oracle
+    twins exactly.
+    """
     docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(normalize_text("text").alias("norm_text"))
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("doc_id").alias("representative_id"),
-        )
+    fp = F.substring(F.md5(normalize_text("text")), 1, 16)
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("representative_id"),
     )
 
 
