@@ -51,6 +51,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -58,10 +61,95 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_image(payload: bytes) -> object:
     """STUB: real implementation would be PIL.Image.open(io.BytesIO(...)).
-    Media codecs are unavailable in this environment."""
+    Media codecs are unavailable in this environment. Header-level
+    metadata does NOT need a codec — see ``parse_image_dims``."""
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. PIL); "
+        "image pixel decoding requires a codec library (e.g. PIL); "
         "wire it here — the Spark plumbing around this call is complete"
+    )
+
+
+def parse_image_dims(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from raw image bytes — pure struct parsing,
+    no codec: PNG IHDR, JPEG SOF marker scan, GIF screen descriptor, BMP
+    info header. Unknown/short payloads → (None, None, None).
+    """
+    import struct
+
+    if not payload or len(payload) < 10:
+        return (None, None, None)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:2] == b"\xff\xd8":
+        # Walk marker segments to the first SOFn (0xC0-0xCF minus the
+        # huffman/arithmetic tables C4/C8/CC): precision(1) height(2)
+        # width(2) follow the 2-byte segment length.
+        i, n = 2, len(b)
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))  # negative h = top-down row order
+    return (None, None, None)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal PNG: valid signature + IHDR (correct CRC) + IEND. Pixel
+    data omitted — header-accurate fixture for dimension parsing."""
+    import struct
+    import zlib
+
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    iend = b"IEND"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 0)
+        + iend
+        + struct.pack(">I", zlib.crc32(iend) & 0xFFFFFFFF)
+    )
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0 (carrying the dimensions) +
+    EOI. Scan data omitted — header-accurate fixture."""
+    import struct
+
+    app0 = b"JFIF\x00" + bytes(9)
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0"
+        + struct.pack(">H", 2 + len(app0))
+        + app0
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof0))
+        + sof0
+        + b"\xff\xd9"
     )
 
 
@@ -96,6 +184,7 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                 feats = payloads.map(_deterministic_fake_feature)
             else:  # pragma: no cover - requires codec
                 feats = payloads.map(lambda b: decode_image(b))
+            dims = payloads.map(parse_image_dims)
             ent = []
             for b in payloads:
                 if not b:
@@ -110,6 +199,9 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                     "media_id": pdf["media_id"],
                     "n_bytes": n_bytes.astype("int64"),
                     "byte_entropy": ent,
+                    "format": dims.map(lambda d: d[0]),
+                    "width": dims.map(lambda d: d[1]).astype("Int32"),
+                    "height": dims.map(lambda d: d[2]).astype("Int32"),
                     "feature": feats,
                 }
             )

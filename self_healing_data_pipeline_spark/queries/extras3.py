@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.functions.scalar import dec, dsum
@@ -393,28 +394,95 @@ def q_subquery_correlated(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")  # rows-only: byte entropy / fake codec
+@query("q_multimodal_features")  # rows-only: binary payloads / entropy
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal feature-extraction pipeline as a query: documents' text
-    re-encoded as opaque binary payloads (the fixture set carries no real
-    media; the codec is the documented stub in operators.multimodal), then
-    Arrow-batched mapInPandas feature extraction — n_bytes, byte entropy,
-    and a deterministic feature vector per payload. Rows-only check: byte
-    entropy is not ANSI-SQL-expressible."""
+    """Multimodal feature-extraction pipeline as a query.
+
+    The fixture set carries no real media, so each document is wrapped in
+    a header-accurate synthetic image: a valid PNG signature+IHDR (even
+    doc_id) or JPEG SOI+APP0+SOF0 (odd doc_id) whose declared dimensions
+    derive from the document, followed by the document text as the
+    payload body. Extraction then runs the REAL path: Arrow-batched
+    mapInPandas computing n_bytes, byte entropy, and — via pure struct
+    parsing of the PNG/JPEG headers, no codec (operators.multimodal.
+    parse_image_dims) — format, width, height. ``dims_ok`` witnesses the
+    round-trip: parsed dimensions equal the dimensions the synthesizer
+    embedded. Only the pixel decode remains a stub. Rows-only check: byte
+    construction/entropy is not ANSI-SQL-expressible.
+    """
+    from pyspark.sql.functions import pandas_udf
+
     from self_healing_data_pipeline_spark.operators.multimodal import (
         extract_features,
+        jpeg_bytes,
+        png_bytes,
     )
 
-    media = read_table(spark, sf_dir, "documents").select(
+    def _synth(doc_id, text, w, h):
+        return pd.Series(
+            [
+                (
+                    png_bytes(int(wi), int(hi))
+                    if int(d) % 2 == 0
+                    else jpeg_bytes(int(wi), int(hi))
+                )
+                + str(t).encode("utf-8")
+                for d, t, wi, hi in zip(doc_id, text, w, h)
+            ]
+        )
+
+    synth_payload = pandas_udf(_synth, "binary")
+
+    docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") % 800 + 1).cast("int").alias("exp_width"),
+        (F.col("doc_id") % 600 + 1).cast("int").alias("exp_height"),
+        "text",
+    )
+    media = docs.select(
+        "media_id",
+        "kind",
+        synth_payload(
+            F.col("media_id"), F.col("text"), F.col("exp_width"), F.col("exp_height")
+        ).alias("payload"),
         F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.col("exp_width").alias("width"),
+            F.col("exp_height").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("duration_ms"),
-            F.lit("txt").alias("format"),
+            F.when(F.col("media_id") % 2 == 0, "png").otherwise("jpeg").alias(
+                "format"
+            ),
         ).alias("meta"),
     )
-    return extract_features(media)
+    feats = extract_features(media.select("media_id", "kind", "payload", "meta"))
+    expected = docs.select("media_id", "exp_width", "exp_height")
+    # flat output (no array column): project the feature vector to its L2
+    # norm and witness the header round-trip per row
+    return (
+        feats.withColumn(
+            "feature_norm",
+            F.sqrt(
+                F.aggregate(
+                    "feature",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+        )
+        .join(expected, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            "byte_entropy",
+            "format",
+            "width",
+            "height",
+            "feature_norm",
+            (
+                (F.col("width") == F.col("exp_width"))
+                & (F.col("height") == F.col("exp_height"))
+            ).alias("dims_ok"),
+        )
+    )

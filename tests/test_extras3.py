@@ -139,12 +139,20 @@ def test_multimodal_feature_query_schema_and_entropy_bounds(spark, sf_dir):
         "media_id",
         "n_bytes",
         "byte_entropy",
-        "feature",
+        "format",
+        "width",
+        "height",
+        "feature_norm",
+        "dims_ok",
     ]
     rows = df.collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == docs
-    for r in rows[:20]:
+    for r in rows:
         assert 0.0 <= r["byte_entropy"] <= 8.0
-        assert len(r["feature"]) == 8
         assert r["n_bytes"] > 0
+        # header round-trip: parsed dims equal the embedded dims, and the
+        # format tracks the even-png / odd-jpeg synthesis rule
+        assert r["dims_ok"] is True
+        assert r["format"] == ("png" if r["media_id"] % 2 == 0 else "jpeg")
+        assert r["feature_norm"] > 0.0

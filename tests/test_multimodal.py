@@ -10,6 +10,9 @@ from self_healing_data_pipeline_spark.operators.multimodal import (
     decode_image,
     extract_features,
     frame_sample_plan,
+    jpeg_bytes,
+    parse_image_dims,
+    png_bytes,
 )
 
 
@@ -29,11 +32,54 @@ def test_decode_stub_raises(media):
         decode_image(b"anything")
 
 
+def test_parse_image_dims_hand_built_fixtures():
+    # PNG: signature + IHDR, big-endian dims at offsets 16/20
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (640).to_bytes(4, "big")
+        + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    assert parse_image_dims(png) == ("png", 640, 480)
+    # JPEG: SOI, APP0 segment to skip, then SOF0 with height/width
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"
+        + b"\xff\xc0" + (11).to_bytes(2, "big")
+        + bytes([8]) + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    assert parse_image_dims(jpg) == ("jpeg", 1920, 1080)
+    # GIF: little-endian uint16 dims at offset 6
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_dims(gif) == ("gif", 320, 200)
+    # BMP: little-endian int32 dims at offset 18 (negative height = top-down)
+    bmp = b"BM" + bytes(16) + (800).to_bytes(4, "little") + (-600).to_bytes(
+        4, "little", signed=True
+    ) + bytes(4)
+    assert parse_image_dims(bmp) == ("bmp", 800, 600)
+    assert parse_image_dims(b"not an image at all") == (None, None, None)
+    assert parse_image_dims(None) == (None, None, None)
+    assert parse_image_dims(b"") == (None, None, None)
+
+
+def test_generated_headers_round_trip():
+    assert parse_image_dims(png_bytes(123, 4567)) == ("png", 123, 4567)
+    assert parse_image_dims(jpeg_bytes(1, 65535)) == ("jpeg", 1, 65535)
+    # body bytes appended after the header don't disturb the parse
+    assert parse_image_dims(png_bytes(7, 9) + b"trailing body") == ("png", 7, 9)
+    assert parse_image_dims(jpeg_bytes(20, 30)[:-2] + b"\xff\xdascan\xff\xd9") == (
+        "jpeg", 20, 30,
+    )
+
+
 def test_extract_features_schema_and_determinism(spark, media):
     out = extract_features(media)
     assert out.schema.simpleString() == (
         "struct<media_id:bigint,n_bytes:bigint,byte_entropy:double,"
-        "feature:array<float>>"
+        "format:string,width:int,height:int,feature:array<float>>"
     )
     rows = {r["media_id"]: r for r in out.collect()}
     assert rows[1]["n_bytes"] == 23
