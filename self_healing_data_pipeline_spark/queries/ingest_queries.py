@@ -1,0 +1,113 @@
+"""Ingestion routing queries (SURVEY.md §2.1 "API/connector sources").
+
+Batch twins of ``streaming.ingest.incremental_ingest_with_quarantine``:
+records arrive as serialized feed payloads (the API-extractor landing
+pattern), get parsed under a frozen schema, and are ROUTED — loaded,
+malformed (unparseable), or missing a required field — instead of silently
+nulled or fatally failing the job. The routing aggregate is fully
+oracle-checked: the corruption rule is deterministic on event_id, so the
+expected per-route counts and loaded-value sums are plain ANSI SQL over
+the raw table.
+
+At 100 TB: parse + route is a narrow map (no shuffle); the only shuffle is
+the 3-group aggregate. A bad feed page costs its own rows, not the load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "q_ingest_quarantine",
+    oracle="""
+    SELECT CASE WHEN event_id % 37 = 0 THEN 'malformed'
+                WHEN event_id % 41 = 0 THEN 'missing_required_field'
+                ELSE 'loaded' END AS status,
+           COUNT(*) AS n_records,
+           CAST(SUM(CASE WHEN event_id % 37 <> 0 AND event_id % 41 <> 0
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_value_loaded
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_ingest_quarantine(spark, sf_dir):
+    """Schema-enforced feed ingestion with quarantine routing.
+
+    Simulates the API-connector path end-to-end inside one plan: each
+    event serializes to a JSON feed record (to_json); a deterministic
+    fault model corrupts every 37th record (truncation → unparseable) and
+    nulls the required user_id on every 41st; from_json re-parses under
+    the frozen schema and each record routes to loaded / malformed /
+    missing_required_field exactly as the streaming quarantine does. The
+    oracle recomputes the expected routing from the raw table, so parse
+    failure detection itself is verified, not just row counts.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        # fault model (part 1): drop the required field pre-serialization
+        F.when(F.col("event_id") % 41 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        "value",
+    )
+    feed = ev.select(
+        F.col("event_id").alias("src_id"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+            "payload"
+        ),
+    )
+    # fault model (part 2): truncate every 37th payload → invalid JSON
+    feed = feed.withColumn(
+        "payload",
+        F.when(
+            F.col("src_id") % 37 == 0,
+            F.expr("substring(payload, 1, length(payload) - 5)"),
+        ).otherwise(F.col("payload")),
+    )
+    parsed = feed.select(
+        "src_id", F.from_json("payload", _FEED_SCHEMA).alias("rec")
+    )
+    status = (
+        # PERMISSIVE from_json yields an all-null struct for unparseable
+        # input; event_id is never null in a well-formed record, so a null
+        # rec.event_id identifies a malformed payload.
+        F.when(F.col("rec.event_id").isNull(), "malformed")
+        .when(F.col("rec.user_id").isNull(), "missing_required_field")
+        .otherwise("loaded")
+    )
+    return (
+        parsed.select(
+            status.alias("status"),
+            F.col("rec.value").alias("value"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(
+                F.when(
+                    F.col("status") == "loaded",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            )
+            .cast("double")
+            .alias("sum_value_loaded"),
+        )
+        .orderBy("status")
+    )

@@ -50,4 +50,5 @@ def load_all() -> None:
         extras2,
         extras3,
         extras4,
+        ingest_queries,
     )

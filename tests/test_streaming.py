@@ -122,6 +122,53 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     assert ingested_table(spark, dest).count() == 3
 
 
+def test_ingest_with_quarantine_routes_and_resumes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.streaming.ingest import (
+        incremental_ingest_with_quarantine,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    dest = str(tmp_path / "table")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    (src / "page1.json").write_text(
+        '{"id": 1, "name": "a", "v": 1.5}\n'
+        '{"id": 2, "name": "b", "v": 2.5}\n'
+        "{this is not json at all\n"           # malformed → quarantine
+        '{"id": null, "name": "c", "v": 3.5}\n'  # missing required → quarantine
+    )
+    incremental_ingest_with_quarantine(
+        spark, str(src), dest, quar, ckpt, schema, fmt="json", required=["id"]
+    )
+    good = spark.read.parquet(dest)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert "_ingested_at" in good.columns
+    bad = spark.read.parquet(quar)
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == ["malformed", "missing_required_field"]
+    raw = {r["reason"]: r["raw_record"] for r in bad.collect()}
+    assert raw["malformed"].startswith("{this is not json")
+    assert '"name":"c"' in raw["missing_required_field"].replace(" ", "")
+
+    # a new page arrives; re-run ingests ONLY the new file (checkpointed)
+    (src / "page2.json").write_text('{"id": 3, "name": "d", "v": 4.5}\n')
+    incremental_ingest_with_quarantine(
+        spark, str(src), dest, quar, ckpt, schema, fmt="json", required=["id"]
+    )
+    assert {r["id"] for r in spark.read.parquet(dest).collect()} == {1, 2, 3}
+    assert spark.read.parquet(quar).count() == 2  # quarantine not re-appended
+
+
 def test_streaming_dedup_bounded_state(spark, events_stream_path, sf_dir):
     batch_ev = read_table(spark, sf_dir, "events")
     stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
