@@ -1,0 +1,292 @@
+"""Training-data pipeline operators: deterministic sampling, dataset
+splits, document chunking, PII scanning, decontamination, repetition
+scoring (SURVEY.md §2.11 — the ops a 100 TB LLM-corpus build needs beyond
+the reference's catalog/ETL surface).
+
+Every query here is ORACLE-CHECKED: randomness is replaced by md5-based
+deterministic hashing (identical hex output in Spark and DuckDB), so
+sampling/splitting/dedup decisions are reproducible across engines, runs,
+and partitionings — the property that makes a corpus build auditable.
+
+Scale notes (100 TB):
+- hash sample/split are stateless narrow maps — no shuffle, no coordination,
+  any executor can route any row; this is why hash-mod beats reservoir
+  sampling at scale (reservoir needs a global pass + driver state);
+- chunking explodes rows by ~len/stride — partition sizes grow by that
+  factor, governed by maxPartitionBytes at the scan; no shuffle;
+- the contamination join shuffles md5-hashed 20-char shingles (16 bytes/
+  shingle), never document text, and the probe side broadcasts when small;
+- repetition scoring bounds its explode at the first 300 chars per doc so
+  per-row cost is O(1), not O(document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.operators.dedup import normalize_text
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample via md5 hex-prefix threshold ('1a'/'100'
+    = 26/256 ≈ 10.2%). Stateless narrow map: no shuffle, no seed state,
+    reproducible on any cluster — the scale-safe replacement for
+    rand()-based sampling, whose results change with partitioning."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+    SELECT CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars,
+                 SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 bucket (~80/10/10 via
+    hex thresholds 'cc'=204/256, 'e6'=230/256). A document's split is a
+    pure function of its id — stable across corpus rebuilds, so no
+    train/test leakage when data is re-ingested or re-partitioned."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(FLOOR(GREATEST(LENGTH(text) - 200, 0) / 150.0) AS BIGINT)
+               AS hi
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, text, UNNEST(generate_series(0, hi)) AS k FROM base
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(LENGTH(SUBSTRING(text, 1 + k * 150, 200)) AS BIGINT)
+             AS chunk_len,
+           SUBSTRING(MD5(SUBSTRING(text, 1 + k * 150, 200)), 1, 16)
+             AS chunk_hash
+    FROM ex
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-window document chunking: 200-char chunks on a 150-char
+    stride (50-char overlap so no boundary context is lost) — the standard
+    pre-tokenization segmentation for long documents. The window index
+    sequence is computed engine-side (sequence + posexplode, no UDF); the
+    output carries a 16-hex chunk hash, not the chunk text, so downstream
+    chunk-level dedup shuffles 16 bytes per chunk."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chunks_minus1 = F.floor(
+        F.greatest(F.length("text") - 200, F.lit(0)) / 150.0
+    ).cast("int")
+    chunk = F.expr("substring(text, 1 + chunk_idx * 150, 200)")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0), n_chunks_minus1)).alias(
+                "_pos", "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.substring(F.md5(chunk), 1, 16).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "q_pii_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+'))
+             AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text,
+                '[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]'))
+             AS BIGINT) AS n_phones,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs
+    FROM documents
+    """,
+)
+def q_pii_scan(spark, sf_dir):
+    """PII pattern scan: per-document counts of email-shaped, phone-shaped,
+    and digit-run matches — the redaction-candidate profile run before a
+    corpus ships. JVM-side regexp_count (codegen), no UDF; patterns kept to
+    the regex subset with identical semantics in Java and RE2."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(
+            F.col("text"),
+            F.lit(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"),
+        )
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(
+            F.col("text"),
+            F.lit(r"[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"),
+        )
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+        .cast("bigint")
+        .alias("n_digit_runs"),
+    )
+
+
+_SHINGLE_ORACLE = f"""
+      SELECT doc_id,
+             SUBSTRING(MD5(SUBSTRING(nt, 1 + k * 10, 20)), 1, 16) AS g
+      FROM (
+        SELECT doc_id, nt, UNNEST(generate_series(0, hi)) AS k
+        FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS nt,
+                     CAST(FLOOR(GREATEST(
+                       LENGTH({_NORM_SQL.format(c='text')}) - 20, 0) / 10.0)
+                       AS BIGINT) AS hi
+              FROM documents)
+      )
+      WHERE LENGTH(SUBSTRING(nt, 1 + k * 10, 20)) = 20
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_ORACLE}),
+    probes AS (SELECT doc_id AS probe_id, g FROM shingles
+               WHERE doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, g FROM shingles WHERE doc_id % 10 <> 0)
+    SELECT p.probe_id, c.doc_id,
+           COUNT(DISTINCT p.g) AS n_shared_shingles
+    FROM probes p JOIN corpus c ON p.g = c.g
+    GROUP BY p.probe_id, c.doc_id
+    HAVING COUNT(DISTINCT p.g) >= 2
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination check: which corpus documents share ≥2
+    20-char shingles (stride 10, normalized text) with any probe document
+    (the held-out/benchmark stand-in: doc_id % 10 = 0). The join key is a
+    16-hex md5 of each shingle — the shuffle moves 16-byte hashes, never
+    text — and the probe side is tiny by construction, so Catalyst
+    broadcasts it. This is the standard overlap-join shape used to strip
+    eval-set contamination from pretraining corpora."""
+    d = read_table(spark, sf_dir, "documents")
+    nt = normalize_text("text")
+    n_sh = F.floor(F.greatest(F.length("nt") - 20, F.lit(0)) / 10.0).cast("int")
+    sh = F.expr("substring(nt, 1 + k * 10, 20)")
+    shingles = (
+        d.select("doc_id", nt.alias("nt"))
+        .select(
+            "doc_id",
+            "nt",
+            F.posexplode(F.sequence(F.lit(0), n_sh)).alias("_pos", "k"),
+        )
+        .filter(F.length(sh) == 20)
+        .select("doc_id", F.substring(F.md5(sh), 1, 16).alias("g"))
+    )
+    probes = shingles.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("probe_id"), "g"
+    )
+    corpus = shingles.filter(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(F.broadcast(probes), "g")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 2)
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             SUBSTRING({_NORM_SQL.format(c='text')}, 1, 300) AS nt
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, SUBSTRING(nt, CAST(k AS INT), 3) AS g
+      FROM (SELECT doc_id, nt,
+                   UNNEST(generate_series(1, GREATEST(LENGTH(nt) - 2, 1)))
+                     AS k
+            FROM norm WHERE LENGTH(nt) >= 3)
+    ), counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality score (Gopher-style): the most frequent char
+    trigram's share of all trigrams in the document head (first 300
+    normalized chars — bounding the explode keeps per-row cost O(1) at
+    100 TB). High rep_ratio flags boilerplate/spam for corpus filtering.
+    Two hash aggregates, both with map-side partials."""
+    d = read_table(spark, sf_dir, "documents")
+    nt = F.substring(normalize_text("text"), 1, 300)
+    grams = (
+        d.select("doc_id", nt.alias("nt"))
+        .filter(F.length("nt") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+                    " k -> substring(nt, k, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_gram_count"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "rep_ratio"
+        ),
+    )

@@ -51,4 +51,5 @@ def load_all() -> None:
         extras3,
         extras4,
         ingest_queries,
+        llm_ops,
     )
