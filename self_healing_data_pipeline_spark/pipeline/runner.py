@@ -73,12 +73,35 @@ class Stage:
 
 
 @dataclass
+class ReviewGate:
+    """Human-review checkpoint — the reference's ReviewSchema / ReviewSql
+    steps (``App.tsx:246-254,283-291``), where the user inspects the
+    proposed schema/SQL, optionally edits it, and approves or aborts.
+
+    ``approver(value)`` returns ``True``/``False`` to approve/hold, or
+    ``(True, edited_value)`` to approve with an edit (the reference's
+    textarea-edit-then-continue flow). ``approver=None`` auto-approves —
+    headless/scheduled runs proceed unattended, with the auto-approval
+    recorded in the log for audit.
+
+    Rejection PAUSES the pipeline (``paused=True``, step stays at the
+    review step) rather than erroring: state is intact and the same run
+    can be re-issued with an approving callable — the resume shape of the
+    reference's review loop.
+    """
+
+    name: str
+    approver: Callable[[Any], bool | tuple[bool, Any]] | None = None
+
+
+@dataclass
 class PipelineResult:
     ok: bool
     step: PipelineStep
     value: Any = None
     logs: list[EtlLogEntry] = field(default_factory=list)
     lineage: Any = None  # plans.lineage.LineageLog when the flow records it
+    paused: bool = False  # True = held at a ReviewGate, not failed
 
 
 class SelfHealingPipeline:
@@ -104,13 +127,22 @@ class SelfHealingPipeline:
         self.logs = []
         self.step = PipelineStep.UPLOAD
 
-    def run(self, stages: list[Stage], initial: Any = None) -> PipelineResult:
+    def run(
+        self, stages: list[Stage | ReviewGate], initial: Any = None
+    ) -> PipelineResult:
         value = initial
         for stage in stages:
             try:
                 self.step = PipelineStep(stage.name)
             except ValueError:
                 pass  # custom stage name: keep the current step
+            if isinstance(stage, ReviewGate):
+                value, ok = self._run_review(stage, value)
+                if not ok:
+                    return PipelineResult(
+                        False, self.step, value, list(self.logs), paused=True
+                    )
+                continue
             value, ok = self._run_stage(stage, value)
             if not ok:
                 self.step = PipelineStep.ERROR
@@ -118,6 +150,23 @@ class SelfHealingPipeline:
         self.step = PipelineStep.DONE
         self.log("pipeline complete")
         return PipelineResult(True, self.step, value, list(self.logs))
+
+    def _run_review(self, gate: ReviewGate, value: Any) -> tuple[Any, bool]:
+        if gate.approver is None:
+            self.log(f"{gate.name}: auto-approved (no reviewer attached)")
+            return value, True
+        verdict = gate.approver(value)
+        approved, new_value = (
+            (verdict[0], verdict[1]) if isinstance(verdict, tuple) else (verdict, value)
+        )
+        if not approved:
+            self.log(f"{gate.name}: held for review — pipeline paused", "warning")
+            return value, False
+        if new_value is not value:
+            self.log(f"{gate.name}: approved with edits")
+        else:
+            self.log(f"{gate.name}: approved")
+        return new_value, True
 
     def _run_stage(self, stage: Stage, value: Any) -> tuple[Any, bool]:
         last_exc: BaseException | None = None
@@ -159,11 +208,19 @@ def verify_readback(
 
 
 def ingest_file_pipeline(
-    spark: SparkSession, path: str, table_name: str | None = None
+    spark: SparkSession,
+    path: str,
+    table_name: str | None = None,
+    schema_approver: Callable[[Any], bool | tuple[bool, Any]] | None = None,
+    sql_approver: Callable[[Any], bool | tuple[bool, Any]] | None = None,
 ) -> PipelineResult:
     """The reference's EP1→EP3 flow end-to-end (SURVEY.md §3), Spark-first:
-    parse → empty-guard → profile → freeze schema → DDL gate → load →
-    read-back verify.
+    parse → empty-guard → profile → [ReviewSchema] → freeze schema →
+    DDL gate → [ReviewSql] → load → read-back verify.
+
+    The two review gates mirror the reference's approve/edit checkpoints
+    (``App.tsx:246-254,283-291``); with no approver attached they
+    auto-approve so headless runs are unchanged.
     """
     from self_healing_data_pipeline_spark.functions.scalar import sanitize_identifier
     from self_healing_data_pipeline_spark.plans.catalog import (
@@ -222,7 +279,9 @@ def ingest_file_pipeline(
         [
             Stage("Upload", parse),
             Stage("AnalyzingSchema", profile),
+            ReviewGate("ReviewSchema", schema_approver),
             Stage("GeneratingSql", freeze),
+            ReviewGate("ReviewSql", sql_approver),
             Stage("ProcessingDb", load),
         ]
     )

@@ -8,6 +8,7 @@ import pytest
 
 from self_healing_data_pipeline_spark.pipeline.runner import (
     PipelineStep,
+    ReviewGate,
     SelfHealingPipeline,
     Stage,
     ingest_file_pipeline,
@@ -100,3 +101,39 @@ def test_ingest_empty_file_rejected(spark, tmp_path):
     result = ingest_file_pipeline(spark, str(p))
     assert not result.ok
     assert result.step == PipelineStep.ERROR
+
+
+def test_review_gate_auto_approves_headless(spark, tmp_path):
+    p = tmp_path / "auto.csv"
+    p.write_text("a,b\n1,2\n")
+    result = ingest_file_pipeline(spark, str(p))  # no approvers attached
+    assert result.ok and not result.paused
+    msgs = [l.message for l in result.logs]
+    assert any("ReviewSchema: auto-approved" in m for m in msgs)
+    assert any("ReviewSql: auto-approved" in m for m in msgs)
+
+
+def test_review_gate_rejection_pauses_not_errors(spark, tmp_path):
+    p = tmp_path / "held.csv"
+    p.write_text("a,b\n1,2\n")
+    result = ingest_file_pipeline(spark, str(p), schema_approver=lambda v: False)
+    assert not result.ok
+    assert result.paused
+    assert result.step == PipelineStep.REVIEW_SCHEMA  # held, not ERROR
+    # resumable: the same ingest re-issued with approval completes
+    again = ingest_file_pipeline(spark, str(p), schema_approver=lambda v: True)
+    assert again.ok and not again.paused
+
+
+def test_review_gate_approve_with_edit_flows_value(spark):
+    pipe = SelfHealingPipeline(spark)
+    result = pipe.run(
+        [
+            Stage("Upload", lambda _: "select 1"),
+            ReviewGate("ReviewSql", lambda v: (True, v + " -- reviewed")),
+            Stage("ProcessingDb", lambda v: v.upper()),
+        ]
+    )
+    assert result.ok
+    assert result.value == "SELECT 1 -- REVIEWED"
+    assert any("approved with edits" in l.message for l in result.logs)
