@@ -384,13 +384,17 @@ def connected_components(
     e = edges.select(
         F.col(id_l).alias("a"), F.col(id_r).alias("b")
     ).localCheckpoint(eager=True)  # upstream edge query computed exactly once
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # reused every round
 
-    n_edges = sym.count() // 2
+    n_edges = e.count()  # free: counts the checkpointed blocks
     if n_edges <= driver_threshold:
-        return _union_find_driver(sym)
+        # union-find treats edges as undirected — no symmetrization needed
+        return _union_find_driver(e)
 
+    # distributed path: the symmetric edge list is reused every round, so
+    # materialize it once (a narrow union over the checkpointed edges)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(max_iter):
@@ -438,10 +442,14 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
-def _union_find_driver(sym: DataFrame) -> DataFrame:
-    """Union-find over a driver-collected (broadcast-sized) edge list.
-    Path-halving + union-by-min gives near-linear time; labels are the
-    minimum node id per component, identical to the distributed loop."""
+def _union_find_driver(e: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected (broadcast-sized) undirected edge
+    list. Path-halving + union-by-min gives near-linear time; labels are
+    the minimum node id per component, identical to the distributed loop.
+
+    collect() (one job) rather than toLocalIterator (one round-trip per
+    partition): the caller already verified the edge count is driver-sized,
+    so memory is bounded by construction."""
     parent: dict = {}
 
     def find(x):
@@ -450,8 +458,7 @@ def _union_find_driver(sym: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in sym.toLocalIterator():
-        a, b = row["a"], row["b"]
+    for a, b in e.collect():
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -460,7 +467,7 @@ def _union_find_driver(sym: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
-    schema = sym.select(
+    schema = e.select(
         F.col("a").alias("node"), F.col("b").alias("cluster_id")
     ).schema
-    return sym.sparkSession.createDataFrame(out, schema)
+    return e.sparkSession.createDataFrame(out, schema)
