@@ -290,3 +290,77 @@ def q_text_repetition(spark, sf_dir):
             "rep_ratio"
         ),
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, SUBSTRING(MD5({_NORM_SQL.format(c='text')}), 1, 16) AS fingerprint
+      FROM documents
+    ),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    corpus AS (SELECT * FROM fp WHERE doc_id % 5 <> 0)
+    SELECT i.doc_id, i.fingerprint FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = i.fingerprint)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup: which documents of an incoming batch
+    (doc_id % 5 = 0 stands in for the new crawl) are genuinely new — i.e.
+    their normalized-text fingerprint doesn't already exist in the corpus.
+    LEFT ANTI join on the 16-hex fingerprint: the everyday operation of a
+    continuously-growing corpus, and the shuffle moves fingerprints, not
+    text. At 100 TB the corpus side would be a bucketed fingerprint table
+    so the anti join is shuffle-free on re-ingest."""
+    d = read_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.substring(F.md5(normalize_text("text")), 1, 16).alias("fingerprint"),
+    )
+    incoming = fp.filter(F.col("doc_id") % 5 == 0)
+    corpus = fp.filter(F.col("doc_id") % 5 != 0)
+    return incoming.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT d.lang,
+           CAST(t.k - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM embeddings e
+    JOIN documents d ON e.vec_id = d.doc_id,
+         generate_series(1, 8) AS t(k)
+    GROUP BY d.lang, t.k
+    ORDER BY d.lang, dim
+    """,
+)
+def q_embed_centroids(spark, sf_dir):
+    """Per-language embedding centroid (first 8 dims): the vector
+    aggregate behind corpus clustering / domain balancing. Component sums
+    accumulate in exact decimal (float addition is order-sensitive, so a
+    partial-aggregated Spark sum and a sequential DuckDB sum would drift
+    in doubles — the same determinism rule as the monetary aggregates in
+    functions.scalar); the final mean divides in double, which IEEE
+    specifies exactly. posexplode keeps the shuffle at |langs| × 8 rows
+    of partial sums — never the vectors themselves."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        "lang", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "x")
+    )
+    return (
+        joined.groupBy("lang", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,10)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid")
+        )
+        .select("lang", F.col("dim").cast("bigint").alias("dim"), "centroid")
+        .orderBy("lang", "dim")
+    )

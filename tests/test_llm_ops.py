@@ -86,3 +86,26 @@ def test_ingest_quarantine_routing_totals(spark, sf_dir):
     assert sum(r["n_records"] for r in rows.values()) == ev.count()
     assert rows["loaded"]["sum_value_loaded"] is not None
     assert rows["malformed"]["sum_value_loaded"] is None  # nothing parsed
+
+
+def test_dedup_incremental_returns_only_novel_incoming(spark, sf_dir):
+    rows = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["doc_id"] % 5 == 0 for r in rows)  # only the incoming batch
+    assert all(len(r["fingerprint"]) == 16 for r in rows)
+
+
+def test_embed_centroids_shape_and_bounds(spark, sf_dir):
+    rows = QUERIES["q_embed_centroids"](spark, sf_dir).collect()
+    langs = {
+        r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == langs
+    assert {r["dim"] for r in rows} == set(range(8))
+    assert len(rows) == len(langs) * 8
+    for r in rows:
+        assert -1.0 <= r["centroid"] <= 1.0  # mean of unit-scale components
