@@ -125,3 +125,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_sample_hash_prunes_text_column(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_sample_hash")
+    # the sample is decided from doc_id alone — the scan must not read text
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema
+
+
+def test_contamination_broadcasts_probe_side(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # corpus shingles never shuffle
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_doc_chunks")
+    assert "Exchange" not in p  # narrow map + explode only
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_dedup_incremental")
+    assert "LeftAnti" in p
