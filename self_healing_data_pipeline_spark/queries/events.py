@@ -167,3 +167,52 @@ def q_dedup_keep_first(spark, sf_dir):
     return first.select(
         "event_id", "user_id", "event_type", ts_str("ts").alias("ts_s")
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           COUNT(*) AS n_prior_views
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts > c.ts - INTERVAL 30 MINUTE
+     AND v.ts <= c.ts
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Equi + time-interval join (batch twin of the stream-stream join in
+    streaming.windows.streaming_interval_join): each click paired with the
+    same user's views in the preceding 30 minutes, reduced to a per-click
+    count. The equi key (user_id) makes it a hash join with the interval
+    as a post-join filter — one shuffle per side on user_id; in the
+    streaming form the same bounded interval is what gives buffered rows
+    a provable lifetime (state ∝ rate × interval, not stream length)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("ts_c"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id_v"), F.col("ts").alias("ts_v")
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("user_id_v"))
+            & (F.col("ts_v") > F.col("ts_c") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("ts_v") <= F.col("ts_c")),
+        )
+        .groupBy("click_id", "user_id", "ts_c")
+        .agg(F.count(F.lit(1)).alias("n_prior_views"))
+        .select(
+            "click_id",
+            "user_id",
+            ts_str("ts_c").alias("click_ts"),
+            "n_prior_views",
+        )
+    )

@@ -40,6 +40,43 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_l: str = "ts_l",
+    ts_r: str = "ts_r",
+    lower: str = "INTERVAL 30 MINUTES",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi + time-interval join: pair each left event with
+    right events of the same key whose timestamp falls in
+    ``(ts_l - lower, ts_l]``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions — that is what lets Spark evict buffered rows
+    instead of holding unbounded state (the interval gives the engine a
+    provable lifetime for every buffered row). The same expression runs
+    as a batch interval join (``queries/events.py::q_stream_interval_join``),
+    which is the oracle-checkable twin.
+
+    At scale the join shuffles both streams on ``key``; state per task is
+    bounded by (rate × interval), independent of total stream length.
+    """
+    left = left.withColumn(ts_l, F.col(ts_l).cast("timestamp")).withWatermark(
+        ts_l, watermark
+    )
+    right = right.withColumn(ts_r, F.col(ts_r).cast("timestamp")).withWatermark(
+        ts_r, watermark
+    )
+    cond = (
+        (left[key] == right[f"{key}_r"])
+        & (right[ts_r] > left[ts_l] - F.expr(lower))
+        & (right[ts_r] <= left[ts_l])
+    )
+    return left.join(right, cond)
+
+
 def streaming_sliding_counts(
     events: DataFrame,
     ts: str = "ts",

@@ -122,6 +122,49 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     assert ingested_table(spark, dest).count() == 3
 
 
+def test_streaming_interval_join_matches_batch(spark, sf_dir, events_stream_path):
+    from self_healing_data_pipeline_spark.registry import QUERIES, load_all
+    from self_healing_data_pipeline_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    load_all()
+
+    batch_ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        spark.readStream.schema(batch_ev.schema)
+        .parquet(events_stream_path)
+        .filter("event_type = 'click'")
+        .selectExpr("event_id AS click_id", "user_id", "ts AS ts_l")
+    )
+    views = (
+        spark.readStream.schema(batch_ev.schema)
+        .parquet(events_stream_path)
+        .filter("event_type = 'view'")
+        .selectExpr("user_id AS user_id_r", "ts AS ts_r")
+    )
+    joined = streaming_interval_join(clicks, views)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("t_interval")
+        .groupBy("click_id")
+        .count()
+        .withColumnRenamed("count", "n_prior_views")
+    )
+    want = QUERIES["q_stream_interval_join"](spark, sf_dir).select(
+        "click_id", "n_prior_views"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0  # identical per-click counts
+
+
 def test_ingest_with_quarantine_routes_and_resumes(spark, tmp_path):
     from pyspark.sql import types as T
 
