@@ -85,11 +85,24 @@ def q_agg_approx_distinct(spark, sf_dir):
     rel_err = lambda approx, exact: F.abs(
         approx.cast("double") / exact.cast("double") - F.lit(1.0)
     )
-    agg = read_table(spark, sf_dir, "lineitem").agg(
+    li = read_table(spark, sf_dir, "lineitem")
+    # The two exact counts run as separate pre-distinct aggregates joined
+    # onto the sketch row: multiple COUNT(DISTINCT x) in ONE aggregate
+    # plan an Expand (row count × distinct-exprs) through a full shuffle —
+    # ~6× slower at sf0.1 and linearly worse with data size. Per-column
+    # distinct-then-count keeps each pass partially aggregated map-side.
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    exact_orders = (
+        li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_parts = (
+        li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    agg = approx.crossJoin(F.broadcast(exact_orders)).crossJoin(
+        F.broadcast(exact_parts)
     )
     return agg.select(
         "approx_orders",
