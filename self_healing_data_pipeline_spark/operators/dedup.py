@@ -16,14 +16,13 @@ numpy kernel, NOT Catalyst higher-order functions: Spark's array
 ``transform``/``aggregate`` lambdas are interpreted per element (measured
 ~60k shingle evals/s — pathological), while the vectorized kernel is a
 narrow per-row map with no shuffle that runs at millions of shingles/s per
-core. Banding, bucket joins, and verification stay JVM-side. Hashing is
-blake2b-seeded + affine re-hash — deterministic across runs and machines
-(never Python's builtin ``hash``).
+core. Banding, bucket joins, and verification stay JVM-side. Base hashing
+is pandas' vectorized SipHash (fixed key) + affine re-hash — deterministic
+across runs and machines (never Python's builtin ``hash``), and one C call
+per Arrow batch instead of one digest call per shingle.
 """
 
 from __future__ import annotations
-
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -72,17 +71,32 @@ def _py_shingles(text: str, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def _shingle_base_hashes(text: str, n: int) -> np.ndarray:
-    """One deterministic 64-bit hash per distinct shingle (blake2b)."""
-    sh = _py_shingles(text, n)
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
-    )
+def _batch_shingle_hashes(
+    texts: pd.Series, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized base hashing for a whole Arrow batch: one deterministic
+    64-bit hash per distinct shingle, across all docs at once.
+
+    Returns ``(hashes, offsets)``: ``hashes`` concatenates each doc's
+    distinct-shingle hashes in doc order; doc *i* owns
+    ``hashes[offsets[i]:offsets[i+1]]``. ``pd.util.hash_array`` is
+    SipHash-1-3 with a fixed key — stable across processes, machines, and
+    partitionings (unlike builtin ``hash``), and a single C call replaces
+    per-shingle Python digest calls (the former hot spot of signature
+    computation)."""
+    all_sh: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = _py_shingles(t, n)
+        counts[i] = len(sh)
+        all_sh.extend(sh)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    if not all_sh:
+        return np.empty(0, dtype=np.uint64), offsets
+    hashes = pd.util.hash_array(
+        np.asarray(all_sh, dtype=object), categorize=False
+    ).astype(np.uint64)
+    return hashes, offsets
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
@@ -111,9 +125,10 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
+        hs_all, offs = _batch_shingle_hashes(texts, shingle_n)
         out = []
-        for text in texts:
-            hs = _shingle_base_hashes(text, shingle_n)
+        for i in range(len(texts)):
+            hs = hs_all[offs[i] : offs[i + 1]]
             if hs.size == 0:
                 out.append(np.zeros(num_hashes, dtype=np.int64))
                 continue
@@ -235,9 +250,10 @@ def simhash_signatures(
 
     @pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
+        hs_all, offs = _batch_shingle_hashes(texts, ngram)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            hs = _shingle_base_hashes(text, ngram)
+        for i in range(len(texts)):
+            hs = hs_all[offs[i] : offs[i + 1]]
             if hs.size == 0:
                 continue
             bits = ((hs[:, None] >> bit_positions[None, :]) & 1).astype(np.int64)
