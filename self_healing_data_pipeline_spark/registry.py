@@ -52,4 +52,5 @@ def load_all() -> None:
         extras4,
         ingest_queries,
         llm_ops,
+        udf_surface,
     )
