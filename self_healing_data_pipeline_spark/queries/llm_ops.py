@@ -364,3 +364,55 @@ def q_embed_centroids(spark, sf_dir):
         .select("lang", F.col("dim").cast("bigint").alias("dim"), "centroid")
         .orderBy("lang", "dim")
     )
+
+
+@query(
+    "q_corpus_build",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             SUBSTRING(MD5({_NORM_SQL.format(c='text')}), 1, 16) AS fingerprint,
+             SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      FROM documents
+    ), ranked AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS rep_id
+      FROM fp
+    )
+    SELECT doc_id, lang, n_chars, fingerprint,
+           doc_id = rep_id AS is_representative,
+           CASE WHEN doc_id <> rep_id THEN 'dropped_duplicate'
+                WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS route
+    FROM ranked
+    """,
+)
+def q_corpus_build(spark, sf_dir):
+    """The corpus-build routing pipeline as ONE declarative plan: exact
+    dedup (min-doc_id representative per normalized-text fingerprint)
+    composed with the deterministic train/val/test split — every document
+    gets a route: dropped_duplicate, train, val, or test. One window over
+    the 16-hex fingerprint (the only shuffle) plus narrow hash maps; this
+    is the composition a user runs nightly over the whole corpus, and the
+    oracle checks the entire routing decision end-to-end."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(normalize_text("text")), 1, 16)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    w = Window.partitionBy("fingerprint")
+    ranked = d.select(
+        "doc_id", "lang", "n_chars", fp.alias("fingerprint"), h.alias("h")
+    ).withColumn("rep_id", F.min("doc_id").over(w))
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "fingerprint",
+        (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
+        F.when(F.col("doc_id") != F.col("rep_id"), "dropped_duplicate")
+        .when(F.col("h") < "cc", "train")
+        .when(F.col("h") < "e6", "val")
+        .otherwise("test")
+        .alias("route"),
+    )

@@ -109,3 +109,17 @@ def test_embed_centroids_shape_and_bounds(spark, sf_dir):
     assert len(rows) == len(langs) * 8
     for r in rows:
         assert -1.0 <= r["centroid"] <= 1.0  # mean of unit-scale components
+
+
+def test_corpus_build_routes_every_document_once(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = QUERIES["q_corpus_build"](spark, sf_dir).collect()
+    assert len(rows) == docs.count()  # total routing: nothing dropped on the floor
+    routes = {r["route"] for r in rows}
+    assert routes <= {"train", "val", "test", "dropped_duplicate"}
+    # duplicates are exactly the non-representatives
+    for r in rows:
+        assert (r["route"] == "dropped_duplicate") == (not r["is_representative"])
+    # each fingerprint keeps exactly one representative
+    reps = [r for r in rows if r["is_representative"]]
+    assert len({r["fingerprint"] for r in reps}) == len(reps)
