@@ -207,11 +207,19 @@ _SHINGLE_ORACLE = f"""
 def q_contamination(spark, sf_dir):
     """Benchmark-decontamination check: which corpus documents share ≥2
     20-char shingles (stride 10, normalized text) with any probe document
-    (the held-out/benchmark stand-in: doc_id % 10 = 0). The join key is a
-    16-hex md5 of each shingle — the shuffle moves 16-byte hashes, never
-    text — and the probe side is tiny by construction, so Catalyst
-    broadcasts it. This is the standard overlap-join shape used to strip
-    eval-set contamination from pretraining corpora."""
+    (the held-out/benchmark stand-in: doc_id % 10 = 0).
+
+    Single-pass shape: instead of self-joining two branches of the shingle
+    explode (which would SCAN AND HASH THE CORPUS TEXT TWICE — Catalyst
+    does not share common subplans across join branches), shingles are
+    computed once, tagged probe/corpus, and grouped by gram: each gram
+    collects its probe set and corpus set, cross-expands to candidate
+    pairs, and the final aggregate counts distinct shared grams per pair.
+    One scan, one shuffle on the 16-hex gram hash — text never shuffles.
+    At production scale an ultra-common boilerplate gram would make its
+    sets degenerate; the practical guard is a per-gram frequency cap (as
+    in operators.dedup.pairs_within_buckets), omitted here so the oracle
+    semantics stay exact."""
     d = read_table(spark, sf_dir, "documents")
     nt = normalize_text("text")
     n_sh = F.floor(F.greatest(F.length("nt") - 20, F.lit(0)) / 10.0).cast("int")
@@ -226,13 +234,23 @@ def q_contamination(spark, sf_dir):
         .filter(F.length(sh) == 20)
         .select("doc_id", F.substring(F.md5(sh), 1, 16).alias("g"))
     )
-    probes = shingles.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("probe_id"), "g"
+    per_gram = (
+        shingles.groupBy("g")
+        .agg(
+            F.collect_set(
+                F.when(F.col("doc_id") % 10 == 0, F.col("doc_id"))
+            ).alias("probes"),
+            F.collect_set(
+                F.when(F.col("doc_id") % 10 != 0, F.col("doc_id"))
+            ).alias("docs"),
+        )
+        .filter((F.size("probes") > 0) & (F.size("docs") > 0))
     )
-    corpus = shingles.filter(F.col("doc_id") % 10 != 0)
+    pairs = per_gram.select(
+        "g", F.explode("probes").alias("probe_id"), "docs"
+    ).select("g", "probe_id", F.explode("docs").alias("doc_id"))
     return (
-        corpus.join(F.broadcast(probes), "g")
-        .groupBy("probe_id", "doc_id")
+        pairs.groupBy("probe_id", "doc_id")
         .agg(F.countDistinct("g").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 2)
     )
