@@ -134,10 +134,14 @@ def test_sample_hash_prunes_text_column(spark, sf_dir):
     assert "text" not in read_schema
 
 
-def test_contamination_broadcasts_probe_side(spark, sf_dir):
+def test_contamination_is_single_pass(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_contamination")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p  # corpus shingles never shuffle
+    # single-pass per-gram grouping: no self-join, and the documents
+    # parquet is scanned exactly once (join branches would scan it twice)
+    assert "Join" not in p
+    # tree nodes print as "Scan parquet  (<id>)"; the details section
+    # repeats the name without the id suffix
+    assert p.count("Scan parquet  (") == 1
 
 
 def test_doc_chunks_is_shuffle_free(spark, sf_dir):
