@@ -310,3 +310,55 @@ def q_dedup_ngram_verify(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "q_profile_quartiles",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                    THEN c_acctbal END) AS q1,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                    THEN c_acctbal END) AS median,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                    THEN c_acctbal END) AS q3
+    FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_profile_quartiles(spark, sf_dir):
+    """Exact rank-based quartiles per group (value at rank ceil(q*n) under
+    a total order) — deterministic across engines, unlike interpolated
+    percentile arithmetic, and the profiling basis for IQR outlier
+    fences. One window shuffle on the group key, then a tiny conditional
+    aggregate; at 100 TB the per-group sort is the cost, which is why the
+    sketch twin (q_agg_approx_percentile) exists for wide profiling."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("c_acctbal"),
+            )
+        )
+    return (
+        r.groupBy("c_mktsegment")
+        .agg(at(0.25).alias("q1"), at(0.50).alias("median"), at(0.75).alias("q3"))
+        .orderBy("c_mktsegment")
+    )
