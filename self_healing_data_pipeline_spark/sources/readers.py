@@ -180,3 +180,31 @@ def read_csv_with_quarantine(
         F.col("_corrupt_record").alias("raw_record")
     )
     return good, quarantined
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media-file ingestion via Spark's binaryFile source: each file
+    becomes one row (path, modificationTime, length, content) — the
+    scan-side half of the multimodal pipeline (payloads then flow through
+    ``operators.multimodal.extract_features``). ``pathGlobFilter``
+    restricts by extension engine-side, before any bytes are read.
+
+    At scale: files >``maxPartitionBytes`` stay one-per-partition, many
+    small files coalesce by size — executor memory is bounded by file
+    size, and the listing distributes. Media ID derives from the path so
+    re-ingest is stable.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    from pyspark.sql import functions as F
+
+    df = reader.load(path)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

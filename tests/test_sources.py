@@ -147,3 +147,29 @@ def test_partition_pruned_scan_reads_only_matching_year(spark, sf_dir):
     from pyspark.sql import functions as F
 
     assert got == orders.filter(F.year("o_orderdate") == 1997).count()
+
+
+def test_read_media_dir_binary_files(spark, tmp_path):
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        png_bytes,
+    )
+    from self_healing_data_pipeline_spark.sources.readers import read_media_dir
+
+    (tmp_path / "a.png").write_bytes(png_bytes(32, 16) + b"body")
+    (tmp_path / "b.png").write_bytes(png_bytes(800, 600))
+    (tmp_path / "notes.txt").write_text("not media")
+    media = read_media_dir(spark, str(tmp_path), glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 2  # txt filtered engine-side by pathGlobFilter
+    assert all(r["n_bytes"] == len(r["payload"]) for r in rows)
+    assert len({r["media_id"] for r in rows}) == 2  # stable ids from path
+    # and the payloads flow straight into the multimodal extractor
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(
+            media.select("media_id", "payload")
+        ).collect()
+    }
+    dims = sorted((f["width"], f["height"]) for f in feats.values())
+    assert dims == [(32, 16), (800, 600)]

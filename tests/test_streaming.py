@@ -230,3 +230,34 @@ def test_streaming_dedup_bounded_state(spark, events_stream_path, sf_dir):
     # admit re-emission across far-apart event times, never fewer).
     assert got.count() >= n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, events_stream_path):
+    """Stream-static join: a streaming fact enriched by a static dimension
+    (the broadcast-enrichment pattern — no state, no watermark needed;
+    the static side re-reads per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    batch_ev = read_table(spark, sf_dir, "events")
+    dim = (
+        batch_ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(events_stream_path)
+    enriched = stream_ev.join(dim, "user_id").select(
+        "event_id", "user_id", "user_total"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_enrich")
+    assert out.count() == batch_ev.count()  # every event enriched
+    # enrichment value is consistent with the static aggregate
+    chk = out.groupBy("user_id", "user_total").count()
+    bad = chk.filter(F.col("count") != F.col("user_total")).count()
+    assert bad == 0
