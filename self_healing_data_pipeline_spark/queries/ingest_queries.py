@@ -111,3 +111,67 @@ def q_ingest_quarantine(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH source AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST(10 AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 42.0
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(s.price, t.o_totalprice) AS final_price,
+           CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                WHEN s.o_orderkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS action
+    FROM orders t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert semantics as a Catalyst plan: a deterministic
+    source batch (price updates for existing keys, inserts for new keys)
+    merged into the orders table via FULL OUTER JOIN + COALESCE — matched
+    rows take the source value, unmatched-source rows insert, everything
+    else passes through, each tagged with its action. This is the
+    row-level-update idiom for plain parquet tables (a lakehouse format
+    turns the same plan into a transactional MERGE; the join-on-key
+    shape — shuffle both sides on the merge key, or broadcast a small
+    batch — is identical). Decimal arithmetic keeps updated prices
+    bit-identical across engines."""
+    o = read_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.lit(10).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(42.0).alias("price"),
+    )
+    source = updates.unionByName(inserts)
+    t = o.select("o_orderkey", "o_totalprice").alias("t")
+    s = source.alias("s")
+    return t.join(
+        s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("s.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("s.price"), F.col("t.o_totalprice")).alias(
+            "final_price"
+        ),
+        F.when(F.col("t.o_orderkey").isNull(), "inserted")
+        .when(F.col("s.o_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+    )
