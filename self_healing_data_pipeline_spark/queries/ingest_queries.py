@@ -175,3 +175,36 @@ def q_merge_upsert(spark, sf_dir):
         .otherwise("updated")
         .alias("action"),
     )
+
+
+@query(
+    "q_scd2_versions",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS version_key,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS effective_from,
+           STRFTIME(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS effective_to,
+           (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_versions(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each customer's orders
+    become versioned rows with [effective_from, effective_to) validity —
+    effective_to is the next version's start (NULL = current). One lead()
+    window over (key, time, tie-break); a single shuffle on the dimension
+    key builds the full version history, the standard warehouse pattern
+    for tracking attribute changes over time."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
