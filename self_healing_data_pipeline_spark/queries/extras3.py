@@ -62,20 +62,25 @@ def q_agg_grouping_sets(spark, sf_dir):
     )
 
 
-# Exact-decimal moment fragments (x = l_quantity, y = l_extendedprice).
-_SX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-_SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+# Exact-decimal moment fragments (x = l_quantity, y = l_extendedprice),
+# scaled to INTEGRAL decimals (cents / cents²) before the double cast:
+# fractional decimal→double conversion rounds twice in some engines
+# (integer / 10^scale), so a decimal(38,4) sum can land 1 ulp away from
+# another engine's conversion. An integral decimal converts in ONE
+# rounding everywhere. corr is scale-invariant, covar is rescaled below.
+_SX = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS DOUBLE)"
+_SY = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS DOUBLE)"
 _SXX = (
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
-    " * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE)"
 )
 _SYY = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE)"
 )
 _SXY = (
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
-    " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))"
+    " * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE)"
 )
 
 
@@ -93,7 +98,8 @@ _SXY = (
            (n * sxy - sx * sy)
              / (SQRT(GREATEST(n * sxx - sx * sx, 0.0))
                 * SQRT(GREATEST(n * syy - sy * sy, 0.0))) AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp_qty_price
+           (n * sxy - sx * sy) / (n * (n - 1.0)) / 10000.0
+             AS covar_samp_qty_price
     FROM m ORDER BY l_returnflag
     """,
 )
@@ -106,13 +112,21 @@ def q_agg_corr(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     qty = dec("l_quantity", precision=18)
     price = dec("l_extendedprice", precision=18)
+
+    def integral(s, scale_pow):  # decimal sum → integral decimal → double
+        return (
+            (s * F.lit(10**scale_pow))
+            .cast("decimal(38,0)")
+            .cast("double")
+        )
+
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(qty).cast("double").alias("sx"),
-        F.sum(price).cast("double").alias("sy"),
-        F.sum(qty * qty).cast("double").alias("sxx"),
-        F.sum(price * price).cast("double").alias("syy"),
-        F.sum(qty * price).cast("double").alias("sxy"),
+        integral(F.sum(qty), 2).alias("sx"),
+        integral(F.sum(price), 2).alias("sy"),
+        integral(F.sum(qty * qty), 4).alias("sxx"),
+        integral(F.sum(price * price), 4).alias("syy"),
+        integral(F.sum(qty * price), 4).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -126,7 +140,8 @@ def q_agg_corr(spark, sf_dir):
                 * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0)))
             )
         ).alias("corr_qty_price"),
-        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias(
+        # moments are in cents (×10² per variable) → covar carries 10⁴
+        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0))) / F.lit(10000.0)).alias(
             "covar_samp_qty_price"
         ),
     ).orderBy("l_returnflag")
