@@ -51,3 +51,45 @@ def test_sanitize_identifier_always_safe(name):
     assert all(c.isalnum() or c == "_" for c in out)
     # idempotent
     assert sanitize_identifier(out) == out
+
+
+@given(
+    w=st.integers(1, 2**31 - 1),
+    h=st.integers(1, 2**31 - 1),
+    body=st.binary(max_size=64),
+)
+@settings(**_SETTINGS)
+def test_png_header_round_trip_any_dims(w, h, body):
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        parse_image_dims,
+        png_bytes,
+    )
+
+    assert parse_image_dims(png_bytes(w, h) + body) == ("png", w, h)
+
+
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    body=st.binary(max_size=64),
+)
+@settings(**_SETTINGS)
+def test_jpeg_header_round_trip_any_dims(w, h, body):
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        jpeg_bytes,
+        parse_image_dims,
+    )
+
+    assert parse_image_dims(jpeg_bytes(w, h) + body) == ("jpeg", w, h)
+
+
+@given(junk=st.binary(max_size=200))
+@settings(**_SETTINGS)
+def test_parse_image_dims_never_raises_on_junk(junk):
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+
+    fmt, w, h = parse_image_dims(junk)  # must classify or reject, not throw
+    if fmt is None:
+        assert (w, h) == (None, None)
