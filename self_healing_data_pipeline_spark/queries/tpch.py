@@ -1,0 +1,120 @@
+"""Classic TPC-H-shaped analytic queries (SURVEY.md §2.3/§2.4/§2.6
+composition): the canonical multi-operator plans an analytics engine must
+run well — join + aggregate + top-k (Q3) and aggregate-subquery + join
+(Q18). The flagship Q1 shape lives in ``aggregates.pricing_summary``; the
+Q5-shaped star chain in ``extras2.q_join_multiway``.
+
+Scale shapes: both queries filter BEFORE joining (Catalyst pushes the
+predicates to the scans), aggregate with map-side partials, and end in
+TakeOrderedAndProject — the top-k never global-sorts. Revenue math uses
+exact decimal (``functions.scalar``) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.functions.scalar import dec
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment-filtered customers' unshipped
+    orders ranked by revenue. Both date filters and the segment filter
+    push to the scans; the joins shuffle on their keys; the LIMIT plans
+    TakeOrderedAndProject (no global sort). Tie-break on l_orderkey makes
+    the top-10 total-ordered."""
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with customer detail. The IN-subquery plans as a
+    LEFT SEMI join against the pre-aggregated order totals — the aggregate
+    runs once, map-side partial, and only qualifying keys flow into the
+    3-table join."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", precision=18)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(l, F.col("o_orderkey") == l["l_orderkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity", precision=18)).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )

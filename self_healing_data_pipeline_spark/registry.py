@@ -53,4 +53,5 @@ def load_all() -> None:
         ingest_queries,
         llm_ops,
         udf_surface,
+        tpch,
     )
