@@ -123,3 +123,11 @@ def test_corpus_build_routes_every_document_once(spark, sf_dir):
     # each fingerprint keeps exactly one representative
     reps = [r for r in rows if r["is_representative"]]
     assert len({r["fingerprint"] for r in reps}) == len(reps)
+
+
+def test_ann_queries_report_recall_witness(spark, sf_dir):
+    for key in ("q_sim_ann_lsh", "q_sim_ivf"):
+        rows = QUERIES[key](spark, sf_dir).collect()
+        assert len(rows) == 10
+        recall = sum(r["in_exact_topk"] for r in rows) / 10
+        assert recall >= 0.7, f"{key} recall@10 degraded to {recall}"
