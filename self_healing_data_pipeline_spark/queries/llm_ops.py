@@ -348,8 +348,9 @@ def q_dedup_incremental(spark, sf_dir):
     oracle="""
     SELECT d.lang,
            CAST(t.k - 1 AS BIGINT) AS dim,
-           CAST(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS centroid
+           CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.k] AS DOUBLE) * 10000000.0)
+                         AS BIGINT)) AS DOUBLE)
+             / 10000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
     FROM embeddings e
     JOIN documents d ON e.vec_id = d.doc_id,
          generate_series(1, 8) AS t(k)
@@ -359,23 +360,29 @@ def q_dedup_incremental(spark, sf_dir):
 )
 def q_embed_centroids(spark, sf_dir):
     """Per-language embedding centroid (first 8 dims): the vector
-    aggregate behind corpus clustering / domain balancing. Component sums
-    accumulate in exact decimal (float addition is order-sensitive, so a
-    partial-aggregated Spark sum and a sequential DuckDB sum would drift
-    in doubles — the same determinism rule as the monetary aggregates in
-    functions.scalar); the final mean divides in double, which IEEE
-    specifies exactly. posexplode keeps the shuffle at |langs| × 8 rows
-    of partial sums — never the vectors themselves."""
+    aggregate behind corpus clustering / domain balancing.
+
+    Each component quantizes to an exact integer (FLOOR(x·10⁷) — within
+    float32's own precision) before summing: float addition is
+    order-sensitive, so a partial-aggregated Spark sum and a sequential
+    DuckDB sum of raw doubles would drift, and double→DECIMAL rounding
+    was observed to differ between engines at exact decimal-tie points
+    (rounding MODE is engine-defined; FLOOR is exact and mode-free
+    everywhere). Integer sums are order-insensitive; the final divisions
+    are single correctly-rounded IEEE ops. posexplode keeps the shuffle
+    at |langs| × 8 rows of partial sums — never the vectors themselves."""
     e = read_table(spark, sf_dir, "embeddings")
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     joined = e.join(d, e["vec_id"] == d["doc_id"]).select(
         "lang", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "x")
     )
+    q = F.floor(F.col("x").cast("double") * 10_000_000.0).cast("bigint")
     return (
         joined.groupBy("lang", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(27,10)")).cast("double")
+                F.sum(q).cast("double")
+                / F.lit(10_000_000.0)
                 / F.count(F.lit(1)).cast("double")
             ).alias("centroid")
         )
