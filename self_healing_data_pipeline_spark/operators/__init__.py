@@ -4,6 +4,7 @@ from self_healing_data_pipeline_spark.operators.aggregates import (
     null_profile,
 )
 from self_healing_data_pipeline_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -11,11 +12,15 @@ from self_healing_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_udf,
     normalize_text,
     shingles,
+    simhash_pairs,
     simhash_signatures,
 )
 from self_healing_data_pipeline_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
+    jpeg_bytes,
+    parse_image_dims,
+    png_bytes,
 )
 from self_healing_data_pipeline_spark.operators.relational import (
     asof_join,
@@ -47,6 +52,7 @@ __all__ = [
     "pricing_summary",
     "exact_stats",
     "null_profile",
+    "connected_components",
     "dedup_exact",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -54,9 +60,13 @@ __all__ = [
     "ngram_jaccard_udf",
     "normalize_text",
     "shingles",
+    "simhash_pairs",
     "simhash_signatures",
     "extract_features",
     "frame_sample_plan",
+    "jpeg_bytes",
+    "parse_image_dims",
+    "png_bytes",
     "asof_join",
     "asof_join_pandas",
     "range_join",
