@@ -460,14 +460,14 @@ def q_events_anomaly(spark, sf_dir):
 @query(
     "q_dedup_clusters",
     oracle="""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
       SELECT a.doc_id AS x, b.doc_id AS y
       FROM documents a JOIN documents b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT x AS n FROM e UNION SELECT DISTINCT y FROM e
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT x, y FROM e UNION SELECT y, x FROM e UNION SELECT n, n FROM nodes
     ), reach(a, b) AS (
       SELECT x, y FROM sym
