@@ -178,13 +178,17 @@ def q_sim_join_lsh(spark, sf_dir):
     """Label-free embedding near-dup pairs: LSH-bucket candidates + exact
     cosine verify ≥ 0.4 (the 100 TB path when no blocking key exists).
     4 tables × 4 bits ≈ 50% recall at the threshold on random data —
-    recall/bucket-size is the tunable LSH trade."""
+    recall/bucket-size is the tunable LSH trade. The verified cosine rides
+    in the output so the rows-only record witnesses every pair actually
+    clears the threshold."""
     from self_healing_data_pipeline_spark.operators.similarity import (
         similarity_join_lsh,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity_join_lsh(emb, threshold=0.4, bits=4).select("id_l", "id_r")
+    return similarity_join_lsh(emb, threshold=0.4, bits=4).select(
+        "id_l", "id_r", "cosine_sim", (F.col("cosine_sim") >= 0.4).alias("above_threshold")
+    )
 
 
 @query("q_sim_ivf")  # approximate: probes a subset of inverted lists → rows-only
