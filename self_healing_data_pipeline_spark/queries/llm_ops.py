@@ -441,3 +441,49 @@ def q_corpus_build(spark, sf_dir):
         .otherwise("test")
         .alias("route"),
     )
+
+
+@query(
+    "q_text_docfreq",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok,
+           COUNT(*) AS doc_freq,
+           CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*) AS inv_doc_freq
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_text_docfreq(spark, sf_dir):
+    """Document-frequency table (the IDF side of TF-IDF and the basis for
+    stopword discovery): distinct (doc, token) pairs → per-token document
+    counts, keeping tokens in ≥5 docs. inv_doc_freq is the raw N/df ratio
+    — a single correctly-rounded IEEE division, unlike log-based IDF whose
+    transcendental differs across libm builds. Explode + two hash
+    aggregates, all map-side partial; the shuffle key is the token."""
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+        .select(
+            "tok",
+            "doc_freq",
+            (F.lit(float(n_docs)) / F.col("doc_freq").cast("double")).alias(
+                "inv_doc_freq"
+            ),
+        )
+    )
