@@ -487,3 +487,36 @@ def q_text_docfreq(spark, sf_dir):
             ),
         )
     )
+
+
+@query("q_kmeans_assign")  # trained centroids are float-iterative → rows-only
+def q_kmeans_assign(spark, sf_dir):
+    """K-means cluster assignment over the embedding corpus (the corpus
+    clustering / domain-balancing primitive; also the IVF coarse
+    quantizer). Trains 16 centroids with 3 Lloyd iterations
+    (operators.similarity.ivf_train — assignment is an Arrow matmul
+    narrow map, the update shuffles K×dim partial sums, never vectors),
+    then emits per-cluster sizes with two witnesses: every vector is
+    assigned (sizes sum to N) and ``top_cluster_share`` stays below 0.5
+    (training didn't collapse into one cluster). Rows-only: centroid
+    values are float-iterative and engine-specific by design."""
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    centroids = ivf_train(emb, n_centroids=16, iters=3)
+    assigned = ivf_assignments(emb, centroids)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return sizes.select(
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / F.lit(float(n))).alias("share"),
+        (F.col("n_vectors").cast("double") / F.lit(float(n)) < 0.5).alias(
+            "below_half"
+        ),
+    ).orderBy("centroid_id")
