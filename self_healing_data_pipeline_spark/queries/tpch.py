@@ -118,3 +118,53 @@ def q_tpch_q18(spark, sf_dir):
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
     )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2))
+                           - CAST(l.l_discount AS DECIMAL(12,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): the promo-type share of one month's
+    revenue — a broadcast dim join feeding a conditional exact-decimal
+    ratio. The date band pushes to the lineitem scan; part broadcasts;
+    one partial-aggregated reduction to a single row."""
+    lo = F.lit("1995-09-01").cast("timestamp_ntz")
+    hi = F.lit("1995-10-01").cast("timestamp_ntz")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
