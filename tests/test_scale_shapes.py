@@ -152,3 +152,12 @@ def test_doc_chunks_is_shuffle_free(spark, sf_dir):
 def test_incremental_dedup_is_anti_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_dedup_incremental")
     assert "LeftAnti" in p
+
+
+def test_tpch_topk_queries_avoid_global_sort(spark, sf_dir):
+    for name in ("q_tpch_q3", "q_tpch_q10"):
+        p = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+    # Q10's nation dim must broadcast, never shuffle the fact side for it
+    p10 = plan_of(spark, sf_dir, "q_tpch_q10")
+    assert "BroadcastHashJoin" in p10
