@@ -183,8 +183,8 @@ def q_tpch_q14(spark, sf_dir):
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1994-10-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY lost_revenue DESC, c.c_custkey
     LIMIT 20
@@ -192,12 +192,12 @@ def q_tpch_q14(spark, sf_dir):
 )
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
-    lost to returns in one quarter. The quarter band and return-flag
-    filter push to the scans, nation broadcasts, the fact joins shuffle
-    on their keys, and the LIMIT plans TakeOrderedAndProject. Tie-break
+    lost to returns in one year. The date band and return-flag filter
+    push to the scans, nation broadcasts, the fact joins shuffle on
+    their keys, and the LIMIT plans TakeOrderedAndProject. Tie-break
     on c_custkey total-orders the top-20."""
-    lo = F.lit("1994-10-01").cast("timestamp_ntz")
-    hi = F.lit("1995-01-01").cast("timestamp_ntz")
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = read_table(spark, sf_dir, "orders").filter(
