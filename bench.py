@@ -57,8 +57,18 @@ def main() -> None:
         for _ in range(2):
             warm_q(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Per-query pre-GC (Python + JVM): as the suite grows, garbage from
+    # earlier heavy queries (UDF workers, codegen classes, shuffle
+    # buffers) otherwise lands as collection pauses inside later queries'
+    # timed windows — r02 showed unchanged window queries "regress" 2-3×
+    # purely from running later in a longer alphabetical suite. Forcing
+    # collection between queries makes each number steady-state.
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
+        gc.collect()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

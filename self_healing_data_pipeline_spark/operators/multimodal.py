@@ -94,6 +94,13 @@ def parse_image_dims(
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                # 0xFF fill bytes before a marker are legal padding
+                # (ITU T.81 §B.1.1.2): consume one byte at a time so the
+                # real marker byte is read next, instead of treating the
+                # pad as a marker and mis-reading a segment length.
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

@@ -39,8 +39,8 @@ _FEED_SCHEMA = T.StructType(
                 ELSE 'loaded' END AS status,
            COUNT(*) AS n_records,
            CAST(SUM(CASE WHEN event_id % 37 <> 0 AND event_id % 41 <> 0
-                         THEN CAST(value AS DECIMAL(18,2)) END)
-                AS DOUBLE) AS sum_value_loaded
+                         THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                AS DOUBLE) / 100.0 AS sum_value_loaded
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -56,7 +56,11 @@ def q_ingest_quarantine(spark, sf_dir):
     the frozen schema and each record routes to loaded / malformed /
     missing_required_field exactly as the streaming quarantine does. The
     oracle recomputes the expected routing from the raw table, so parse
-    failure detection itself is verified, not just row counts.
+    failure detection itself is verified, not just row counts. The loaded
+    sum accumulates exact integer cents (ROUND(value·100) → BIGINT) rather
+    than double→DECIMAL casts: decimal tie rounding of a raw double is
+    engine-defined, while integer sums are order-insensitive and exact, so
+    the oracle stays stable under fixture regeneration.
     """
     ev = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -100,14 +104,15 @@ def q_ingest_quarantine(spark, sf_dir):
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_records"),
-            F.sum(
-                F.when(
-                    F.col("status") == "loaded",
-                    F.col("value").cast("decimal(18,2)"),
-                )
-            )
-            .cast("double")
-            .alias("sum_value_loaded"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("status") == "loaded",
+                        F.round(F.col("value") * 100).cast("bigint"),
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_value_loaded"),
         )
         .orderBy("status")
     )

@@ -190,13 +190,26 @@ _SHINGLE_ORACLE = f"""
 """
 
 
+#: Grams seen in more than this many documents are boilerplate, not
+#: contamination evidence; dropping them bounds the per-gram candidate
+#: sets (the 100 TB guard). Mirrored EXACTLY in the oracle CTE below so
+#: the twin stays bit-exact.
+_CONTAM_GRAM_DF_CAP = 50
+
 @query(
     "q_contamination",
     oracle=f"""
     WITH shingles AS ({_SHINGLE_ORACLE}),
-    probes AS (SELECT doc_id AS probe_id, g FROM shingles
+    capped AS (
+      SELECT s.doc_id, s.g FROM shingles s
+      JOIN (SELECT g FROM shingles
+            GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) <= {_CONTAM_GRAM_DF_CAP}) ok
+        ON s.g = ok.g
+    ),
+    probes AS (SELECT doc_id AS probe_id, g FROM capped
                WHERE doc_id % 10 = 0),
-    corpus AS (SELECT doc_id, g FROM shingles WHERE doc_id % 10 <> 0)
+    corpus AS (SELECT doc_id, g FROM capped WHERE doc_id % 10 <> 0)
     SELECT p.probe_id, c.doc_id,
            COUNT(DISTINCT p.g) AS n_shared_shingles
     FROM probes p JOIN corpus c ON p.g = c.g
@@ -216,10 +229,15 @@ def q_contamination(spark, sf_dir):
     collects its probe set and corpus set, cross-expands to candidate
     pairs, and the final aggregate counts distinct shared grams per pair.
     One scan, one shuffle on the 16-hex gram hash — text never shuffles.
-    At production scale an ultra-common boilerplate gram would make its
-    sets degenerate; the practical guard is a per-gram frequency cap (as
-    in operators.dedup.pairs_within_buckets), omitted here so the oracle
-    semantics stay exact."""
+
+    Scale guard: grams whose document frequency exceeds
+    ``_CONTAM_GRAM_DF_CAP`` are dropped BEFORE the set-collect — an
+    ultra-common boilerplate gram would otherwise accumulate an unbounded
+    probe×corpus candidate set at production scale (and such grams are
+    noise, not contamination evidence — the same reasoning as
+    operators.dedup.pairs_within_buckets). The identical HAVING predicate
+    runs in the DuckDB oracle CTE, so the twin stays bit-exact WITH the
+    cap in force."""
     d = read_table(spark, sf_dir, "documents")
     nt = normalize_text("text")
     n_sh = F.floor(F.greatest(F.length("nt") - 20, F.lit(0)) / 10.0).cast("int")
@@ -234,8 +252,21 @@ def q_contamination(spark, sf_dir):
         .filter(F.length(sh) == 20)
         .select("doc_id", F.substring(F.md5(sh), 1, 16).alias("g"))
     )
-    per_gram = (
+    # The cap must land BEFORE the set-collect (a post-agg filter would
+    # still build the unbounded set in the aggregation buffer): first a
+    # plain count-distinct per gram — constant-size buffer — then a
+    # join-back keeps only rare grams, so every collect_set below holds
+    # at most _CONTAM_GRAM_DF_CAP doc ids. Both shuffles key on the
+    # 16-hex gram hash.
+    rare_grams = (
         shingles.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") <= _CONTAM_GRAM_DF_CAP)
+        .select("g")
+    )
+    per_gram = (
+        shingles.join(rare_grams, "g")
+        .groupBy("g")
         .agg(
             F.collect_set(
                 F.when(F.col("doc_id") % 10 == 0, F.col("doc_id"))
@@ -465,9 +496,12 @@ def q_text_docfreq(spark, sf_dir):
     counts, keeping tokens in ≥5 docs. inv_doc_freq is the raw N/df ratio
     — a single correctly-rounded IEEE division, unlike log-based IDF whose
     transcendental differs across libm builds. Explode + two hash
-    aggregates, all map-side partial; the shuffle key is the token."""
+    aggregates, all map-side partial; the shuffle key is the token. The
+    corpus-size scalar stays INSIDE the plan as a broadcast-crossJoined
+    1-row aggregate (same pattern as extras.q_subquery_scalar) — no
+    separate driver-side count job, one plan, one scan schedule."""
     d = read_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = (
         d.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -479,10 +513,11 @@ def q_text_docfreq(spark, sf_dir):
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= 5)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "tok",
             "doc_freq",
-            (F.lit(float(n_docs)) / F.col("doc_freq").cast("double")).alias(
+            (F.col("_n_docs") / F.col("doc_freq").cast("double")).alias(
                 "inv_doc_freq"
             ),
         )
@@ -506,17 +541,23 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # Corpus size folded into the plan as a broadcast 1-row aggregate —
+    # no separate driver count job (ivf_train's K×dim centroid state is
+    # the only deliberate driver round-trip here).
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("_n_vecs"))
     centroids = ivf_train(emb, n_centroids=16, iters=3)
     assigned = ivf_assignments(emb, centroids)
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
-    return sizes.select(
-        F.col("centroid_id").cast("bigint").alias("centroid_id"),
-        "n_vectors",
-        (F.col("n_vectors").cast("double") / F.lit(float(n))).alias("share"),
-        (F.col("n_vectors").cast("double") / F.lit(float(n)) < 0.5).alias(
-            "below_half"
-        ),
-    ).orderBy("centroid_id")
+    share = F.col("n_vectors").cast("double") / F.col("_n_vecs")
+    return (
+        sizes.crossJoin(F.broadcast(n))
+        .select(
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            "n_vectors",
+            share.alias("share"),
+            (share < 0.5).alias("below_half"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -150,7 +150,10 @@ def q_udtf_sentences(spark, sf_dir):
             if text is None:
                 return
             for i, part in enumerate(text.split(".")):
-                t = part.strip()
+                # strip(' ') not strip(): DuckDB TRIM removes spaces only,
+                # and the oracle comparison is bit-exact — both engines
+                # must share one trimming definition.
+                t = part.strip(" ")
                 if t:
                     yield i, len(t)
 

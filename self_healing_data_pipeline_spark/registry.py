@@ -54,4 +54,5 @@ def load_all() -> None:
         llm_ops,
         udf_surface,
         tpch,
+        catalog_queries,
     )

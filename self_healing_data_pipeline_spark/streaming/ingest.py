@@ -87,19 +87,26 @@ def incremental_ingest_with_quarantine(
 
     The cloud-standard API-ingest pattern: an extractor lands feed pages as
     JSON-lines (or CSV) files in ``source_dir``; this drains them exactly
-    once (file-source checkpoint) and ROUTES each record — rows that parse
-    under the frozen ``schema`` and carry all ``required`` fields append to
-    the ``dest_dir`` parquet table; malformed rows (captured raw via
-    PERMISSIVE + _corrupt_record) and schema-violating rows (missing
-    required fields) append to ``quarantine_dir`` with a reason column for
-    repair/re-ingest. Nothing is dropped, one bad page can't kill the
-    load, and a crashed run resumes from the checkpoint — the same
-    healing-loop shape as the reference's error→repair→resume state
-    machine (``automated-data-catalog-&-etl/App.tsx:89-204``), applied at
-    the record level.
+    once (file-source checkpoint + idempotent sink writes, see below) and
+    ROUTES each record — rows that parse under the frozen ``schema`` and
+    carry all ``required`` fields land in the ``dest_dir`` parquet table;
+    malformed rows (captured raw via PERMISSIVE + _corrupt_record) and
+    schema-violating rows (missing required fields) land in
+    ``quarantine_dir`` with a reason column for repair/re-ingest. Nothing
+    is dropped, one bad page can't kill the load, and a crashed run
+    resumes from the checkpoint — the same healing-loop shape as the
+    reference's error→repair→resume state machine
+    (``automated-data-catalog-&-etl/App.tsx:89-204``), applied at the
+    record level.
 
+    Exactly-once is real, not just at-least-once: foreachBatch alone
+    replays a batch if the process dies between a sink write and the
+    checkpoint commit, so each sink write is made IDEMPOTENT by
+    partitioning on the deterministic ``batch_id`` with dynamic partition
+    overwrite — a replayed batch overwrites its own partition instead of
+    appending duplicates (the standard foreachBatch idempotency pattern).
     foreachBatch splits each micro-batch once (cached) and writes both
-    sinks; at scale each sink write is a partition-parallel parquet append
+    sinks; at scale each sink write is a partition-parallel parquet write
     and the only driver state is the checkpoint's processed-file log.
     """
     aug = T.StructType(
@@ -127,10 +134,16 @@ def incremental_ingest_with_quarantine(
                 missing = missing | F.col(c).isNull()
             good = batch_df.filter(~corrupt & ~missing)
             bad = batch_df.filter(corrupt | missing)
+            # batch_id-partitioned dynamic overwrite: a replayed batch
+            # (crash between write and checkpoint commit) rewrites its own
+            # partition rather than appending duplicate rows.
             (
                 good.drop("_corrupt_record")
                 .withColumn("_ingested_at", F.current_timestamp())
-                .write.mode("append")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
                 .parquet(dest_dir)
             )
             (
@@ -142,10 +155,12 @@ def incremental_ingest_with_quarantine(
                     F.when(corrupt, "malformed")
                     .otherwise("missing_required_field")
                     .alias("reason"),
-                    F.lit(batch_id).alias("batch_id"),
                     F.current_timestamp().alias("_quarantined_at"),
+                    F.lit(batch_id).alias("batch_id"),
                 )
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(quarantine_dir)
             )
         finally:

@@ -53,6 +53,11 @@ def streaming_interval_join(
     right events of the same key whose timestamp falls in
     ``(ts_l - lower, ts_l]``.
 
+    Column contract: the left side exposes ``key`` and ``ts_l``; the right
+    side exposes ``f"{key}_r"`` and ``ts_r`` (suffixed so the joined frame
+    has no ambiguous names). A naturally-named right side (bare ``key``)
+    is accepted and renamed internally.
+
     Both sides carry a watermark and the join condition bounds event time
     in BOTH directions — that is what lets Spark evict buffered rows
     instead of holding unbounded state (the interval gives the engine a
@@ -66,6 +71,8 @@ def streaming_interval_join(
     left = left.withColumn(ts_l, F.col(ts_l).cast("timestamp")).withWatermark(
         ts_l, watermark
     )
+    if f"{key}_r" not in right.columns and key in right.columns:
+        right = right.withColumnRenamed(key, f"{key}_r")
     right = right.withColumn(ts_r, F.col(ts_r).cast("timestamp")).withWatermark(
         ts_r, watermark
     )
