@@ -253,19 +253,21 @@ def q_contamination(spark, sf_dir):
         .select("doc_id", F.substring(F.md5(sh), 1, 16).alias("g"))
     )
     # The cap must land BEFORE the set-collect (a post-agg filter would
-    # still build the unbounded set in the aggregation buffer): first a
-    # plain count-distinct per gram — constant-size buffer — then a
-    # join-back keeps only rare grams, so every collect_set below holds
-    # at most _CONTAM_GRAM_DF_CAP doc ids. Both shuffles key on the
-    # 16-hex gram hash.
-    rare_grams = (
-        shingles.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("gram_df"))
-        .filter(F.col("gram_df") <= _CONTAM_GRAM_DF_CAP)
-        .select("g")
-    )
+    # still build the unbounded set in the aggregation buffer), and
+    # WITHOUT a join-back (two branches over the shingle subplan would
+    # scan the documents parquet twice — Catalyst does not share common
+    # subplans). Shape: dedup to distinct (gram, doc) pairs (bounded
+    # buffers), count pairs per gram with a WINDOW (constant state),
+    # filter, then collect — every collect_set holds ≤ cap doc ids,
+    # still one scan. The window and the final groupBy share the g
+    # partitioning, so the filter adds no extra shuffle.
+    from pyspark.sql import Window
+
+    pairs = shingles.groupBy("g", "doc_id").agg(F.lit(1).alias("_one"))
+    gram_df = F.count(F.lit(1)).over(Window.partitionBy("g"))
     per_gram = (
-        shingles.join(rare_grams, "g")
+        pairs.withColumn("gram_df", gram_df)
+        .filter(F.col("gram_df") <= _CONTAM_GRAM_DF_CAP)
         .groupBy("g")
         .agg(
             F.collect_set(

@@ -55,4 +55,5 @@ def load_all() -> None:
         udf_surface,
         tpch,
         catalog_queries,
+        corpus_ops,
     )

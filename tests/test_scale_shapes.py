@@ -161,3 +161,43 @@ def test_tpch_topk_queries_avoid_global_sort(spark, sf_dir):
     # Q10's nation dim must broadcast, never shuffle the fact side for it
     p10 = plan_of(spark, sf_dir, "q_tpch_q10")
     assert "BroadcastHashJoin" in p10
+
+
+def test_tpch_q5_broadcasts_all_three_dims(spark, sf_dir):
+    # supplier/nation/region must broadcast — only the c-o-l chain shuffles
+    p = plan_of(spark, sf_dir, "q_tpch_q5")
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_tpch_q6")
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("]")[0]
+    # scan reads only the 4 needed columns
+    read = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_tpch_q19_extracts_common_pushdown(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_tpch_q19")
+    assert "BroadcastHashJoin" in p
+    # Catalyst projects the cross-table OR-of-ANDs onto each side and
+    # pushes both single-table disjunctions into the scans
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in p
+
+
+def test_tpch_q4_plans_semi_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_tpch_q4")
+    assert "LeftSemi" in p
+
+
+def test_zipf_head_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_text_zipf")
+
+
+def test_shard_assign_single_shuffle_on_lang(spark, sf_dir):
+    # one exchange for the window (lang), one for the tiny final agg —
+    # the running sum must not plan a global (single-partition) window
+    p = plan_of(spark, sf_dir, "q_shard_assign")
+    assert "SinglePartition" not in p
