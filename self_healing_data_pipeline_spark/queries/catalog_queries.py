@@ -19,6 +19,7 @@ catalogs with deep graphs the pointer-jumping loop of
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.operators.dedup import normalize_text
@@ -138,4 +139,94 @@ def q_lineage_downstream(spark, sf_dir):
         reach.groupBy("dataset")
         .agg(F.min("depth").cast("bigint").alias("depth"))
         .orderBy("depth", "dataset")
+    )
+
+
+@query(
+    "q_profile_topk_values",
+    oracle="""
+    WITH vals AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ), counts AS (
+      SELECT col, val, COUNT(*) AS n FROM vals GROUP BY col, val
+    )
+    SELECT col, val,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col
+                                       ORDER BY n DESC, val) AS rnk
+          FROM counts)
+    WHERE rnk <= 3
+    ORDER BY col, rnk
+    """,
+)
+def q_profile_topk_values(spark, sf_dir):
+    """Frequent-values profile: the top-3 most common values of each
+    profiled column with counts — the catalog's answer to "what does this
+    column actually contain", the deterministic twin of the reference's
+    LLM quality-issue hints (``APP/services/geminiService.ts:64``: enum
+    detection, skewed-domain detection). Columns unpivot via stack (one
+    scan for all profiled columns), counts aggregate map-side to
+    |col|×|domain| rows, and the per-column top-3 is a rank window over
+    that already-tiny aggregate — never over the raw table."""
+    o = read_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col, val)"
+        )
+    )
+    counts = vals.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "col",
+            "val",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("col", "rnk")
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             SUBSTRING(MD5(TRIM(REGEXP_REPLACE(LOWER(text),
+                                               '[^a-z0-9]+', ' ', 'g'))),
+                       1, 16) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint, n_chars
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+          FROM fp)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup with a QUALITY-BASED canonical-selection policy: within each
+    normalized-text fingerprint group keep the LONGEST variant (raw
+    n_chars — normalization strips formatting, so raw length
+    distinguishes otherwise-identical docs), doc_id as the total-order
+    tie-break. The policy-parameterized sibling of keep-first: real
+    corpus builds keep the best-quality duplicate, not the first-seen
+    one. Same scale shape as all fingerprint dedup here: one window
+    shuffle keyed on the 16-hex fingerprint, text never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(normalize_text("text")), 1, 16)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_chars")
     )

@@ -374,3 +374,40 @@ def q_pandas_udf(spark, sf_dir):
 
     o = read_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", fee_udf(F.col("o_totalprice")).alias("fee"))
+
+
+@query(
+    "q_sim_range",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           (SELECT SUM(CAST(e.embedding[i] * q.qv[i] AS DOUBLE))
+              FROM generate_series(1, 64) AS t(i)) AS score
+    FROM embeddings e, q
+    WHERE (SELECT SUM(CAST(e.embedding[i] * q.qv[i] AS DOUBLE))
+             FROM generate_series(1, 64) AS t(i)) >= 0.25
+    ORDER BY score DESC, e.vec_id ASC
+    """,
+)
+def q_sim_range(spark, sf_dir):
+    """Range (radius) similarity query: ALL vectors whose dot product
+    with the query vector clears a threshold — the retrieval sibling of
+    top-k where the result size is data-dependent (dedup candidates,
+    recall-oriented retrieval). Same narrow-map shape as q_sim_topk
+    (zip_with + aggregate, one broadcast 64-float query vector, no
+    shuffle) but with a filter instead of TakeOrdered — embarrassingly
+    parallel at any scale. Products stay float32 before the double
+    accumulation (functions.vector.dot_product), matching the oracle's
+    float×float→CAST(DOUBLE) exactly → bit-identical scores."""
+    from self_healing_data_pipeline_spark.functions.vector import dot_product
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
+    return (
+        emb.select(
+            "vec_id", dot_product(F.col("embedding"), qcol).alias("score")
+        )
+        .filter(F.col("score") >= 0.25)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )

@@ -164,3 +164,41 @@ def q_window_range_frame(spark, sf_dir):
         .cast("double")
         .alias("min_near_below"),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    """Navigation windows: each order alongside its customer's first,
+    last, and second order price (customer-lifetime context per row —
+    the "vs their first purchase" analytic). The frame is explicitly
+    UNBOUNDED..UNBOUNDED: LAST_VALUE under the default frame (..CURRENT
+    ROW) is the current row — the classic window gotcha — so the full
+    frame is stated identically on both engines. One shuffle on
+    o_custkey; (o_orderdate, o_orderkey) totally orders each partition."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias(
+            "second_price"
+        ),
+    )
