@@ -95,3 +95,40 @@ def test_frame_sample_plan_explodes_video_only(media):
     rows = out.collect()
     assert {r["media_id"] for r in rows} == {3}
     assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000]
+
+
+def test_wav_roundtrip_header_and_pcm():
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        decode_pcm,
+        parse_wav_meta,
+        wav_bytes,
+    )
+
+    b = wav_bytes(16000, 3200, channels=2, seed=7)
+    fmt, sr, ch, bits, dur = parse_wav_meta(b)
+    assert (fmt, sr, ch, bits) == ("wav", 16000, 2, 16)
+    # 3200 frames at 16 kHz = 200 ms
+    assert dur == 200
+    s = decode_pcm(b)
+    assert s is not None and len(s) == 3200 * 2
+    assert abs(int(s[0])) <= 12800  # sawtooth amplitude bound
+
+
+def test_wav_parse_rejects_non_wav():
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        decode_pcm,
+        parse_wav_meta,
+    )
+
+    assert parse_wav_meta(b"not audio at all") == (None,) * 5
+    assert decode_pcm(b"RIFFxxxxWAVE") is None
+
+
+def test_audio_features_roundtrip_witness(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["q_multimodal_audio"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["format"] == "wav" for r in rows)
