@@ -54,6 +54,8 @@ def load_all() -> None:
         llm_ops,
         udf_surface,
         tpch,
+        tpch2,
+        analytics,
         catalog_queries,
         corpus_ops,
     )

@@ -201,3 +201,45 @@ def test_shard_assign_single_shuffle_on_lang(spark, sf_dir):
     # the running sum must not plan a global (single-partition) window
     p = plan_of(spark, sf_dir, "q_shard_assign")
     assert "SinglePartition" not in p
+
+
+def test_tpch2_decorrelated_subqueries_plan_hash_joins(spark, sf_dir):
+    # Q21: EXISTS/NOT-EXISTS pair must decorrelate to ONE per-order
+    # aggregate joined back — no nested-loop, no extra self-join probes
+    p21 = plan_of(spark, sf_dir, "q_tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in p21
+    assert "partial_count" in p21  # per-order aggregate has map-side partials
+    # Q22: scalar AVG via broadcast one-row cross join, NOT EXISTS via anti
+    p22 = plan_of(spark, sf_dir, "q_tpch_q22")
+    assert "LeftAnti" in p22
+    # Q20: IN-subquery planned as semi join
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q_tpch_q20")
+
+
+def test_tpch2_dims_broadcast_not_shuffle(spark, sf_dir):
+    # Q9: part/supplier/nation all broadcast — lineitem never co-shuffles
+    # with a dim
+    p9 = plan_of(spark, sf_dir, "q_tpch_q9")
+    assert p9.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p9
+    # Q9's part-name pattern prunes at the scan
+    assert "StringContains(p_name,red)" in p9
+    # Q11: same star shape
+    p11 = plan_of(spark, sf_dir, "q_tpch_q11")
+    assert p11.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch2_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    # the priority filter must live INSIDE the join (no Filter above the
+    # left join's orders side would keep zero-order customers)
+    df = entrymod.queries()["q_tpch_q13"](spark, sf_dir)
+    counts = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert 0 in counts  # customers with no qualifying orders are present
+
+
+def test_tpch2_q2_correlated_min_is_decorrelated(spark, sf_dir):
+    # the per-part MIN subquery must plan as a hash aggregate joined back
+    # (partial_min map-side), never a nested-loop re-probe per part
+    p = plan_of(spark, sf_dir, "q_tpch_q2")
+    assert "partial_min" in p
+    assert "BroadcastNestedLoopJoin" not in p
