@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from self_healing_data_pipeline_spark.functions.scalar import dec
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -212,4 +213,72 @@ def q_scd2_versions(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
         F.date_format(nxt, "yyyy-MM-dd").alias("effective_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, CAST(user_id AS INTEGER) AS user_id, event_type
+      FROM events WHERE ts < TIMESTAMP '2024-04-01 00:00:00'
+    ), v2 AS (
+      SELECT event_id, user_id, value, props
+      FROM events WHERE ts >= TIMESTAMP '2024-04-01 00:00:00'
+    ), unioned AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+             CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
+      FROM v1
+      UNION ALL
+      SELECT event_id, user_id, CAST(NULL AS VARCHAR), value, props
+      FROM v2
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(event_type) AS n_event_type,
+           COUNT(value) AS n_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM unioned
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Self-healing schema evolution (the reference's core premise:
+    ingest adapts to drift instead of crashing). Two event batches with
+    drifted schemas — v2 widens user_id int→bigint, drops event_type,
+    adds value and props — union through
+    ``operators.schema_evolution.evolve_union``: diff → widen along the
+    numeric lattice → null-fill → unionByName (order-drift-proof). The
+    oracle hand-writes the aligned UNION ALL, so the operator's widening
+    and null-filling are value-verified, not just schema-checked. All
+    alignment is narrow projections — no shuffle beyond the final
+    aggregate."""
+    from self_healing_data_pipeline_spark.operators.schema_evolution import (
+        evolve_union,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-04-01").cast("timestamp_ntz")
+    v1 = ev.filter(F.col("ts") < cut).select(
+        "event_id", F.col("user_id").cast("int").alias("user_id"), "event_type"
+    )
+    v2 = ev.filter(F.col("ts") >= cut).select(
+        "event_id", "user_id", "value", "props"
+    )
+    unioned, events = evolve_union(v1, v2)
+    kinds = {e.column: e.kind for e in events}
+    # The drift report is part of the contract: wrong classification =
+    # wrong pipeline behavior, so fail loudly here rather than union
+    # misaligned data.
+    assert kinds == {
+        "user_id": "widened",
+        "event_type": "removed",
+        "value": "added",
+        "props": "added",
+    }, kinds
+    return unioned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_type").alias("n_event_type"),
+        F.count("value").alias("n_value"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
     )

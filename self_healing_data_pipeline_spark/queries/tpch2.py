@@ -452,7 +452,8 @@ def q_tpch_q17(spark, sf_dir):
     SELECT s.s_suppkey, s.s_name, n.n_name
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'NATION_1'
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
       AND s.s_suppkey IN (
         SELECT sh.l_suppkey FROM shipped sh
         JOIN part p ON sh.l_partkey = p.p_partkey
@@ -462,8 +463,10 @@ def q_tpch_q17(spark, sf_dir):
 )
 def q_tpch_q20(spark, sf_dir):
     """TPC-H Q20 shape (potential part promotion): suppliers in one
-    nation who shipped a meaningful volume (>50 units in the year — the
-    half-of-availqty proxy, no partsupp) of a name-matched part family.
+    region who shipped a meaningful volume (>50 units in the year — the
+    half-of-availqty proxy, no partsupp) of a name-matched part family
+    (region-wide rather than one nation so the result is non-trivial even
+    at the 10-supplier sf0.001 fixture).
     The IN subquery decorrelates to a LEFT SEMI join against the
     per-(supplier, part) yearly aggregate; the part-name filter broadcasts
     into the aggregate's probe side; the nation filter broadcasts onto the
@@ -475,7 +478,8 @@ def q_tpch_q20(spark, sf_dir):
     )
     p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     qualifying = (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
@@ -485,6 +489,7 @@ def q_tpch_q20(spark, sf_dir):
     )
     return (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .join(qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
@@ -504,7 +509,8 @@ def q_tpch_q20(spark, sf_dir):
     FROM base l1
     JOIN supplier s ON l1.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'NATION_2' AND l1.late
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND l1.late
       AND EXISTS (SELECT 1 FROM base l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
@@ -518,7 +524,8 @@ def q_tpch_q20(spark, sf_dir):
 )
 def q_tpch_q21(spark, sf_dir):
     """TPC-H Q21 shape (suppliers who kept orders waiting): per supplier
-    in one nation, how many finished multi-supplier orders they alone
+    in one region (region-wide so sf0.001's 10 suppliers still yield
+    rows), how many finished multi-supplier orders they alone
     shipped late on (late = ship > order + 60d, the Q4 convention). The
     EXISTS / NOT EXISTS pair decorrelates to ONE per-order aggregate —
     n_supp = COUNT(DISTINCT supplier), n_late_supp = COUNT(DISTINCT
@@ -547,13 +554,15 @@ def q_tpch_q21(spark, sf_dir):
         ),
     )
     s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         base.filter(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

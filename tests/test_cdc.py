@@ -1,0 +1,113 @@
+"""CDC apply-changes stream (streaming.cdc): latest-wins merge,
+delete handling, exactly-once effect under batch replay."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from self_healing_data_pipeline_spark.streaming.cdc import (
+    apply_changes,
+    apply_changes_batch,
+    latest_change_per_key,
+    read_state,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _state_dict(spark, state_dir):
+    df = read_state(spark, state_dir)
+    return {r["id"]: (r["seq"], r["name"]) for r in df.collect()}
+
+
+def test_latest_change_per_key_collapses_batch(spark):
+    batch = spark.createDataFrame(
+        [
+            ("upsert", 1, 10, "a"),
+            ("upsert", 1, 12, "a2"),
+            ("delete", 2, 11, None),
+            ("upsert", 2, 9, "b"),
+        ],
+        SCHEMA,
+    )
+    got = {
+        r["id"]: (r["op"], r["seq"])
+        for r in latest_change_per_key(batch, "id", "seq").collect()
+    }
+    assert got == {1: ("upsert", 12), 2: ("delete", 11)}
+
+
+def test_apply_changes_stream_merges_and_deletes(spark, tmp_path):
+    src = tmp_path / "changes"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "op,id,seq,name\nupsert,1,10,alice\nupsert,2,11,bob\nupsert,3,12,carol\n"
+    )
+    (src / "b2.csv").write_text(
+        "op,id,seq,name\nupsert,1,20,alice2\ndelete,2,21,\nupsert,4,22,dave\n"
+    )
+    state = str(tmp_path / "state")
+    apply_changes(
+        spark,
+        str(src),
+        state,
+        str(tmp_path / "ckpt"),
+        SCHEMA,
+        key="id",
+        seq="seq",
+        max_files_per_trigger=1,
+    )
+    # two files -> two epochs -> two snapshots, latest wins
+    assert len([d for d in os.listdir(state) if d.startswith("batch=")]) == 2
+    assert _state_dict(spark, state) == {
+        1: (20, "alice2"),
+        3: (12, "carol"),
+        4: (22, "dave"),
+    }
+
+
+def test_apply_changes_batch_replay_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [("upsert", 1, 1, "x"), ("upsert", 2, 2, "y")], SCHEMA
+    )
+    apply_changes_batch(spark, b0, state, "id", "seq", epoch_id=0)
+    b1 = spark.createDataFrame(
+        [("upsert", 1, 5, "x2"), ("delete", 2, 6, None)], SCHEMA
+    )
+    apply_changes_batch(spark, b1, state, "id", "seq", epoch_id=1)
+    once = _state_dict(spark, state)
+    # crash-after-write, checkpoint-not-committed: the SAME epoch replays
+    apply_changes_batch(spark, b1, state, "id", "seq", epoch_id=1)
+    assert _state_dict(spark, state) == once == {1: (5, "x2")}
+
+
+def test_stale_change_does_not_overwrite_newer_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 7, 100, "new")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    # out-of-order delivery: an older change for the same key arrives later
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 7, 50, "old")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    assert _state_dict(spark, state) == {7: (100, "new")}
