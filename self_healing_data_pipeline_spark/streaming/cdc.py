@@ -9,6 +9,16 @@ version (CDC log offset / commit timestamp). Within a batch only the
 highest-seq change per key applies; across batches the merge keeps the
 newer of (current state, incoming change).
 
+Deletes persist as TOMBSTONES (``__deleted`` flag) rather than removing
+the row: if batches arrive out of order (file sources sort by
+modification time, which reorders under clock skew or backfill), a
+dropped delete would let a stale earlier-seq upsert resurrect the key.
+With the tombstone, latest-seq-wins applies uniformly to upserts and
+deletes, so the final state is arrival-order-independent. Readers use
+:func:`live_state`; tombstones older than the source's max reorder
+window can be purged by a periodic compaction (age-based, not
+implemented here).
+
 Idempotency (exactly-once effect under foreachBatch's at-least-once
 replay): each batch writes a FULL state snapshot to
 ``state_dir/batch=<epoch_id>`` — replaying a batch overwrites the same
@@ -47,8 +57,16 @@ def latest_change_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
     )
 
 
+def live_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest snapshot with tombstones filtered out — what readers join."""
+    snap = read_state(spark, state_dir)
+    if snap is None:
+        return None
+    return snap.filter(~F.col("__deleted")).drop("__deleted")
+
+
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest committed snapshot, or None before the first batch."""
+    """Latest raw snapshot (tombstones included), or None pre-first-batch."""
     if not os.path.isdir(state_dir):
         return None
     batches = sorted(
@@ -80,29 +98,28 @@ def apply_changes_batch(
     current = read_state(spark, state_dir)
     if current is None:
         merged = (
-            changes.filter(F.col("op") == "upsert")
+            changes.withColumn("__deleted", F.col("op") == "delete")
             .withColumnRenamed("__ckey", key)
             .drop("op")
         )
     else:
-        state_cols = current.columns  # includes key and seq
+        state_cols = [c for c in current.columns if c != "__deleted"]
         joined = current.join(
             changes, current[key] == changes["__ckey"], "full_outer"
         )
         take_change = current[key].isNull() | (
             changes["__ckey"].isNotNull() & (changes[seq] > current[seq])
         )
-        keep = joined.filter(
-            # drop rows whose winning change is a delete
-            ~(take_change & (F.col("op") == "delete"))
-        )
-        merged = keep.select(
+        merged = joined.select(
             *[
                 F.when(take_change, changes[c]).otherwise(current[c]).alias(c)
                 if c != key
                 else F.coalesce(current[key], changes["__ckey"]).alias(key)
                 for c in state_cols
-            ]
+            ],
+            F.when(take_change, F.col("op") == "delete")
+            .otherwise(current["__deleted"])
+            .alias("__deleted"),
         )
     out = os.path.join(state_dir, f"batch={epoch_id}")
     merged.write.mode("overwrite").parquet(out)

@@ -11,6 +11,7 @@ from self_healing_data_pipeline_spark.streaming.cdc import (
     apply_changes,
     apply_changes_batch,
     latest_change_per_key,
+    live_state,
     read_state,
 )
 
@@ -25,7 +26,7 @@ SCHEMA = T.StructType(
 
 
 def _state_dict(spark, state_dir):
-    df = read_state(spark, state_dir)
+    df = live_state(spark, state_dir)
     return {r["id"]: (r["seq"], r["name"]) for r in df.collect()}
 
 
@@ -55,6 +56,12 @@ def test_apply_changes_stream_merges_and_deletes(spark, tmp_path):
     (src / "b2.csv").write_text(
         "op,id,seq,name\nupsert,1,20,alice2\ndelete,2,21,\nupsert,4,22,dave\n"
     )
+    # The file source batches in modification-time order; same-millisecond
+    # writes would make batch order (and thus snapshot contents, though
+    # not the final survivors-by-seq) nondeterministic. Pin b1 older —
+    # the realistic CDC arrival order.
+    now = os.path.getmtime(src / "b2.csv")
+    os.utime(src / "b1.csv", (now - 10, now - 10))
     state = str(tmp_path / "state")
     apply_changes(
         spark,
@@ -111,3 +118,28 @@ def test_stale_change_does_not_overwrite_newer_state(spark, tmp_path):
         epoch_id=1,
     )
     assert _state_dict(spark, state) == {7: (100, "new")}
+
+
+def test_out_of_order_delete_is_not_resurrected(spark, tmp_path):
+    state = str(tmp_path / "state")
+    # the DELETE (seq 21) is processed BEFORE the stale upsert (seq 11)
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("delete", 2, 21, None)], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 2, 11, "zombie")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    # tombstone wins: the stale upsert must not resurrect the key
+    assert _state_dict(spark, state) == {}
+    raw = {r["id"]: r["__deleted"] for r in read_state(spark, state).collect()}
+    assert raw == {2: True}

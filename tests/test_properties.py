@@ -93,3 +93,52 @@ def test_parse_image_dims_never_raises_on_junk(junk):
     fmt, w, h = parse_image_dims(junk)  # must classify or reject, not throw
     if fmt is None:
         assert (w, h) == (None, None)
+
+
+_LATTICE_TYPES = None
+
+
+def _lattice_types():
+    global _LATTICE_TYPES
+    if _LATTICE_TYPES is None:
+        from pyspark.sql import types as T
+
+        _LATTICE_TYPES = [
+            T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+            T.FloatType(), T.DoubleType(), T.DateType(),
+            T.TimestampNTZType(), T.TimestampType(), T.StringType(),
+            T.DecimalType(10, 2), T.DecimalType(18, 4), T.BooleanType(),
+        ]
+    return _LATTICE_TYPES
+
+
+@given(i=st.integers(0, 12), j=st.integers(0, 12))
+@settings(**_SETTINGS)
+def test_widen_type_is_commutative_and_idempotent(i, j):
+    from self_healing_data_pipeline_spark.operators.schema_evolution import (
+        widen_type,
+    )
+
+    ts = _lattice_types()
+    a, b = ts[i], ts[j]
+    w = widen_type(a, b)
+    # commutative: drift direction must not change the healed schema
+    assert w == widen_type(b, a)
+    # idempotent upper bound: widening again with either input is a no-op
+    assert widen_type(w, a) == w
+    assert widen_type(w, b) == w
+    # self-join identity
+    assert widen_type(a, a) == a
+
+
+@given(i=st.integers(0, 12), j=st.integers(0, 12), k=st.integers(0, 12))
+@settings(**_SETTINGS)
+def test_widen_type_is_associative(i, j, k):
+    from self_healing_data_pipeline_spark.operators.schema_evolution import (
+        widen_type,
+    )
+
+    ts = _lattice_types()
+    a, b, c = ts[i], ts[j], ts[k]
+    # batch arrival order must not change the evolved schema
+    assert widen_type(widen_type(a, b), c) == widen_type(a, widen_type(b, c))
