@@ -198,19 +198,22 @@ def q_gaps_islands(spark, sf_dir):
     ), tf AS (
       SELECT doc_id, tok, COUNT(*) AS term_freq
       FROM toks WHERE tok <> '' GROUP BY doc_id, tok
-    ), df AS (
-      SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok
     ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    with_df AS (
+      SELECT doc_id, tok, term_freq,
+             COUNT(*) OVER (PARTITION BY tok) AS doc_freq
+      FROM tf
+    ),
     scored AS (
-      SELECT tf.doc_id, tf.tok, tf.term_freq, df.doc_freq,
-             CAST(tf.term_freq * (SELECT n_docs FROM n) AS DOUBLE)
-               / CAST(df.doc_freq AS DOUBLE) AS score,
+      SELECT doc_id, tok, term_freq, doc_freq,
+             CAST(term_freq * (SELECT n_docs FROM n) AS DOUBLE)
+               / CAST(doc_freq AS DOUBLE) AS score,
              ROW_NUMBER() OVER (
-               PARTITION BY tf.doc_id
-               ORDER BY CAST(tf.term_freq * (SELECT n_docs FROM n) AS DOUBLE)
-                          / CAST(df.doc_freq AS DOUBLE) DESC, tf.tok
+               PARTITION BY doc_id
+               ORDER BY CAST(term_freq * (SELECT n_docs FROM n) AS DOUBLE)
+                          / CAST(doc_freq AS DOUBLE) DESC, tok
              ) AS rn
-      FROM tf JOIN df ON tf.tok = df.tok
+      FROM with_df
     )
     SELECT doc_id, tok, term_freq, doc_freq, score
     FROM scored WHERE rn <= 3
@@ -221,10 +224,15 @@ def q_text_tfidf_top(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (keyword extraction / topic
     labeling for corpus curation). IDF is linearized (tf × N / df — one
     IEEE division, the q_text_docfreq convention) so ranks are bit-stable
-    across engines. Term frequencies and document frequencies come from
-    the SAME exploded aggregate (df reuses tf's output — one tokenize
-    pass); the corpus size stays in-plan as a broadcast 1-row aggregate;
-    the per-doc rank windows on doc_id, never a global sort. Shuffle keys
+    across engines. Document frequency is a COUNT window over the tf
+    aggregate rather than a re-aggregate + self-join: the self-join
+    variant plans the tokenize subtree TWICE (column pruning makes the
+    two subtrees non-identical, so exchange reuse never fires —
+    plan-verified), i.e. the full corpus would be read and exploded
+    twice at 100 TB. The window costs one extra shuffle on the token and
+    per-token buffering (spills for stopword-grade tokens) but
+    tokenizes exactly once; the corpus size stays in-plan as a broadcast
+    1-row aggregate; the per-doc rank windows on doc_id. Shuffle keys
     are (doc_id, token) then token — the text column itself never
     shuffles."""
     d = read_table(spark, sf_dir, "documents")
@@ -235,11 +243,10 @@ def q_text_tfidf_top(spark, sf_dir):
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("term_freq"))
     )
-    df = tf.groupBy(F.col("tok").alias("df_tok")).agg(
-        F.count(F.lit(1)).alias("doc_freq")
-    )
     scored = (
-        tf.join(df, tf["tok"] == df["df_tok"])
+        tf.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -243,3 +243,29 @@ def test_tpch2_q2_correlated_min_is_decorrelated(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_tpch_q2")
     assert "partial_min" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_analytics_windows_never_single_partition(spark, sf_dir):
+    # all four analytics queries window/aggregate per key (user_id or
+    # doc_id) — a global (SinglePartition) window would serialize at scale
+    for name in (
+        "q_time_weighted_avg",
+        "q_events_top_paths",
+        "q_gaps_islands",
+    ):
+        assert "SinglePartition" not in plan_of(spark, sf_dir, name), name
+    # tfidf carries exactly one SinglePartition: the broadcast 1-row
+    # corpus-size aggregate (constant data), never a data-bearing stage
+    assert plan_of(spark, sf_dir, "q_text_tfidf_top").count("SinglePartition") <= 2
+
+
+def test_top_paths_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_events_top_paths")
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    # doc_freq is a window over tf, NOT a re-aggregate self-join (which
+    # plans the tokenize subtree twice): documents parquet is scanned
+    # exactly twice — corpus-size count + one tokenize pass
+    p = plan_of(spark, sf_dir, "q_text_tfidf_top")
+    assert p.count("Scan parquet  (") <= 2
