@@ -308,6 +308,7 @@ def q_tpch_q13(spark, sf_dir):
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
@@ -321,11 +322,21 @@ def q_tpch_q15(spark, sf_dir):
     cross-joined back onto the per-supplier revenues — the revenue CTE is
     computed once in the plan (Spark reuses the exchange), and the
     equality compares exact decimals, so ties surface identically on both
-    engines instead of depending on float summation order."""
+    engines instead of depending on float summation order.
+
+    The explicit l_suppkey-not-null filter (a no-op on key columns,
+    mirrored in the oracle) matters for the PLAN: without it the
+    supplier equi-join pushes isnotnull(l_suppkey) into only the probe
+    branch's scan, the two rev subtrees stop being canonically equal,
+    and AQE cannot reuse the exchange — lineitem would be scanned and
+    aggregated twice. With it, runtime stage reuse makes rev compute
+    once (asserted in tests/test_scale_shapes.py)."""
     lo = F.lit("1996-01-01").cast("timestamp_ntz")
     hi = F.lit("1996-04-01").cast("timestamp_ntz")
     l = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_suppkey").isNotNull()
     )
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))

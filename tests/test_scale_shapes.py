@@ -269,3 +269,19 @@ def test_tfidf_single_tokenize_pass(spark, sf_dir):
     # exactly twice — corpus-size count + one tokenize pass
     p = plan_of(spark, sf_dir, "q_text_tfidf_top")
     assert p.count("Scan parquet  (") <= 2
+
+
+def test_scalar_branch_exchanges_reused_at_runtime(spark, sf_dir):
+    """The broadcast-scalar pattern (crossJoin a 1-row aggregate of an
+    expensive CTE) must not compute the CTE twice. Reuse only shows in
+    the FINAL adaptive plan, so execute and inspect — and it only fires
+    when both branches are canonically identical (see q_tpch_q15's
+    not-null note: one pushed join filter is enough to break it)."""
+    import re
+
+    for name in ("q_tpch_q2", "q_tpch_q11", "q_tpch_q15"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, name
+        assert len(re.findall(r"Reused", p)) >= 1, name
