@@ -515,7 +515,9 @@ def q_tpch_q20(spark, sf_dir):
              l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_orderstatus = 'F')
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_suppkey IS NOT NULL AND l.l_shipdate IS NOT NULL
+        AND o.o_orderdate IS NOT NULL)
     SELECT s.s_name, COUNT(*) AS numwait
     FROM base l1
     JOIN supplier s ON l1.l_suppkey = s.s_suppkey
@@ -544,13 +546,23 @@ def q_tpch_q21(spark, sf_dir):
     iff n_supp > 1 AND n_late_supp = 1 (the late row's own supplier being
     the only late one). Two shuffles on orderkey total, versus the naive
     plan's two extra self-join probes; the supplier/nation dims
-    broadcast."""
+    broadcast.
+
+    The explicit not-null filters (no-ops on the fixture, mirrored in
+    the oracle) align the two uses of ``base`` so the orders side is
+    computed once (ReusedExchange, verified — same class as
+    q_tpch_q15's note). The lineitem⋈orders join itself still plans
+    per-branch, and deliberately so: Catalyst pushes the ``late``
+    predicate into the first branch's join residual, shrinking that
+    join's output to late rows only — a reduction a shared full-output
+    join could not express. Subplan sharing vs predicate pushdown is a
+    real optimizer tension; here pushdown wins."""
     o = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
+        (F.col("o_orderstatus") == "F") & F.col("o_orderdate").isNotNull()
     )
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
-    )
+    ).filter(F.col("l_suppkey").isNotNull() & F.col("l_shipdate").isNotNull())
     base = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey",
         "l_suppkey",
