@@ -574,3 +574,67 @@ def q_multimodal_audio(spark, sf_dir):
             & (F.col("rms") > 0.0)
         ).alias("roundtrip_ok"),
     )
+
+
+@query("q_multimodal_video")  # rows-only: binary payloads / frame stats
+def q_multimodal_video(spark, sf_dir):
+    """Video-column pipeline as a query — the third modality leg
+    (image: header-parse + stubbed pixel decode; audio: real PCM; video:
+    REAL container walk AND real frame sampling, since uncompressed DIB
+    frames need no codec). Deterministic RIFF/AVI payloads are
+    synthesized per document, then mapInPandas extracts container
+    metadata (width/height/frame count/frame interval from the avih
+    header) and samples every 2nd raw frame for mean pixel intensity.
+    Witnesses per row: parsed dims/frame-count match what the
+    synthesizer embedded, the sampled count is ceil(n_frames/2), and
+    mean intensity lies in (0, 255) — frames were truly read. Rows-only:
+    byte synthesis and pixel math are not ANSI-SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        avi_bytes,
+        extract_video_features,
+    )
+
+    def _synth(media_id, w, h, nf):
+        return pd.Series(
+            [
+                avi_bytes(int(wi), int(hi), int(nfi), fps=10, seed=int(m))
+                for m, wi, hi, nfi in zip(media_id, w, h, nf)
+            ]
+        )
+
+    synth_payload = pandas_udf(_synth, "binary")
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3 * 8 + 16).cast("int").alias("exp_w"),
+        (F.col("doc_id") % 2 * 8 + 8).cast("int").alias("exp_h"),
+        (F.col("doc_id") % 5 + 4).cast("int").alias("exp_frames"),
+    )
+    media = docs.select(
+        "media_id",
+        synth_payload(
+            F.col("media_id"), F.col("exp_w"), F.col("exp_h"), F.col("exp_frames")
+        ).alias("payload"),
+    )
+    feats = extract_video_features(media, every_k=2)
+    return feats.join(docs, "media_id").select(
+        "media_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        "n_frames",
+        "frame_ms",
+        "n_sampled",
+        "mean_intensity",
+        (
+            (F.col("width") == F.col("exp_w"))
+            & (F.col("height") == F.col("exp_h"))
+            & (F.col("n_frames") == F.col("exp_frames"))
+            & (F.col("n_sampled") == F.ceil(F.col("exp_frames") / 2).cast("int"))
+            & F.col("mean_intensity").between(0.0001, 254.9999)
+        ).alias("roundtrip_ok"),
+    )

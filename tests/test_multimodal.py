@@ -132,3 +132,28 @@ def test_audio_features_roundtrip_witness(spark, sf_dir):
     assert len(rows) > 0
     assert all(r["roundtrip_ok"] for r in rows)
     assert all(r["format"] == "wav" for r in rows)
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        avi_bytes,
+        parse_avi_meta,
+        sample_video_frames,
+    )
+
+    b = avi_bytes(32, 16, 7, fps=25, seed=11)
+    assert parse_avi_meta(b) == ("avi", 32, 16, 7, 40)
+    frames = sample_video_frames(b, every_k=3)
+    assert [f for f, _ in frames] == [0, 3, 6]
+    assert all(0 < m < 255 for _, m in frames)
+    # robustness: truncated / foreign payloads degrade to None/empty
+    assert parse_avi_meta(b[:10]) == (None, None, None, None, None)
+    assert sample_video_frames(b"RIFFxxxxWAVE") == []
+
+
+def test_video_query_all_rows_verified(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_multimodal_video"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)
