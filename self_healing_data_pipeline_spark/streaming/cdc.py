@@ -46,10 +46,11 @@ from pyspark.sql import types as T
 
 
 def latest_change_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
-    """Collapse a change batch to its final change per key (highest seq;
-    ties broken by preferring deletes, then arbitrary-but-deterministic
-    op order so replays agree)."""
-    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc("op"))
+    """Collapse a change batch to its final change per key: highest seq,
+    seq ties broken by preferring deletes (ascending 'delete' < 'upsert'
+    puts the delete first) — the same tie rule the cross-batch merge
+    applies, so batch boundaries cannot change the outcome."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq), F.asc("op"))
     return (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -108,7 +109,18 @@ def apply_changes_batch(
             changes, current[key] == changes["__ckey"], "full_outer"
         )
         take_change = current[key].isNull() | (
-            changes["__ckey"].isNotNull() & (changes[seq] > current[seq])
+            changes["__ckey"].isNotNull()
+            & (
+                (changes[seq] > current[seq])
+                # equal-seq tie: delete beats upsert, deterministically —
+                # with a strict > alone, a same-seq delete and upsert in
+                # different batches would resolve by ARRIVAL order
+                | (
+                    (changes[seq] == current[seq])
+                    & (F.col("op") == "delete")
+                    & ~current["__deleted"]
+                )
+            )
         )
         merged = joined.select(
             *[

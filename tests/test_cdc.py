@@ -143,3 +143,36 @@ def test_out_of_order_delete_is_not_resurrected(spark, tmp_path):
     assert _state_dict(spark, state) == {}
     raw = {r["id"]: r["__deleted"] for r in read_state(spark, state).collect()}
     assert raw == {2: True}
+
+
+def test_final_state_is_batch_partition_order_independent(spark, tmp_path):
+    """Hypothesis-style exhaustive check on a small change log: however
+    the log is cut into batches and however those batches are ordered,
+    the live state converges to max-seq-per-key (delete wins seq ties)."""
+    import itertools
+
+    changes = [
+        ("upsert", 1, 1, "a"),
+        ("delete", 1, 3, None),
+        ("upsert", 1, 2, "b"),
+        ("upsert", 2, 5, "c"),
+        ("delete", 2, 5, None),  # same-seq tie: delete must win
+        ("upsert", 3, 7, "d"),
+    ]
+    expected = {3: (7, "d")}  # key1 deleted at 3; key2 tie -> delete
+    cuts = [[changes[:2], changes[2:4], changes[4:]], [changes[:3], changes[3:]]]
+    case = 0
+    for batches in cuts:
+        for perm in itertools.permutations(range(len(batches))):
+            state = str(tmp_path / f"state{case}")
+            case += 1
+            for epoch, bi in enumerate(perm):
+                apply_changes_batch(
+                    spark,
+                    spark.createDataFrame(batches[bi], SCHEMA),
+                    state,
+                    "id",
+                    "seq",
+                    epoch_id=epoch,
+                )
+            assert _state_dict(spark, state) == expected, (batches, perm)
