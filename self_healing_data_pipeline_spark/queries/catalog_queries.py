@@ -326,16 +326,35 @@ def q_join_discovery(spark, sf_dir):
     exact distinct sets become the bottleneck; the scale path is sketch
     containment (per-column HLL/bloom, merged map-side) with this exact
     formulation as the verifier on surviving candidate pairs."""
-    frames = []
+    by_table: dict[str, list[str]] = {}
     for t, c in _KEY_CANDIDATES:
+        by_table.setdefault(t, []).append(c)
+    frames = []
+    for t, cols in by_table.items():
+        # ONE scan per table: every key column leaves the scan as a
+        # (col, value) struct in a single exploded pass — the naive
+        # per-column projection would scan wide tables once per key
+        # (lineitem 3×), which at 100 TB is 3 reads of the fact table.
+        kv = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("bigint").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
         frames.append(
             read_table(spark, sf_dir, t)
-            .filter(F.col(c).isNotNull())
+            .select(kv)
             .select(
                 F.lit(t).alias("tbl"),
-                F.lit(c).alias("col"),
-                F.col(c).cast("bigint").alias("v"),
+                F.col("kv.col").alias("col"),
+                F.col("kv.v").alias("v"),
             )
+            .filter(F.col("v").isNotNull())
             .distinct()
         )
     keyvals = frames[0]
