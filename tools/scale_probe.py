@@ -58,6 +58,7 @@ LINEAR_PROBES = [
     "q_contamination",
     "q_dedup_minhash",
     "q_corpus_build",
+    "q_text_tfidf_top",
 ]
 PAIRWISE_PROBES = ["q_fuzzy_match", "q_sim_join", "q_dedup_clusters"]
 
