@@ -285,3 +285,40 @@ def test_scalar_branch_exchanges_reused_at_runtime(spark, sf_dir):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in p, name
         assert len(re.findall(r"Reused", p)) >= 1, name
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, sf_dir):
+    """Join-driven pruning (DPP): joining the year-partitioned orders
+    layout to a FILTERED dim must prune partitions at runtime from the
+    dim's values — at 100 TB, the difference between scanning the
+    decade and scanning the joined years. Catalyst plans a
+    dynamicpruning subquery on the partition column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.queries.core import _SCRATCH
+    from self_healing_data_pipeline_spark.sources.writers import write_parquet
+
+    out = os.path.join(_SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        os.makedirs(_SCRATCH, exist_ok=True)
+        from self_healing_data_pipeline_spark.sources.readers import read_table
+
+        write_parquet(
+            read_table(spark, sf_dir, "orders").withColumn(
+                "o_year", F.year("o_orderdate")
+            ),
+            out,
+            mode="overwrite",
+            partition_by=["o_year"],
+        )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(1996, "a"), (1997, "b")], "year int, tag string"
+    ).filter(F.col("tag") == "b")
+    joined = fact.join(dim, fact["o_year"] == dim["year"]).select(
+        "o_orderkey", "tag"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
