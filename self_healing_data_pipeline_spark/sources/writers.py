@@ -77,3 +77,75 @@ def register_table(
     else:
         df.createTempView(name)  # raises if it exists (errorifexists)
     return name
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) layout: cluster rows so EVERY listed column
+    has tight per-file min/max ranges — the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` equivalent for plain parquet.
+
+    Why it matters at 100 TB: parquet scans skip files/row-groups whose
+    footer min/max exclude the filter value, but a sort by (a, b) only
+    prunes on ``a`` — ``b``'s ranges stay near-global in every file. Bit
+    interleaving the columns' rank-space positions gives a single sort
+    key whose locality is shared across ALL listed columns, so filters on
+    any of them (and conjunctions) skip most files. The footer-verified
+    win is asserted in ``tests/test_layout.py``.
+
+    Mechanics — everything JVM-side, one stats pass + one range shuffle
+    (a percent_rank formulation was rejected: a global rank window is a
+    SinglePartition stage, the exact bottleneck this repo's CI bans):
+
+    1. one tiny min/max aggregate per column (driver literals);
+    2. per column, a uniform bucket in [0, 2^bits) over [min, max] —
+       under heavy skew buckets crowd, but file-level min/max pruning
+       only needs monotone locality, not balance;
+    3. interleave the bucket bits into a Morton key (closed-form bit ops
+       inside codegen, no UDF);
+    4. ``repartitionByRange(n_files, z)`` + per-partition sort, then one
+       parquet file per range partition.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    z = F.lit(0).cast("bigint")
+    buckets = []
+    for c in cols:
+        mn = float(stats[f"mn_{c}"])
+        mx = float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+        buckets.append(
+            F.least(
+                (frac * (1 << bits)).cast("bigint"), F.lit((1 << bits) - 1)
+            )
+        )
+    # interleave: output bit (i*len(cols)+j) = bucket_j's bit i
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            # Column & / | are LOGICAL operators in PySpark — bit math
+            # needs the explicit bitwise methods
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1).cast("bigint")),
+                    i * len(cols) + j,
+                )
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,86 @@
+"""Z-order layout (sources.writers.zorder_write): footer-verified
+multi-column file skipping — the property the layout exists for."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from self_healing_data_pipeline_spark.sources.writers import zorder_write
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mns.append(c.statistics.min)
+                    mxs.append(c.statistics.max)
+        if mns:
+            out.append((min(mns), max(mxs)))
+    return out
+
+
+def test_zorder_tightens_ranges_on_both_columns(spark, tmp_path):
+    # two independent uniform columns: a plain sort by x leaves y's
+    # per-file range global; z-order must tighten BOTH
+    n = 40_000
+    df = spark.range(n).selectExpr(
+        "CAST(pmod(hash(id), 1000) AS DOUBLE) AS x",
+        "CAST(pmod(hash(id + 7777), 1000) AS DOUBLE) AS y",
+    )
+    sorted_path = str(tmp_path / "sorted_x")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "zorder")
+    zorder_write(df, z_path, ["x", "y"], n_files=16)
+
+    def avg_width(path, col):
+        rs = _file_ranges(path, col)
+        assert rs
+        return sum(mx - mn for mn, mx in rs) / len(rs)
+
+    global_span = 999.0
+    # sort by x: x tight, y near-global
+    assert avg_width(sorted_path, "x") < 0.2 * global_span
+    assert avg_width(sorted_path, "y") > 0.8 * global_span
+    # z-order: BOTH columns well below global span -> point/range filters
+    # on either column skip most files
+    assert avg_width(z_path, "x") < 0.5 * global_span
+    assert avg_width(z_path, "y") < 0.5 * global_span
+    # and the data survives the layout unchanged
+    back = spark.read.parquet(z_path)
+    assert back.count() == n
+
+
+def test_zorder_plan_has_no_single_partition_stage(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "CAST(pmod(id * 37, 1000) AS DOUBLE) AS y"
+    )
+    # build the exact plan zorder_write executes, minus the write
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    )  # the one driver round-trip: a 1-row aggregate
+    assert stats.count() == 1
+    zorder_write(df, str(tmp_path / "z"), ["x", "y"], n_files=4)
+    back = spark.read.parquet(str(tmp_path / "z"))
+    plan_df = back.filter(F.col("y") < 10.0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    # pruning-relevant pushdown reaches the scan
+    assert "PushedFilters" in buf.getvalue()
