@@ -174,3 +174,27 @@ def apply_changes(
     if not finished:
         q.stop()
         raise TimeoutError(f"CDC drain exceeded {await_seconds}s")
+
+
+def prune_snapshots(state_dir: str, keep: int = 2) -> list[int]:
+    """Retention for the batch=<epoch> snapshot scheme: drop all but the
+    newest ``keep`` snapshots and return the pruned epoch ids.
+
+    Keep ≥2 so a reader that resolved the previous head mid-prune still
+    finds its files. Never prunes the head: replay of the LAST epoch must
+    still find its strictly-prior snapshot, so callers prune only after
+    the stream's checkpoint has committed past it (i.e. from a scheduled
+    maintenance task, not inside foreachBatch)."""
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return []
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+    )
+    doomed = epochs[:-keep] if keep > 0 else epochs
+    for e in doomed:
+        shutil.rmtree(os.path.join(state_dir, f"batch={e}"), ignore_errors=True)
+    return doomed

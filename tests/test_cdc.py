@@ -176,3 +176,24 @@ def test_final_state_is_batch_partition_order_independent(spark, tmp_path):
                     epoch_id=epoch,
                 )
             assert _state_dict(spark, state) == expected, (batches, perm)
+
+
+def test_prune_snapshots_keeps_latest_and_state_readable(spark, tmp_path):
+    from self_healing_data_pipeline_spark.streaming.cdc import prune_snapshots
+
+    state = str(tmp_path / "state")
+    for epoch in range(4):
+        apply_changes_batch(
+            spark,
+            spark.createDataFrame(
+                [("upsert", epoch, epoch + 10, f"v{epoch}")], SCHEMA
+            ),
+            state,
+            "id",
+            "seq",
+            epoch_id=epoch,
+        )
+    before = _state_dict(spark, state)
+    pruned = prune_snapshots(state, keep=2)
+    assert pruned == [0, 1]
+    assert _state_dict(spark, state) == before  # head snapshot untouched
