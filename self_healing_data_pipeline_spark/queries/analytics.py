@@ -266,3 +266,47 @@ def q_text_tfidf_top(spark, sf_dir):
         .drop("rn")
         .orderBy(F.asc("doc_id"), F.desc("score"), F.asc("tok"))
     )
+
+
+@query(
+    "q_rollup_partials",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_rollup_partials(spark, sf_dir):
+    """Continuous-aggregate state as a query: the exact (bucket, key) →
+    (n, exact-cents sum) partials `streaming.rollup` maintains
+    incrementally, with the derived average — so the maintenance
+    operator's target state is itself oracle-checked, not just
+    unit-tested. Partials are a commutative monoid; this batch form and
+    the incremental form converge to identical rows by construction
+    (asserted against each other in tests/test_rollup.py). One scan, one
+    map-side-partial aggregate; shuffle ∝ buckets × keys."""
+    from self_healing_data_pipeline_spark.functions.scalar import ts_str
+    from self_healing_data_pipeline_spark.streaming.rollup import aggregate_batch
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    partials = aggregate_batch(
+        ev, F.date_trunc("hour", "ts"), ["event_type"], "value"
+    )
+    return partials.select(
+        ts_str("bucket").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_cents",
+        (
+            F.col("sum_cents").cast("double")
+            / F.col("n").cast("double")
+            / 100.0
+        ).alias("avg_value"),
+    ).orderBy("bucket", "event_type")
