@@ -220,3 +220,39 @@ def q_conditional(spark, sf_dir):
             F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
         ).alias("status_label"),
     )
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]{6,})', 1) AS first_long_word,
+           LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS consonant_len,
+           REGEXP_MATCHES(text, '\\d') AS has_digit,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g'))
+             AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_regexp_funcs(spark, sf_dir):
+    """Regexp family (the structured-extraction workhorses the reference's
+    generated ETL SQL leans on): first capture-group extract, global
+    replace, boolean match, and occurrence counting via replace-length
+    delta (the one formulation whose semantics are byte-identical across
+    engines — REGEXP_COUNT flavors disagree on overlap/empty matches).
+    All four run JVM-side inside codegen; no UDF."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("bigint")
+        .alias("consonant_len"),
+        F.col("text").rlike("\\d").alias("has_digit"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        )
+        .cast("bigint")
+        .alias("n_spaces"),
+    ).orderBy("doc_id")

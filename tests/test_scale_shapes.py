@@ -322,3 +322,18 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, sf_dir):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_tpch2_remaining_plan_shapes(spark, sf_dir):
+    # Q12: lateness predicate rides the join as a residual; the year band
+    # pushes to the lineitem scan
+    p12 = plan_of(spark, sf_dir, "q_tpch_q12")
+    assert "GreaterThanOrEqual(l_shipdate" in p12  # year band reaches scan
+    # Q17: correlated AVG decorrelated — per-part aggregate, no nested loop
+    p17 = plan_of(spark, sf_dir, "q_tpch_q17")
+    assert "BroadcastNestedLoopJoin" not in p17
+    assert "partial_sum" in p17
+    # Q22: anti join carries the dormancy cutoff into the orders scan
+    p22 = plan_of(spark, sf_dir, "q_tpch_q22")
+    assert "LeftAnti" in p22
+    assert "GreaterThanOrEqual(o_orderdate" in p22  # dormancy cutoff pushed
