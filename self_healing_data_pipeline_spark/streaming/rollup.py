@@ -122,3 +122,44 @@ def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
             / 100.0
         ).alias("avg_value"),
     )
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    bucket_expr_sql: str = "date_trunc('hour', ts)",
+    keys: list[str] | None = None,
+    value: str = "value",
+    max_files_per_trigger: int | None = None,
+    await_seconds: int = 300,
+) -> None:
+    """Drain a directory of event files into the rollup state — the
+    ``cdc.apply_changes`` twin for continuous aggregates. The bucket
+    expression is passed as SQL text because foreachBatch bodies build
+    their plans per batch. ``trigger(availableNow=True)``: same code is
+    the batch catch-up and the continuous daemon."""
+    keys = keys or ["event_type"]
+    reader = spark.readStream.schema(schema).option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format("csv").load(source_dir)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        partials = aggregate_batch(
+            batch, F.expr(bucket_expr_sql), keys, value
+        )
+        merge_rollup(batch.sparkSession, partials, state_dir, keys, int(epoch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(await_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"rollup drain exceeded {await_seconds}s")

@@ -86,3 +86,46 @@ def test_read_rollup_derives_avg(spark, tmp_path):
     )
     row = read_rollup(spark, state).collect()[0]
     assert row["n"] == 2 and row["sum_value"] == 4.0 and row["avg_value"] == 2.0
+
+
+def test_maintain_rollup_stream_matches_direct(spark, tmp_path):
+    """True readStream path: two event files drained as separate epochs
+    must converge to the direct aggregate of all rows."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.streaming.rollup import maintain_rollup
+
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "e1.csv").write_text(
+        "ts,event_type,value\n"
+        "2024-01-01 00:10:00,click,1.25\n"
+        "2024-01-01 01:10:00,view,4.00\n"
+    )
+    (src / "e2.csv").write_text(
+        "ts,event_type,value\n"
+        "2024-01-01 00:40:00,click,2.75\n"
+        "2024-01-01 00:20:00,view,0.50\n"
+    )
+    now = os.path.getmtime(src / "e2.csv")
+    os.utime(src / "e1.csv", (now - 10, now - 10))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state = str(tmp_path / "state")
+    maintain_rollup(
+        spark,
+        str(src),
+        state,
+        str(tmp_path / "ckpt"),
+        schema,
+        max_files_per_trigger=1,
+    )
+    all_rows = spark.read.schema(schema).option("header", True).csv(str(src))
+    assert _rolled(spark, state) == _direct(all_rows)
