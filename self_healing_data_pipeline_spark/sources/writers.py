@@ -121,6 +121,11 @@ def zorder_write(
     z = F.lit(0).cast("bigint")
     buckets = []
     for c in cols:
+        # all-NULL column: no range to cluster on — constant bucket 0
+        # (NULL rows elsewhere get a NULL bucket and sort together)
+        if stats[f"mn_{c}"] is None:
+            buckets.append(F.lit(0).cast("bigint"))
+            continue
         mn = float(stats[f"mn_{c}"])
         mx = float(stats[f"mx_{c}"])
         span = (mx - mn) or 1.0

@@ -84,3 +84,13 @@ def test_zorder_plan_has_no_single_partition_stage(spark, tmp_path):
         plan_df.explain("formatted")
     # pruning-relevant pushdown reaches the scan
     assert "PushedFilters" in buf.getvalue()
+
+
+def test_zorder_survives_null_and_constant_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(i), None, 5.0) for i in range(100)],
+        "x double, all_null double, const double",
+    )
+    out = str(tmp_path / "z")
+    zorder_write(df, out, ["x", "all_null", "const"], n_files=4)
+    assert spark.read.parquet(out).count() == 100
