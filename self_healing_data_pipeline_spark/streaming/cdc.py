@@ -92,7 +92,22 @@ def apply_changes_batch(
 
     Deterministic and idempotent in ``epoch_id``: replaying the same
     batch rewrites the same ``batch=<epoch_id>`` directory.
+
+    SELF-HEALING on feed drift: when the change stream's payload schema
+    diverges from the state's (source added a column, widened a type,
+    dropped a field), both sides conform to the evolved schema
+    (``operators.schema_evolution``) before the merge — history
+    null-fills new columns, widened types lift losslessly, and columns
+    the feed dropped survive on existing rows. The merge itself never
+    sees a mismatched schema, so drift cannot crash the pipeline.
     """
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.operators.schema_evolution import (
+        conform,
+        evolved_schema,
+    )
+
     changes = latest_change_per_key(batch, key, seq).withColumnRenamed(
         key, "__ckey"
     )
@@ -104,6 +119,32 @@ def apply_changes_batch(
             .drop("op")
         )
     else:
+        state_schema = T.StructType(
+            [f for f in current.schema.fields if f.name != "__deleted"]
+        )
+        payload_schema = T.StructType(
+            [
+                (T.StructField(key, f.dataType, f.nullable)
+                 if f.name == "__ckey" else f)
+                for f in changes.schema.fields
+                if f.name != "op"
+            ]
+        )
+        target = evolved_schema(state_schema, payload_schema)
+        # conform each side onto (evolved payload + its own bookkeeping
+        # column): one projection, no lineage grafting, no extra join
+        current = conform(
+            current,
+            T.StructType(
+                [*target.fields, T.StructField("__deleted", T.BooleanType())]
+            ),
+        )
+        changes = conform(
+            changes.withColumnRenamed("__ckey", key),
+            T.StructType(
+                [*target.fields, T.StructField("op", T.StringType())]
+            ),
+        ).withColumnRenamed(key, "__ckey")
         state_cols = [c for c in current.columns if c != "__deleted"]
         joined = current.join(
             changes, current[key] == changes["__ckey"], "full_outer"

@@ -197,3 +197,50 @@ def test_prune_snapshots_keeps_latest_and_state_readable(spark, tmp_path):
     pruned = prune_snapshots(state, keep=2)
     assert pruned == [0, 1]
     assert _state_dict(spark, state) == before  # head snapshot untouched
+
+
+def test_cdc_heals_change_feed_schema_drift(spark, tmp_path):
+    """The change feed drifts mid-stream — a column appears, the key
+    widens int->bigint — and the state must evolve instead of crash:
+    history null-fills the new column, and the dropped column survives
+    on old rows."""
+    from pyspark.sql import types as T
+
+    state = str(tmp_path / "state")
+    v1 = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("id", T.IntegerType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    v2 = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("id", T.LongType()),  # widened
+            T.StructField("seq", T.LongType()),
+            T.StructField("email", T.StringType()),  # added; name dropped
+        ]
+    )
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 1, 10, "alice")], v1),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 2**40, 11, "b@x.io")], v2),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    snap = live_state(spark, state)
+    assert dict(snap.dtypes)["id"] == "bigint"
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows[1]["name"] == "alice" and rows[1]["email"] is None
+    assert rows[2**40]["email"] == "b@x.io" and rows[2**40]["name"] is None
