@@ -55,12 +55,32 @@ def widen_type(a: T.DataType, b: T.DataType) -> T.DataType:
         bp, bs = b.precision, b.scale  # type: ignore[attr-defined]
         scale = max(as_, bs)
         whole = max(ap - as_, bp - bs)
-        return T.DecimalType(min(38, whole + scale), scale)
+        if whole + scale > 38:
+            # No decimal holds both extremes losslessly (e.g. decimal(38,0)
+            # vs decimal(10,9) would need 29+9 digits); capping precision
+            # at 38 silently overflows large values to null under non-ANSI
+            # casts. Lossless top is string, same as every other
+            # incompatible pair.
+            return T.StringType()
+        return T.DecimalType(whole + scale, scale)
     if an.startswith("decimal") and bn in _NUMERIC_ORDER[:4]:
-        return a
+        return _widen_decimal_int(a, bn)
     if bn.startswith("decimal") and an in _NUMERIC_ORDER[:4]:
-        return b
+        return _widen_decimal_int(b, an)
     return T.StringType()
+
+
+# Integral digits each integer type may need (Spark's DecimalType.forType).
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+
+def _widen_decimal_int(dec: T.DecimalType, int_name: str) -> T.DataType:
+    """Smallest decimal holding both a decimal and an integer type, string
+    if that would exceed 38 digits (e.g. decimal(30,20) vs bigint)."""
+    whole = max(dec.precision - dec.scale, _INT_DIGITS[int_name])
+    if whole + dec.scale > 38:
+        return T.StringType()
+    return T.DecimalType(whole + dec.scale, dec.scale)
 
 
 @dataclass(frozen=True)

@@ -33,7 +33,7 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
     )
     SELECT user_id,
            COUNT(dur_us) AS n_spans,
-           SUM(dur_us) AS total_us,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
            CAST(SUM(CAST(cents AS DECIMAL(20,0)) * dur_us) AS DOUBLE)
              / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twa_value
     FROM spans

@@ -14,7 +14,15 @@ the row: if batches arrive out of order (file sources sort by
 modification time, which reorders under clock skew or backfill), a
 dropped delete would let a stale earlier-seq upsert resurrect the key.
 With the tombstone, latest-seq-wins applies uniformly to upserts and
-deletes, so the final state is arrival-order-independent. Readers use
+deletes, so the final state is arrival-order-independent: seq ties
+between a delete and an upsert resolve delete-first, and ties between
+two DIFFERENT upsert payloads resolve by a payload fingerprint
+(``xxhash64(to_json(payload))``, highest wins) — the same rules within
+a batch and across batches, so batching cannot change the outcome.
+(``to_json`` drops null fields, so conforming onto a wider evolved
+schema doesn't perturb historical ties; sources whose seq uniquely
+versions each key's payload — the normal CDC contract — never hit the
+fingerprint rule at all.) Readers use
 :func:`live_state`; tombstones older than the source's max reorder
 window can be purged by a periodic compaction (age-based, not
 implemented here).
@@ -45,12 +53,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _payload_fingerprint(cols: list[str], frame: DataFrame | None = None):
+    """Deterministic 64-bit fingerprint of a change's payload, used ONLY to
+    break seq ties between two different upsert payloads. ``to_json`` over
+    a name-sorted struct gives a canonical serialization (null fields are
+    dropped, so conforming a row onto a wider evolved schema doesn't
+    change its fingerprint). ``frame`` disambiguates column references
+    inside a self-joined plan."""
+    ref = (lambda c: frame[c]) if frame is not None else F.col
+    return F.xxhash64(
+        F.to_json(F.struct(*[ref(c).alias(c) for c in sorted(cols)]))
+    )
+
+
 def latest_change_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
     """Collapse a change batch to its final change per key: highest seq,
     seq ties broken by preferring deletes (ascending 'delete' < 'upsert'
-    puts the delete first) — the same tie rule the cross-batch merge
-    applies, so batch boundaries cannot change the outcome."""
-    w = Window.partitionBy(key).orderBy(F.desc(seq), F.asc("op"))
+    puts the delete first), then by descending payload fingerprint —
+    the same tie rules the cross-batch merge applies, so batch
+    boundaries cannot change the outcome."""
+    payload_cols = [c for c in batch.columns if c not in ("op", key)]
+    w = Window.partitionBy(key).orderBy(
+        F.desc(seq), F.asc("op"), F.desc(_payload_fingerprint(payload_cols))
+    )
     return (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -66,18 +91,20 @@ def live_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return snap.filter(~F.col("__deleted")).drop("__deleted")
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest raw snapshot (tombstones included), or None pre-first-batch."""
-    if not os.path.isdir(state_dir):
-        return None
-    batches = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+def read_state(
+    spark: SparkSession, state_dir: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """Latest COMMITTED raw snapshot (tombstones included), or None
+    pre-first-batch. Skips snapshot dirs without ``_SUCCESS`` so a crash
+    mid-write (footerless ``batch=N``, only ``_temporary`` inside) can
+    never wedge readers or replay in an UNABLE_TO_INFER_SCHEMA loop.
+    ``before_epoch`` anchors recovery reads below the replaying epoch —
+    see :mod:`streaming.snapshots`."""
+    from self_healing_data_pipeline_spark.streaming.snapshots import (
+        read_latest_snapshot,
     )
-    if not batches:
-        return None
-    return spark.read.parquet(os.path.join(state_dir, f"batch={batches[-1]}"))
+
+    return read_latest_snapshot(spark, state_dir, before_epoch)
 
 
 def apply_changes_batch(
@@ -111,7 +138,10 @@ def apply_changes_batch(
     changes = latest_change_per_key(batch, key, seq).withColumnRenamed(
         key, "__ckey"
     )
-    current = read_state(spark, state_dir)
+    # Strictly-prior read: replaying epoch N must not resolve its own
+    # (possibly partial, possibly being-overwritten) batch=N output —
+    # the same anchor rollup's additive merge needs (streaming.snapshots).
+    current = read_state(spark, state_dir, before_epoch=epoch_id)
     if current is None:
         merged = (
             changes.withColumn("__deleted", F.col("op") == "delete")
@@ -149,6 +179,7 @@ def apply_changes_batch(
         joined = current.join(
             changes, current[key] == changes["__ckey"], "full_outer"
         )
+        payload_cols = [c for c in state_cols if c != key]
         take_change = current[key].isNull() | (
             changes["__ckey"].isNotNull()
             & (
@@ -160,6 +191,19 @@ def apply_changes_batch(
                     (changes[seq] == current[seq])
                     & (F.col("op") == "delete")
                     & ~current["__deleted"]
+                )
+                # equal-seq tie between two upsert PAYLOADS: highest
+                # fingerprint wins — same rule latest_change_per_key
+                # applies within a batch, so batching can't change the
+                # final state even for ill-behaved feeds that reuse seq
+                | (
+                    (changes[seq] == current[seq])
+                    & (F.col("op") == "upsert")
+                    & ~current["__deleted"]
+                    & (
+                        _payload_fingerprint(payload_cols, changes)
+                        > _payload_fingerprint(payload_cols, current)
+                    )
                 )
             )
         )

@@ -42,22 +42,15 @@ def _read_state_before(
     re-merges to the same answer (max is idempotent). An ADDITIVE merge
     is not: replaying an epoch that reads its own snapshot double-counts
     the batch. Anchoring the read below the current epoch makes replay
-    rewrite the same bytes instead.
+    rewrite the same bytes instead. Shared resolution (including the
+    skip-partial-writes ``_SUCCESS`` rule) lives in
+    :mod:`streaming.snapshots`.
     """
-    if not os.path.isdir(state_dir):
-        return None
-    prior = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("batch=")
-        and d.split("=", 1)[1].isdigit()
-        and int(d.split("=", 1)[1]) < epoch_id
-    ]
-    if not prior:
-        return None
-    return spark.read.parquet(
-        os.path.join(state_dir, f"batch={max(prior)}")
+    from self_healing_data_pipeline_spark.streaming.snapshots import (
+        read_latest_snapshot,
     )
+
+    return read_latest_snapshot(spark, state_dir, before_epoch=epoch_id)
 
 
 def aggregate_batch(

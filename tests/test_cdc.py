@@ -244,3 +244,102 @@ def test_cdc_heals_change_feed_schema_drift(spark, tmp_path):
     rows = {r["id"]: r for r in snap.collect()}
     assert rows[1]["name"] == "alice" and rows[1]["email"] is None
     assert rows[2**40]["email"] == "b@x.io" and rows[2**40]["name"] is None
+
+
+def test_partial_snapshot_is_skipped_not_crash_looped(spark, tmp_path):
+    """A crash mid-write leaves a footerless batch=N dir (no _SUCCESS).
+    Readers and replay must resolve the last COMMITTED snapshot instead
+    of failing UNABLE_TO_INFER_SCHEMA forever (the advice-verified crash
+    loop on the recovery path)."""
+    state = str(tmp_path / "state")
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 1, 1, "a")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    # simulate the crash: epoch-1 dir exists but only _temporary inside
+    partial = tmp_path / "state" / "batch=1"
+    (partial / "_temporary").mkdir(parents=True)
+    assert _state_dict(spark, state) == {1: (1, "a")}  # reader skips it
+    # replay of epoch 1 recovers: reads epoch 0, overwrites the partial
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 2, 2, "b")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    assert _state_dict(spark, state) == {1: (1, "a"), 2: (2, "b")}
+    assert os.path.exists(partial / "_SUCCESS")
+
+
+def test_replay_reads_strictly_prior_epoch(spark, tmp_path):
+    """Replay of epoch N must merge against the pre-N snapshot, not its
+    own batch=N output — pin it by making batch=N's committed content
+    observably different and asserting the replay result ignores it."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 1, 1, "a")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 2, 2, "b")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    # poison batch=1 with an imposter snapshot (key 99); a self-read
+    # replay would carry key 99 forward, a strictly-prior read cannot
+    shutil.rmtree(tmp_path / "state" / "batch=1")
+    imposter = spark.createDataFrame(
+        [("upsert", 99, 9, "ghost")], SCHEMA
+    )
+    apply_changes_batch(spark, imposter, state, "id", "seq", epoch_id=1)
+    apply_changes_batch(  # the real epoch-1 batch replays
+        spark,
+        spark.createDataFrame([("upsert", 2, 2, "b")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=1,
+    )
+    assert _state_dict(spark, state) == {1: (1, "a"), 2: (2, "b")}
+
+
+def test_same_seq_upsert_tie_is_arrival_order_independent(spark, tmp_path):
+    """Two upserts with the SAME seq and different payloads (an
+    ill-behaved feed) must converge to one deterministic winner however
+    they are batched — the payload-fingerprint tie-break."""
+    u1 = ("upsert", 5, 10, "alpha")
+    u2 = ("upsert", 5, 10, "beta")
+    results = []
+    for case, order in enumerate([[u1, u2], [u2, u1]]):
+        # same batch, both arrival orders
+        state = str(tmp_path / f"one{case}")
+        apply_changes_batch(
+            spark, spark.createDataFrame(order, SCHEMA), state,
+            "id", "seq", epoch_id=0,
+        )
+        results.append(_state_dict(spark, state))
+        # separate batches, both arrival orders
+        state = str(tmp_path / f"two{case}")
+        for epoch, row in enumerate(order):
+            apply_changes_batch(
+                spark, spark.createDataFrame([row], SCHEMA), state,
+                "id", "seq", epoch_id=epoch,
+            )
+        results.append(_state_dict(spark, state))
+    assert all(r == results[0] for r in results), results
+    assert results[0][5][0] == 10 and results[0][5][1] in ("alpha", "beta")

@@ -72,3 +72,30 @@ def test_minhash_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=5)
+
+
+def test_check_oracle_compare_is_dtype_strict():
+    """The driver hashes raw pandas frames, so an int64 Spark column vs a
+    float64 DuckDB twin (uncast SUM -> HUGEINT, the q_time_weighted_avg
+    r03 failure class) hash-mismatches even with equal values. The local
+    gate must flag it, not coerce-and-pass."""
+    import pandas as pd
+
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ints = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="int64")})
+    floats = pd.DataFrame({"k": [1, 2], "v": pd.array([10.0, 20.0], dtype="float64")})
+    verdict = mod.compare(ints, floats)
+    assert verdict.startswith("DTYPE MISMATCH"), verdict
+    assert mod.compare(ints, ints.copy()) == "OK"
+    # unsigned vs signed ints and str-vs-object are NOT driver-visible
+    u = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="uint64")})
+    assert mod.compare(ints, u) == "OK"

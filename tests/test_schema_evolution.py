@@ -30,6 +30,24 @@ def test_widen_decimal_precision():
     assert widen_type(T.DecimalType(18, 0), T.IntegerType()) == T.DecimalType(18, 0)
 
 
+def test_widen_decimal_overflow_falls_back_to_string():
+    """whole+scale > 38 can't be held losslessly — capping precision at
+    38 would let non-ANSI casts overflow big values to NULL (silent data
+    loss); the documented top is string (advice-verified)."""
+    # decimal(38,0) vs decimal(10,9): needs 38 integral + 9 fractional
+    assert widen_type(T.DecimalType(38, 0), T.DecimalType(10, 9)) == T.StringType()
+    # boundary: exactly 38 digits still fits
+    assert widen_type(T.DecimalType(30, 0), T.DecimalType(9, 8)) == T.DecimalType(38, 8)
+
+
+def test_widen_decimal_vs_int_grows_integral_digits():
+    """A small decimal vs a wider integer must grow to hold the integer's
+    digits (bigint needs 19), string when that exceeds 38."""
+    assert widen_type(T.DecimalType(5, 2), T.LongType()) == T.DecimalType(21, 2)
+    assert widen_type(T.IntegerType(), T.DecimalType(5, 2)) == T.DecimalType(12, 2)
+    assert widen_type(T.DecimalType(30, 20), T.LongType()) == T.StringType()
+
+
 def test_diff_schemas_classifies_all_drift_kinds():
     old = T.StructType(
         [

@@ -72,6 +72,18 @@ def main() -> int:
     return 1 if n_bad else 0
 
 
+def _kind(series) -> str:
+    """Normalized dtype kind: signed/unsigned ints collapse to 'i'; all
+    object-ish (str, decimal, list) collapse to 'O'. Anything else (f, b,
+    M for datetimes, m for timedeltas) passes through."""
+    k = series.dtype.kind
+    if k == "u":
+        return "i"
+    if k in ("S", "U"):
+        return "O"
+    return k
+
+
 def compare(spdf, odf) -> str:
     import numpy as np
     import pandas as pd
@@ -84,6 +96,18 @@ def compare(spdf, odf) -> str:
         return f"SCHEMA MISMATCH spark={s_cols} oracle={o_cols}"
     a = spdf[s_cols].sort_values(s_cols, kind="mergesort").reset_index(drop=True)
     b = odf[o_cols].sort_values(o_cols, kind="mergesort").reset_index(drop=True)
+    # Driver-strict dtype gate: the driver hashes the raw pandas frames, so
+    # an int64 Spark column vs a float64/object DuckDB twin (the classic
+    # uncast SUM -> HUGEINT trap) hash-mismatches even when values agree.
+    # Fail here on any dtype-KIND difference so that class can't reship.
+    for c in s_cols:
+        ka = _kind(a[c])
+        kb = _kind(b[c])
+        if ka != kb:
+            return (
+                f"DTYPE MISMATCH col={c} spark={a[c].dtype}({ka}) "
+                f"oracle={b[c].dtype}({kb}) — cast the oracle aggregate"
+            )
     for c in s_cols:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
