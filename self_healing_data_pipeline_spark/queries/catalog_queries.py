@@ -447,3 +447,99 @@ def q_join_discovery(spark, sf_dir):
             "child_table", "child_column", "parent_table", "parent_column"
         )
     )
+
+
+@query(
+    "q_join_discovery_sketch",
+    oracle=f"""
+    WITH keyvals AS (
+{_KEYVALS_SQL}
+    ), rowcounts AS (
+{_ROWCOUNTS_SQL}
+    ), counts AS (
+      SELECT k.tbl, k.col, COUNT(*) AS n_distinct, MAX(r.n_rows) AS n_rows
+      FROM keyvals k JOIN rowcounts r ON k.tbl = r.tbl
+      GROUP BY k.tbl, k.col
+    ), overlap AS (
+      SELECT a.tbl AS child_table, a.col AS child_column,
+             b.tbl AS parent_table, b.col AS parent_column,
+             COUNT(*) AS n_overlap
+      FROM keyvals a
+      JOIN keyvals b
+        ON a.v = b.v AND a.tbl <> b.tbl
+       AND SUBSTR(a.col, STRPOS(a.col, '_') + 1)
+           = SUBSTR(b.col, STRPOS(b.col, '_') + 1)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT o.child_table, o.child_column, o.parent_table, o.parent_column
+    FROM overlap o
+    JOIN counts ca ON o.child_table = ca.tbl AND o.child_column = ca.col
+    JOIN counts cb ON o.parent_table = cb.tbl AND o.parent_column = cb.col
+    WHERE CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE) >= 0.95
+      AND cb.n_distinct = cb.n_rows
+    ORDER BY child_table, child_column, parent_table, parent_column
+    """,
+)
+def q_join_discovery_sketch(spark, sf_dir):
+    """Join-relationship discovery via KMV/theta sketches — the 100 TB
+    path SCALE.md promised next to the exact ``q_join_discovery``
+    (reference ``README.md:21``). Same three signals, all evaluated on
+    constant-size summaries instead of full distinct sets:
+
+    1. name affinity — same post-prefix suffix (broadcast pair filter);
+    2. value containment — common-θ KMV intersection
+       (``operators.sketches``): exact 1.0 for true FK subsets, an
+       unbiased sample estimate otherwise, so the 0.95 threshold
+       separates identically to the exact form;
+    3. parent uniqueness — HLL ``approx_count_distinct`` ≥ 95% of the
+       row count (both from the one profile scan per table).
+
+    The oracle is the EXACT distinct-value formulation projected to the
+    edge set — the sketch path must recover the identical 7-edge TPC-H
+    FK graph, which is the whole point: same answer, but every shuffle
+    carries ≤ k hashes per column instead of every distinct key.
+    """
+    from self_healing_data_pipeline_spark.operators.sketches import (
+        column_profiles,
+        kmv_sketches,
+        sketch_containment,
+    )
+
+    # Both summaries are consumed by several downstream branches
+    # (thresholds, thetas, child/parent sketch views, uniqueness); cache
+    # them or every branch re-runs the table scans. They are tiny by
+    # construction — |columns| rows and ≤ k·|columns| rows — so caching
+    # them is the design, not an optimization: scan the data exactly
+    # twice (profile pass, sketch pass) at ANY table size.
+    profiles = column_profiles(spark, sf_dir, _KEY_CANDIDATES).cache()
+    sketches = kmv_sketches(
+        spark, sf_dir, _KEY_CANDIDATES, profiles, k=1024
+    ).cache()
+    suffix = lambda c: F.substring_index(c, "_", -1)  # noqa: E731
+    cont = sketch_containment(
+        sketches,
+        pair_filter=(
+            suffix(F.col("child_column")) == suffix(F.col("parent_column"))
+        ),
+    )
+    parent_unique = profiles.filter(
+        F.col("distinct_est").cast("double")
+        >= F.lit(0.95) * F.col("n_rows").cast("double")
+    ).select(
+        F.col("tbl").alias("parent_table"),
+        F.col("col").alias("parent_column"),
+    )
+    return (
+        cont.filter(F.col("containment_est") >= 0.95)
+        .join(
+            F.broadcast(parent_unique),
+            ["parent_table", "parent_column"],
+            "left_semi",
+        )
+        .select(
+            "child_table", "child_column", "parent_table", "parent_column"
+        )
+        .orderBy(
+            "child_table", "child_column", "parent_table", "parent_column"
+        )
+    )

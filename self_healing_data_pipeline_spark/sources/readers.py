@@ -131,9 +131,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Names of parquet fields typed timestamp[ns] (from the footer)."""
+    """Names of parquet fields typed timestamp[ns] (from the footer).
+    Accepts a single file or a Spark-written directory (reads the first
+    part file's footer — Spark writes a uniform schema per directory)."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [
         schema.field(i).name
