@@ -1,0 +1,228 @@
+"""Byte-pair-encoding token counting with a REAL learned merge table
+(SURVEY.md §2.11 text ops; upgrades the lexer-regex estimate of
+``q_text_token_bpe`` to exact subword counts).
+
+Algorithm is the public BPE of Sennrich et al. 2015 ("Neural Machine
+Translation of Rare Words with Subword Units"), split Spark-first:
+
+* **Training** — the corpus-scale pass is a word-frequency aggregate
+  (one shuffle keyed on the word, map-side combined). Merge learning
+  then iterates over the VOCABULARY (unique words + counts), which is
+  bounded (~100k entries at any corpus size — Heaps' law), so it runs
+  driver-side like every real BPE trainer; the 100 TB input never
+  touches the driver.
+* **Encoding** — greedy lowest-rank pair merging per word, applied in
+  an Arrow-batched kernel with an in-batch word→count memo (Zipf makes
+  the memo hit rate high), composing with the JVM-side pre-tokenizer
+  (letter runs / digit runs / single punctuation — the same lexer split
+  the regex estimate uses, so estimate vs exact deltas are attributable
+  to subword splitting alone).
+
+``FROZEN_MERGES`` is a merge table trained by this trainer on the
+fixture corpus (``/root/testdata/sf0.001`` documents), frozen so query
+results are deterministic and self-contained.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (the classic '</w>'): lets BPE distinguish "low"
+#: inside "lowest" from the standalone word.
+EOW = "</w>"
+
+
+def train_bpe_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus.
+
+    Spark computes the word-frequency table (the only corpus-sized
+    pass); the standard pair-counting iterations run over that bounded
+    vocabulary driver-side. Ties on pair frequency break
+    lexicographically so training is fully deterministic."""
+    vocab_rows = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + (EOW,): r["freq"] for r in vocab_rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one lowercase letter-run word: repeatedly
+    merge the lowest-rank adjacent pair (the public BPE apply rule)."""
+    parts = list(word) + [EOW]
+    while len(parts) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_token_counter(merges: list[tuple[str, str]]):
+    """pandas-batch kernel: text → exact BPE token count. Letter runs
+    are BPE-encoded; digit runs and single punctuation glyphs count one
+    token each (matching the regex estimate's lexer split)."""
+    import re
+
+    lexer = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    letters = re.compile(r"[a-z]+")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def count_batch(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def count(text) -> int:
+            if text is None:
+                return 0
+            total = 0
+            for tok in lexer.findall(str(text).lower()):
+                if letters.fullmatch(tok):
+                    n = memo.get(tok)
+                    if n is None:
+                        n = len(encode_word(tok, ranks))
+                        memo[tok] = n
+                    total += n
+                else:
+                    total += 1
+            return total
+
+        return texts.map(count)
+
+    return count_batch
+
+
+# Trained by train_bpe_merges on /root/testdata/sf0.001 documents
+# (tools/train_bpe_fixture.py regenerates it); frozen for determinism.
+# Deliberately truncated BELOW convergence (80 of 105 learned merges):
+# at full convergence the small fixture vocabulary merges every word to
+# one token and the exact-vs-estimate delta degenerates to zero; a
+# bounded merge budget is also what real subword vocabularies are —
+# rare words are SUPPOSED to fragment.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'),
+    ('e', '</w>'),
+    ('n', '</w>'),
+    ('o', 'r'),
+    ('t', '</w>'),
+    ('er', '</w>'),
+    ('w', '</w>'),
+    ('o', 'w</w>'),
+    ('l', 'u'),
+    ('i', 'n'),
+    ('y', '</w>'),
+    ('p', 'a'),
+    ('pa', 'r'),
+    ('g', '</w>'),
+    ('a', 's'),
+    ('h', '</w>'),
+    ('a', '</w>'),
+    ('s', 't'),
+    ('a', 't'),
+    ('s', 'c'),
+    ('sc', 'a'),
+    ('sca', 'n</w>'),
+    ('o', 'lu'),
+    ('olu', 'm'),
+    ('olum', 'n</w>'),
+    ('c', 'olumn</w>'),
+    ('w', 'in'),
+    ('win', 'd'),
+    ('wind', 'ow</w>'),
+    ('or', 'd'),
+    ('ord', 'er</w>'),
+    ('s', 'or'),
+    ('sor', 't</w>'),
+    ('u', 'p'),
+    ('up', '</w>'),
+    ('par', 't</w>'),
+    ('g', 'g</w>'),
+    ('a', 'gg</w>'),
+    ('v', 'a'),
+    ('va', 'lu'),
+    ('valu', 'e</w>'),
+    ('l', 'in'),
+    ('lin', 'e</w>'),
+    ('k', 'e'),
+    ('ke', 'y</w>'),
+    ('o', 'i'),
+    ('oi', 'n</w>'),
+    ('j', 'oin</w>'),
+    ('m', 'er'),
+    ('mer', 'g'),
+    ('merg', 'e</w>'),
+    ('u', 'er'),
+    ('uer', 'y</w>'),
+    ('r', 'o'),
+    ('ro', 'up</w>'),
+    ('q', 'uery</w>'),
+    ('g', 'roup</w>'),
+    ('v', 'e'),
+    ('ve', 'c'),
+    ('vec', 't'),
+    ('vect', 'or'),
+    ('vector', '</w>'),
+    ('h', 'as'),
+    ('has', 'h</w>'),
+    ('s', 'l'),
+    ('sl', 'ow</w>'),
+    ('st', 'r'),
+    ('str', 'e'),
+    ('stre', 'a'),
+    ('strea', 'm'),
+    ('stream', '</w>'),
+    ('t', 'er</w>'),
+    ('l', 'ter</w>'),
+    ('i', 'lter</w>'),
+    ('f', 'ilter</w>'),
+    ('f', 'as'),
+    ('fas', 't</w>'),
+    ('t', 'h'),
+    ('th', 'e</w>'),
+    ('s', 'par'),
+]

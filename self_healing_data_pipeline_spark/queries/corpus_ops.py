@@ -241,3 +241,42 @@ def q_text_token_bpe(spark, sf_dir):
             "chars_per_token"
         ),
     )
+
+
+@query("q_text_token_bpe_exact")
+def q_text_token_bpe_exact(spark, sf_dir):
+    """EXACT subword token counts from a real learned BPE merge table
+    (``operators/bpe.py`` — public Sennrich-2015 algorithm trained on
+    the fixture corpus and frozen), with the lexer-regex estimate kept
+    as an in-row witness: ``est_tokens`` uses the same pre-tokenizer
+    split, so ``bpe_minus_est`` isolates pure subword splitting (rare
+    words fragment; ``witness_ok`` asserts exact ≥ estimate per row,
+    which greedy merging guarantees since a letter run is ≥ 1 token).
+
+    Rows-only by design: greedy merge application is iterative and not
+    ANSI-SQL-expressible. Arrow-batched pandas UDF with an in-batch
+    word memo — per-row cost is per-DISTINCT-word in practice (Zipf),
+    and nothing shuffles: one narrow projection over documents."""
+    from pyspark.sql.functions import pandas_udf
+
+    from self_healing_data_pipeline_spark.operators.bpe import (
+        FROZEN_MERGES,
+        bpe_token_counter,
+    )
+
+    counter = bpe_token_counter(FROZEN_MERGES)
+    bpe_count = pandas_udf(counter, "bigint")
+    d = read_table(spark, sf_dir, "documents")
+    est = F.regexp_count(
+        F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            bpe_count(F.col("text")).alias("bpe_tokens"),
+            est.alias("est_tokens"),
+        )
+        .withColumn("bpe_minus_est", F.col("bpe_tokens") - F.col("est_tokens"))
+        .withColumn("witness_ok", F.col("bpe_minus_est") >= 0)
+        .orderBy("doc_id")
+    )
