@@ -58,4 +58,5 @@ def load_all() -> None:
         analytics,
         catalog_queries,
         corpus_ops,
+        extras5,
     )

@@ -59,8 +59,16 @@ LINEAR_PROBES = [
     "q_dedup_minhash",
     "q_corpus_build",
     "q_text_tfidf_top",
+    # round-4 additions (VERDICT r03 item 5)
+    "q_text_repetition",
+    "q_events_top_paths",
 ]
-PAIRWISE_PROBES = ["q_fuzzy_match", "q_sim_join", "q_dedup_clusters"]
+# q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
+# population — and candidate pairs — grow with n: pairwise family. The
+# corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
+# `bits` knob measured here at the default.
+PAIRWISE_PROBES = ["q_fuzzy_match", "q_sim_join", "q_dedup_clusters",
+                   "q_sim_join_lsh"]
 
 
 def gen_documents(n: int, rng: np.random.RandomState) -> pa.Table:
@@ -95,6 +103,37 @@ def gen_documents(n: int, rng: np.random.RandomState) -> pa.Table:
             "lang": pa.array(langs),
             "source": pa.array([f"src{i % 20}" for i in range(n)]),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_events(n: int, rng: np.random.RandomState) -> pa.Table:
+    """Events matched to the driver fixture shape (user sessions with a
+    heavy-head event-type mix): ~n/50 users, 30-day window, µs
+    timestamps (no NANOS complication in the probe's own data)."""
+    import datetime as dt
+
+    n_users = max(n // 50, 5)
+    types = ["view", "view", "view", "click", "click", "cart",
+             "purchase", "signup", "error"]
+    base = dt.datetime(2024, 1, 1)
+    ts = [
+        base + dt.timedelta(seconds=int(rng.randint(0, 30 * 86400)),
+                            microseconds=int(rng.randint(0, 1_000_000)))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.randint(0, n_users, size=n), pa.int64()),
+            "event_type": pa.array(
+                [types[i] for i in rng.randint(0, len(types), size=n)]
+            ),
+            "value": pa.array(
+                np.round(rng.rand(n) * 200, 2), pa.float64()
+            ),
+            "props": pa.array(['{"k": %d}' % i for i in rng.randint(0, 100, size=n)]),
         }
     )
 
@@ -139,6 +178,9 @@ def main() -> None:
             gen_embeddings(max(n * 2 // 5, 100), rng),
             os.path.join(d, "embeddings.parquet"),
         )
+        pq.write_table(
+            gen_events(n * 2, rng), os.path.join(d, "events.parquet")
+        )
         dirs[name] = d
 
     from self_healing_data_pipeline_spark.registry import QUERIES, load_all
@@ -179,6 +221,85 @@ def main() -> None:
         times["family"] = "pairwise(Σ|block|²; expect ≈9 at 3×)"
         result[q] = times
         print(json.dumps({q: times}), flush=True)
+
+    # --- CDC / rollup STEADY-STATE probe (VERDICT r03 item 5) ---
+    # Fixed-size change batch applied against a 1× and a 10× state: the
+    # steady-state cost of a batch is the full-outer join + snapshot
+    # rewrite, both ∝ |state|; ratio ≈ 10 (minus fixed overhead)
+    # confirms the expected linear-in-state behavior (and that nothing
+    # accidentally rescans history — epochs are read, not re-merged).
+    import shutil as _sh
+
+    from pyspark.sql import functions as SF
+    from self_healing_data_pipeline_spark.streaming.cdc import (
+        apply_changes_batch,
+    )
+    from self_healing_data_pipeline_spark.streaming.rollup import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    def cdc_steady(n_state: int, tag: str) -> float:
+        sd = os.path.join(root, f"cdc_{tag}")
+        _sh.rmtree(sd, ignore_errors=True)
+        init = spark.range(n_state).select(
+            SF.lit("upsert").alias("op"),
+            SF.col("id"),
+            SF.lit(1).cast("long").alias("seq"),
+            SF.concat(SF.lit("name-"), SF.col("id")).alias("name"),
+        )
+        apply_changes_batch(spark, init, sd, "id", "seq", epoch_id=0)
+        batch = spark.range(2000).select(
+            SF.when(SF.col("id") % 10 == 0, "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            (SF.col("id") * 7 % n_state).alias("id"),
+            SF.lit(2).cast("long").alias("seq"),
+            SF.concat(SF.lit("upd-"), SF.col("id")).alias("name"),
+        )
+        t0 = time.perf_counter()
+        apply_changes_batch(spark, batch, sd, "id", "seq", epoch_id=1)
+        return round(time.perf_counter() - t0, 2)
+
+    def rollup_steady(n_state_keys: int, tag: str) -> float:
+        sd = os.path.join(root, f"rollup_{tag}")
+        _sh.rmtree(sd, ignore_errors=True)
+        init = spark.range(n_state_keys * 20).select(
+            (SF.col("id") % n_state_keys).alias("k"),
+            (SF.col("id") % 97).cast("double").alias("value"),
+        )
+        merge_rollup(
+            spark,
+            aggregate_batch(init, (SF.col("k") % 30).alias("b"), ["k"], "value"),
+            sd,
+            ["k"],
+            epoch_id=0,
+        )
+        batch = spark.range(2000).select(
+            (SF.col("id") * 13 % n_state_keys).alias("k"),
+            (SF.col("id") % 89).cast("double").alias("value"),
+        )
+        partials = aggregate_batch(
+            batch, (SF.col("k") % 30).alias("b"), ["k"], "value"
+        )
+        t0 = time.perf_counter()
+        merge_rollup(spark, partials, sd, ["k"], epoch_id=1)
+        return round(time.perf_counter() - t0, 2)
+
+    for name_, fn, base in (
+        ("cdc_apply_changes_steady_state", cdc_steady, args.small * 4),
+        ("rollup_merge_steady_state", rollup_steady, args.small * 2),
+    ):
+        times = {
+            "small": fn(base, "small"),
+            "large": fn(base * 10, "large"),
+            "factor": 10,
+            "state_rows_small": base,
+        }
+        times["ratio"] = round(times["large"] / max(times["small"], 1e-9), 2)
+        times["family"] = "linear-in-state (steady-state batch apply)"
+        result[name_] = times
+        print(json.dumps({name_: times}), flush=True)
 
     print(
         json.dumps(
