@@ -4,13 +4,15 @@ Design: media travel as opaque ``binary`` columns with typed metadata
 structs alongside (the Spark-native pattern — same as spark.ml's image
 schema and HuggingFace's datasets-on-Spark layout). All Spark-side
 plumbing (schema, partition sizing, Arrow batch shape, UDF signatures) is
-real and tested. Decode is REAL wherever the format needs no external
-codec: PNG pixels (stdlib zlib + scanline unfilter), WAV PCM samples,
-AVI raw frames. Only entropy-coded formats (JPEG/GIF pixels, compressed
-audio/video codecs) remain STUBBED behind ``NotImplementedError``
-because media libraries (PIL/ffmpeg/torchaudio) are not available in
-this environment — swapping in a real decoder changes ONLY the inner
-function body.
+real and tested. Decode is REAL for every fixture format, with no codec
+library: PNG pixels (stdlib zlib + scanline unfilter, this module), GIF
+pixels (LZW, ``operators/codecs.py``), baseline-JPEG pixels (canonical
+Huffman + 8×8 IDCT, ``operators/codecs.py``), uncompressed BMP, WAV PCM
+samples, and AVI raw frames. The only remaining stub boundary is
+genuinely-exotic variants (progressive JPEG, chroma-subsampled scans,
+compressed audio/video codecs like MP3/H.264), where decoders return
+None per row / raise ``NotImplementedError`` at the dispatch level —
+swapping in a library decoder changes ONLY the inner function body.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` governs rows/task; mapInPandas
@@ -58,25 +60,53 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
-        # real-pixel statistics (PNG decode path); None for codec formats
+        # real-pixel statistics (png/gif/jpeg/bmp decode); None only for
+        # malformed payloads or unsupported variants
         T.StructField("pixel_mean", T.DoubleType(), True),
         T.StructField("pixel_entropy", T.DoubleType(), True),
     ]
 )
 
 
-def decode_image(payload: bytes):
-    """Image pixel decode. PNG is REAL (stdlib zlib inflate + the five
-    per-scanline filters — see :func:`decode_png_pixels`); JPEG/GIF need
-    an entropy-coding codec library (PIL/libjpeg) that is unavailable in
-    this environment, so they remain the documented stub boundary."""
+def decode_pixels(payload: bytes | None):
+    """REAL pixel decode across all four fixture formats, no codec
+    library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
+    (canonical Huffman + IDCT), uncompressed BMP (the latter three in
+    ``operators/codecs.py``). Returns an ``(h, w[, ch])`` uint8 array,
+    or None for malformed payloads and the documented unsupported
+    variants (progressive JPEG, subsampled scans, Adam7 PNG)."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+    )
+
     fmt, _, _ = parse_image_dims(payload)
     if fmt == "png":
         return decode_png_pixels(payload)
+    if fmt == "gif":
+        return decode_gif_pixels(payload)
+    if fmt == "jpeg":
+        return decode_jpeg_pixels(payload)
+    if fmt == "bmp":
+        return decode_bmp_pixels(payload)
+    return None
+
+
+def decode_image(payload: bytes):
+    """Image pixel decode (raising form of :func:`decode_pixels`).
+    PNG/GIF/baseline-JPEG/BMP all decode for real; only unknown formats
+    and codec-requiring variants (progressive JPEG, subsampled chroma)
+    raise — that is the full remaining stub boundary."""
+    px = decode_pixels(payload)
+    if px is not None:
+        return px
+    fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
-        f"{fmt or 'unknown'} pixel decoding requires a codec library "
-        "(e.g. PIL); wire it here — the Spark plumbing around this call "
-        "is complete, and the PNG path shows the full shape"
+        f"{fmt or 'unknown'} payload did not decode: unknown format or an "
+        "unsupported variant (progressive JPEG / subsampled scan / Adam7 "
+        "PNG) — wire a codec library here; the Spark plumbing and the "
+        "four real decode paths show the full shape"
     )
 
 
@@ -370,7 +400,7 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                 p = np.bincount(arr, minlength=256) / len(arr)
                 nz = p[p > 0]
                 ent.append(float(-(nz * np.log2(nz)).sum()))
-                px = decode_png_pixels(b)  # real pixels (PNG); None else
+                px = decode_pixels(b)  # real pixels (png/gif/jpeg/bmp)
                 if px is None:
                     px_mean.append(None)
                     px_ent.append(None)

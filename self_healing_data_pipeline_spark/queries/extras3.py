@@ -411,70 +411,128 @@ def q_subquery_correlated(spark, sf_dir):
 
 @query("q_multimodal_features")  # rows-only: binary payloads / entropy
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal feature-extraction pipeline as a query.
+    """Multimodal feature-extraction pipeline as a query — with REAL
+    pixel decode across all four formats (round 4).
 
-    The fixture set carries no real media, so each document is wrapped in
-    a header-accurate synthetic image: a valid PNG signature+IHDR (even
-    doc_id) or JPEG SOI+APP0+SOF0 (odd doc_id) whose declared dimensions
-    derive from the document, followed by the document text as the
-    payload body. Extraction then runs the REAL path: Arrow-batched
-    mapInPandas computing n_bytes, byte entropy, and — via pure struct
-    parsing of the PNG/JPEG headers, no codec (operators.multimodal.
-    parse_image_dims) — format, width, height. ``dims_ok`` witnesses the
-    round-trip: parsed dimensions equal the dimensions the synthesizer
-    embedded. Only the pixel decode remains a stub. Rows-only check: byte
-    construction/entropy is not ANSI-SQL-expressible.
+    The fixture set carries no real media, so each document is encoded
+    as a genuine image whose pixels derive deterministically from the
+    document (a gradient seeded by doc_id): PNG (doc_id%4==0, stdlib
+    zlib), GIF (==1, real LZW), baseline JPEG (==2, canonical Huffman +
+    DCT), BMP (==3) — encoders in ``operators/codecs.py``. Extraction
+    then runs the real path end to end: Arrow-batched mapInPandas parses
+    headers (format/width/height), computes byte entropy, and DECODES
+    THE ACTUAL PIXELS (``operators.multimodal.decode_pixels``) for
+    pixel_mean / pixel_entropy. Witnesses per row: ``dims_ok`` (parsed
+    dims == synthesized dims) and ``pixels_ok`` (decoded pixel mean
+    within 3 counts of the mean the synthesizer computed from the true
+    pixel array — exact for the lossless formats, DCT-rounding tolerance
+    for JPEG). Rows-only check: byte-level codecs are not
+    ANSI-SQL-expressible.
     """
     from pyspark.sql.functions import pandas_udf
 
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        bmp_bytes_with_pixels,
+        gif_bytes_with_pixels,
+        jpeg_bytes_with_pixels,
+    )
     from self_healing_data_pipeline_spark.operators.multimodal import (
         extract_features,
-        jpeg_bytes,
-        png_bytes,
+        png_bytes_with_pixels,
     )
 
-    def _synth(doc_id, text, w, h):
-        return pd.Series(
-            [
-                (
-                    png_bytes(int(wi), int(hi))
-                    if int(d) % 2 == 0
-                    else jpeg_bytes(int(wi), int(hi))
+    def _gradient(d: int, wi: int, hi: int):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:hi, 0:wi]
+        return ((yy * 7 + xx * 13 + d) % 256).astype(np.uint8)
+
+    def _gif_palette():
+        import numpy as np
+
+        return np.stack(
+            [np.arange(256), (np.arange(256) * 3) % 256,
+             (np.arange(256) * 7) % 256], axis=1
+        ).astype(np.uint8)
+
+    def _synth(doc_id, w, h):
+        payloads = []
+        for d, wi, hi in zip(doc_id, w, h):
+            d, wi, hi = int(d), int(wi), int(hi)
+            px = _gradient(d, wi, hi)
+            kind = d % 4
+            if kind == 0:
+                blob = png_bytes_with_pixels(px)
+            elif kind == 1:
+                blob = gif_bytes_with_pixels(
+                    px, _gif_palette(), interlace=bool(d % 8 == 1)
                 )
-                + str(t).encode("utf-8")
-                for d, t, wi, hi in zip(doc_id, text, w, h)
-            ]
+            elif kind == 2:
+                blob = jpeg_bytes_with_pixels(px)
+            else:
+                blob = bmp_bytes_with_pixels(px)
+            payloads.append(blob)
+        return pd.Series(payloads)
+
+    def _true_mean(doc_id, w, h):
+        # expected pixel mean from the gradient alone — no encode pass, so
+        # the witness branch of the join costs O(pixels) numpy, not codecs
+        means = []
+        for d, wi, hi in zip(doc_id, w, h):
+            d, wi, hi = int(d), int(wi), int(hi)
+            px = _gradient(d, wi, hi)
+            if d % 4 == 1:
+                px = _gif_palette()[px]
+            means.append(float(px.mean()))
+        return pd.Series(means)
+
+    synth = pandas_udf(_synth, "binary")
+    true_mean_udf = pandas_udf(_true_mean, "double")
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            # small real rasters: pure-Python JPEG entropy decode is the
+            # slow path, so bound pixels/doc
+            (F.col("n_chars") % 24 + 8).cast("int").alias("exp_width"),
+            (F.col("doc_id") % 16 + 8).cast("int").alias("exp_height"),
         )
-
-    synth_payload = pandas_udf(_synth, "binary")
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        (F.col("n_chars") % 800 + 1).cast("int").alias("exp_width"),
-        (F.col("doc_id") % 600 + 1).cast("int").alias("exp_height"),
-        "text",
+        # fixture parquet is one input split, which would serialize the
+        # decode kernel on one core; at warehouse scale the scan itself
+        # yields many splits and this repartition is a no-op cost-wise
+        # (tiny pre-payload rows), so fan out before the pandas stages
+        .repartition(spark.sparkContext.defaultParallelism, "media_id")
     )
     media = docs.select(
         "media_id",
         "kind",
-        synth_payload(
-            F.col("media_id"), F.col("text"), F.col("exp_width"), F.col("exp_height")
-        ).alias("payload"),
+        synth(F.col("media_id"), F.col("exp_width"), F.col("exp_height")).alias(
+            "payload"
+        ),
         F.struct(
             F.col("exp_width").alias("width"),
             F.col("exp_height").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("duration_ms"),
-            F.when(F.col("media_id") % 2 == 0, "png").otherwise("jpeg").alias(
-                "format"
-            ),
+            F.element_at(
+                F.array(F.lit("png"), F.lit("gif"), F.lit("jpeg"), F.lit("bmp")),
+                (F.col("media_id") % 4 + 1).cast("int"),
+            ).alias("format"),
         ).alias("meta"),
     )
     feats = extract_features(media.select("media_id", "kind", "payload", "meta"))
-    expected = docs.select("media_id", "exp_width", "exp_height")
+    expected = docs.select(
+        "media_id",
+        "exp_width",
+        "exp_height",
+        true_mean_udf(
+            F.col("media_id"), F.col("exp_width"), F.col("exp_height")
+        ).alias("true_mean"),
+    )
     # flat output (no array column): project the feature vector to its L2
-    # norm and witness the header round-trip per row
+    # norm and witness header + pixel round-trips per row
     return (
         feats.withColumn(
             "feature_norm",
@@ -495,10 +553,16 @@ def q_multimodal_features(spark, sf_dir):
             "width",
             "height",
             "feature_norm",
+            "pixel_mean",
+            "pixel_entropy",
             (
                 (F.col("width") == F.col("exp_width"))
                 & (F.col("height") == F.col("exp_height"))
             ).alias("dims_ok"),
+            (
+                F.col("pixel_mean").isNotNull()
+                & (F.abs(F.col("pixel_mean") - F.col("true_mean")) <= 3.0)
+            ).alias("pixels_ok"),
         )
     )
 
