@@ -59,4 +59,5 @@ def load_all() -> None:
         catalog_queries,
         corpus_ops,
         extras5,
+        dq,
     )
