@@ -1,0 +1,354 @@
+"""Round-4 analytics batch 2 (SURVEY.md §2.9/§2.11): sequential-state
+ops and bounded-memory sketches that round out the event/corpus
+analytics surface — exponential moving averages, cumulative-distinct
+growth curves, Pareto frontiers, MATCH_RECOGNIZE-style sequence
+patterns, and Misra-Gries heavy hitters with exact verification.
+
+Scale discipline:
+
+- EMA is inherently sequential PER KEY, so it runs as per-user
+  applyInPandas (state = one float per group, groups distribute);
+  nothing is sequential across keys.
+- The growth curve's only global window runs over per-DAY rows (state
+  bounded by the calendar, not the data).
+- The Pareto frontier pre-aggregates to one row per distinct spend
+  before its global ordered pass — the window input is the dominance
+  envelope's support, not the customer table.
+- Heavy hitters never shuffle the full token stream for candidates:
+  Misra-Gries summaries (k counters per partition) guarantee a
+  candidate superset, and only candidates get exact counts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+_EMA_ALPHA = 0.2  # smoothing; 1-alpha written as literal 0.8 both engines
+
+
+@query(
+    "q_ema",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, n, value, value AS ema FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.n, s.value,
+             0.8 * r.ema + 0.2 * s.value
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           value AS last_value, ema AS ema_last
+    FROM rec WHERE rn = n
+    ORDER BY user_id
+    """,
+)
+def q_ema(spark, sf_dir):
+    """Per-user exponential moving average of event values (the
+    monitoring primitive behind rate smoothing and anomaly baselines):
+    y_0 = x_0, y_i = 0.8·y_{i-1} + 0.2·x_i over (ts, event_id) order,
+    reporting each user's final smoothed level.
+
+    EMA is sequential per key and Spark has no linear-recurrence
+    window, so the kernel is applyInPandas per user — the Spark-native
+    shape for per-key sequential state: groups distribute across
+    executors, state is ONE float per group, and the shuffle carries
+    only (user_id, ts, value). The float recurrence is written as the
+    identical two-multiply-one-add expression on both engines, so IEEE
+    rounding agrees bit-for-bit with the DuckDB recursive-CTE twin."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = None
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else 0.8 * y + 0.2 * x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "last_value": [float(pdf["value"].iloc[-1])],
+                "ema_last": [y],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            ema_group,
+            "user_id long, n_events long, last_value double, ema_last double",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type, day, COUNT(*) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily ORDER BY event_type, day
+    """,
+)
+def q_cumulative_distinct(spark, sf_dir):
+    """Cumulative-distinct growth curves: distinct users ever seen, by
+    day, per event type — the expanding COUNT(DISTINCT) every growth
+    dashboard needs, which naive engines compute as O(days)
+    self-overlapping scans. Spark-first: distinct-over-expanding-window
+    decomposes into first-seen date per (type, user) (ONE hash
+    aggregate) + daily new-user counts + a running sum whose window
+    input is per-(type, DAY) rows — the ordered pass touches the
+    calendar × 5 types regardless of event volume, partitioned by type
+    (no single-partition window)."""
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q_pareto_frontier",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, a.spend_cents, a.n_orders
+    FROM agg a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg b
+      WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+        AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
+    )
+    ORDER BY a.spend_cents DESC, a.o_custkey
+    """,
+)
+def q_pareto_frontier(spark, sf_dir):
+    """Pareto frontier (skyline) of customers over (total spend, order
+    count) — multi-objective top-N without collapsing objectives into a
+    weighted score. The oracle is the O(n²) NOT-EXISTS dominance
+    definition; the Spark plan is the O(n log n) envelope form:
+    pre-aggregate to ONE row per distinct spend (max orders at that
+    spend), one ordered pass computing the running max of orders over
+    strictly-higher spends (integer cents ⟹ "spend > s" is the exact
+    RANGE frame ≥ s+1), then customers join back against the 〈spend →
+    envelope〉 table. Dominated iff a strictly-richer point has ≥ orders,
+    or an equal-spend point has > orders. Spend in exact summed cents so
+    no float-sum ordering can split the frontier across engines. The
+    global window runs over distinct spend values only; at warehouse
+    scale precede it with per-partition local skylines (same merge law:
+    skyline(skylines) = skyline)."""
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    per_spend = agg.groupBy("spend_cents").agg(
+        F.max("n_orders").alias("mx_orders")
+    )
+    w = (
+        Window.orderBy(F.desc("spend_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    env = per_spend.select(
+        "spend_cents",
+        "mx_orders",
+        F.max("mx_orders").over(w).alias("richer_max"),
+    )
+    return (
+        agg.join(env, "spend_cents")
+        .filter(
+            ~(
+                (F.col("richer_max").isNotNull() & (F.col("richer_max") >= F.col("n_orders")))
+                | (F.col("mx_orders") > F.col("n_orders"))
+            )
+        )
+        .select("o_custkey", "spend_cents", "n_orders")
+        .orderBy(F.desc("spend_cents"), "o_custkey")
+    )
+
+
+@query(
+    "q_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                          ELSE 'E' END, ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+    )
+    SELECT user_id, day, LENGTH(seq) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'V[VC]*P')) AS BIGINT)
+             AS n_matches,
+           regexp_matches(seq, 'V[VC]*P') AS matched
+    FROM seqs
+    ORDER BY user_id, day
+    """,
+)
+def q_sequence_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern detection: per (user, day),
+    does the ordered event stream contain view → (views|clicks)* →
+    purchase, and how many non-overlapping times — the funnel-with-
+    wildcards shape that plain funnels (q_events_funnel) can't express.
+    Each stream is rendered to a one-char-per-event string via an
+    order-deterministic sort_array(collect_list(struct)) (bounded by
+    events/user/day), then the pattern runs as a JVM-side regex —
+    leftmost non-overlapping match semantics agree between Java regex
+    and RE2, witnessed by counting matches (P per match) on both
+    engines. Shuffle carries (user, day, initial) triples; no text."""
+    e = read_table(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    seqs = (
+        e.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.struct("ts", "event_id", initial.alias("i")).alias("ev"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("ev")), lambda s: s["i"])
+            ).alias("seq")
+        )
+    )
+    matches = F.expr("regexp_extract_all(seq, 'V[VC]*P', 0)")
+    return (
+        seqs.select(
+            "user_id",
+            "day",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.size(matches).cast("long").alias("n_matches"),
+            (F.size(matches) > 0).alias("matched"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_HH_DENOM = 200  # heavy hitter = token with count * 200 > total tokens
+# Misra-Gries counters per partition. The guarantee needs k > DENOM:
+# a token decremented away in EVERY partition summary has global count
+# <= sum_p n_p/k = N/k <= N/256 < N/200, so every true heavy hitter
+# survives at least one summary regardless of partitioning.
+_MG_K = 256
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents
+    ), clean AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM clean)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM clean CROSS JOIN tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) * {_HH_DENOM} > tot.n
+    ORDER BY freq DESC, tok
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens above a 1/200 frequency share)
+    via the bounded-memory two-phase plan: per-partition MISRA-GRIES
+    summaries (k=256 counters, streaming over Arrow batches inside
+    mapInPandas) produce a guaranteed candidate SUPERSET — a token
+    decremented away in every partition has global count ≤ Σ n_p/k =
+    N/256 < N/200, so every true heavy hitter survives somewhere; k >
+    DENOM makes that hold under ANY partitioning. Then one exact
+    aggregate restricted to (broadcast) candidates applies the true
+    threshold. The full token stream is never shuffled for candidacy —
+    each task emits ≤ k (token, weight) rows — and the exact pass
+    shuffles only candidate tokens. Because phase 2 is exact over a
+    superset, the result equals the oracle's plain GROUP BY / HAVING:
+    the sketch changes cost, not answers."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t in counters if counters[t] == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame(
+            {"tok": list(counters), "w": list(counters.values())}
+        )
+
+    candidates = (
+        toks.mapInPandas(mg_partition, "tok string, w long")
+        .select("tok")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .join(F.broadcast(total))
+        .filter(F.col("freq") * _HH_DENOM > F.col("n"))
+        .select("tok", F.col("freq").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+    )

@@ -60,4 +60,5 @@ def load_all() -> None:
         corpus_ops,
         extras5,
         dq,
+        analytics2,
     )

@@ -337,3 +337,53 @@ def test_tpch2_remaining_plan_shapes(spark, sf_dir):
     p22 = plan_of(spark, sf_dir, "q_tpch_q22")
     assert "LeftAnti" in p22
     assert "GreaterThanOrEqual(o_orderdate" in p22  # dormancy cutoff pushed
+
+
+def test_dq_expectation_suite_is_one_scan(spark, sf_dir):
+    # the declarative rule suite must stay a single aggregate pass —
+    # one parquet scan feeding one partial/final aggregate pair, no joins
+    p = plan_of(spark, sf_dir, "q_dq_expectations")
+    # one scan node (counted by its unique file-index detail line)
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in p
+
+
+def test_dq_fk_orphans_broadcasts_small_parents(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_dq_fk_orphans")
+    # 5 of 6 relations broadcast their parent; lineitem->orders is the
+    # one legitimate big-big shuffle join
+    assert p.count("BroadcastHashJoin") >= 5
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_dq_drift_and_benford_broadcast_scalars(spark, sf_dir):
+    for name in ("q_dq_category_drift", "q_dq_benford"):
+        p = plan_of(spark, sf_dir, name)
+        # global totals join back as broadcast one-row sides, never a
+        # shuffle keyed on a constant
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_cumulative_distinct_window_is_partitioned(spark, sf_dir):
+    # the growth-curve running sum partitions by event_type: a global
+    # single-partition window over per-day rows would serialize at scale
+    p = plan_of(spark, sf_dir, "q_cumulative_distinct")
+    assert "SinglePartition" not in p
+
+
+def test_heavy_hitters_exact_pass_broadcasts_candidates(spark, sf_dir):
+    # candidate set (<= k rows/partition) broadcasts; the token stream
+    # is never shuffled for candidacy
+    p = plan_of(spark, sf_dir, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pareto_frontier_window_input_is_preaggregated(spark, sf_dir):
+    # the ordered dominance pass runs over one row per distinct spend
+    # (per_spend aggregate appears upstream of the window)
+    p = plan_of(spark, sf_dir, "q_pareto_frontier")
+    assert "Window" in p
+    import re
+    win_pos = p.index("Window")
+    # an aggregate on spend_cents must feed the window subtree
+    assert re.search(r"partial_max\(n_orders", p) or "max(n_orders" in p
