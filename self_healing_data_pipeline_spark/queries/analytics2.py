@@ -352,3 +352,114 @@ def q_heavy_hitters(spark, sf_dir):
         .select("tok", F.col("freq").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), "tok")
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           COUNT(*) AS n_purchases
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's most
+    recent non-purchase event before it (first event of a stream =
+    'direct') — the marketing-analytics primitive behind channel ROI.
+    Spark-first as a single windowed LOCF pass: ``last(..., ignorenulls)``
+    over (ts, event_id) order with a 1-PRECEDING frame — no self-join,
+    no per-purchase lookback scan; the window partitions by user so
+    state is one value per user and work distributes with the keys.
+    Both engines evaluate the identical IGNORE NULLS frame semantics."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", last_touch.alias("last_touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("last_touch"), F.lit("direct")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q_customer_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the classic customer-value grid, reported as segment sizes + exact
+    value mass per cell. One per-customer aggregate (monetary in exact
+    summed cents), three NTILE windows with a unique custkey tie-break
+    (NTILE is order-sensitive; the tie-break makes bucket edges
+    deterministic on both engines), then a 64-cell rollup. The windows
+    are global by nature of quartiles — their input is the customer
+    AGGREGATE (one row per customer), not orders; at warehouse scale
+    replace with approx-quantile cut points computed once and a
+    broadcast range join (same grid, no global sort)."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -635,3 +635,68 @@ def q_dq_outlier_mad(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_dq_route_quarantine",
+    oracle="""
+    WITH routed AS (
+      SELECT CASE
+               WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                 THEN 'quantity_positive'
+               WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)
+                 THEN 'discount_in_unit_range'
+               WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                 THEN 'price_positive'
+               WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                 THEN 'returnflag_enum'
+               ELSE 'clean'
+             END AS route,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT route, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents
+    FROM routed GROUP BY route ORDER BY route
+    """,
+)
+def q_dq_route_quarantine(spark, sf_dir):
+    """Quarantine routing as a query: every row tagged with its FIRST
+    failing rule (``operators.expectations.route_violations`` — the CASE
+    chain the quarantine sink writes), then a per-route count + exact
+    amount-cents mass so the report shows what value is stuck in
+    quarantine, not just how many rows. One narrow projection + one
+    small-cardinality aggregate; the CASE chain is a single codegen'd
+    expression, no extra scan per rule."""
+    from self_healing_data_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_in,
+        expect_positive,
+        route_violations,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rules = [
+        expect_positive("quantity_positive", "l_quantity"),
+        expect_between("discount_in_unit_range", "l_discount", 0, 1),
+        expect_positive("price_positive", "l_extendedprice"),
+        expect_in("returnflag_enum", "l_returnflag", ["A", "N", "R"]),
+    ]
+    return (
+        route_violations(li, rules)
+        .select(
+            F.coalesce(F.col("quarantine_rule"), F.lit("clean")).alias(
+                "route"
+            ),
+            "l_extendedprice",
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("amount_cents"),
+        )
+        .orderBy("route")
+    )

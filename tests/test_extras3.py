@@ -143,16 +143,24 @@ def test_multimodal_feature_query_schema_and_entropy_bounds(spark, sf_dir):
         "width",
         "height",
         "feature_norm",
+        "pixel_mean",
+        "pixel_entropy",
         "dims_ok",
+        "pixels_ok",
     ]
     rows = df.collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == docs
+    fmts = ["png", "gif", "jpeg", "bmp"]
     for r in rows:
         assert 0.0 <= r["byte_entropy"] <= 8.0
         assert r["n_bytes"] > 0
         # header round-trip: parsed dims equal the embedded dims, and the
-        # format tracks the even-png / odd-jpeg synthesis rule
+        # format tracks the doc_id%4 synthesis rule (png/gif/jpeg/bmp)
         assert r["dims_ok"] is True
-        assert r["format"] == ("png" if r["media_id"] % 2 == 0 else "jpeg")
+        assert r["format"] == fmts[r["media_id"] % 4]
         assert r["feature_norm"] > 0.0
+        # REAL pixel decode on every row, all four formats
+        assert r["pixels_ok"] is True
+        assert r["pixel_mean"] is not None and 0.0 <= r["pixel_mean"] <= 255.0
+        assert 0.0 <= r["pixel_entropy"] <= 8.0

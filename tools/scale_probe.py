@@ -62,6 +62,14 @@ LINEAR_PROBES = [
     # round-4 additions (VERDICT r03 item 5)
     "q_text_repetition",
     "q_events_top_paths",
+    # round-4 batch-2 additions: MG heavy hitters (one summary pass +
+    # candidate-only exact agg), sequence regex over per-user-day
+    # strings, per-user sequential EMA, and the four-codec pixel decode
+    # (pure per-row work inside mapInPandas) — all expected ~linear
+    "q_heavy_hitters",
+    "q_sequence_match",
+    "q_ema",
+    "q_multimodal_features",
 ]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
@@ -157,7 +165,14 @@ def gen_embeddings(n: int, rng: np.random.RandomState) -> pa.Table:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=5000)
+    ap.add_argument(
+        "--only",
+        type=str,
+        default="",
+        help="comma-separated probe names; skips steady-state probes",
+    )
     args = ap.parse_args()
+    only = {q for q in args.only.split(",") if q}
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.join(here, ".scratch", "scaleprobe")
@@ -201,7 +216,9 @@ def main() -> None:
         return round(time.perf_counter() - t0, 2)
 
     result: dict[str, dict[str, float | str]] = {}
-    for q in LINEAR_PROBES:
+    linear = [q for q in LINEAR_PROBES if not only or q in only]
+    pairwise = [q for q in PAIRWISE_PROBES if not only or q in only]
+    for q in linear:
         times: dict[str, float | str] = {
             "small": timed(q, "small"),
             "large": timed(q, "large"),
@@ -211,7 +228,7 @@ def main() -> None:
         times["family"] = "linear"
         result[q] = times
         print(json.dumps({q: times}), flush=True)
-    for q in PAIRWISE_PROBES:
+    for q in pairwise:
         times = {
             "small": timed(q, "small"),
             "mid": timed(q, "mid"),
@@ -286,10 +303,15 @@ def main() -> None:
         merge_rollup(spark, partials, sd, ["k"], epoch_id=1)
         return round(time.perf_counter() - t0, 2)
 
-    for name_, fn, base in (
-        ("cdc_apply_changes_steady_state", cdc_steady, args.small * 4),
-        ("rollup_merge_steady_state", rollup_steady, args.small * 2),
-    ):
+    steady = (
+        []
+        if only
+        else [
+            ("cdc_apply_changes_steady_state", cdc_steady, args.small * 4),
+            ("rollup_merge_steady_state", rollup_steady, args.small * 2),
+        ]
+    )
+    for name_, fn, base in steady:
         times = {
             "small": fn(base, "small"),
             "large": fn(base * 10, "large"),
