@@ -484,7 +484,10 @@ def q_dq_type_inference(spark, sf_dir):
         F.when(F.col("o_orderkey") % 10 == 0, F.lit("N/A"))
         .otherwise((F.col("o_orderkey") % 97).cast("string"))
         .alias("c_dirty"),
-    )
+    # fixture parquet is one input split; the per-row try-parses are the
+    # cost here, so fan out (real warehouse scans already have many
+    # splits — the skinny 4-string-column shuffle is the cheap side)
+    ).repartition(spark.sparkContext.defaultParallelism)
     aggs = [F.count(F.lit(1)).alias("n")]
     for col in ["c_id", "c_date", "c_text", "c_dirty"]:
         aggs.append(
@@ -497,10 +500,16 @@ def q_dq_type_inference(spark, sf_dir):
         aggs.append(
             # explicit ISO format: Spark's bare string→date cast accepts
             # partial dates ('2024' → 2024-01-01) that DuckDB rejects, so
-            # pin the full yyyy-MM-dd pattern both engines agree on
+            # pin the full yyyy-MM-dd pattern both engines agree on. The
+            # rlike gate short-circuits non-date strings BEFORE the
+            # formatter (whose failure path is exception-driven, ~µs/row
+            # — measured 10× on a mostly-non-date column); anything that
+            # parses under yyyy-MM-dd matches the regex, so the
+            # conjunction is equivalent to the bare parse.
             F.sum(
                 F.when(
-                    F.try_to_timestamp(
+                    F.col(col).rlike(r"^\d{4}-\d{2}-\d{2}$")
+                    & F.try_to_timestamp(
                         F.col(col), F.lit("yyyy-MM-dd")
                     ).isNotNull(),
                     1,

@@ -70,3 +70,72 @@ def running_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+EMA_STATE_SCHEMA = "ema DOUBLE, n LONG, last DOUBLE"
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_value", T.DoubleType(), True),
+        T.StructField("ema_last", T.DoubleType(), True),
+    ]
+)
+
+
+def _update_ema(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's rows (event-time order) into the running EMA.
+
+    The recurrence is the SAME two-multiply-one-add expression as the
+    batch twin (queries/analytics2.q_ema) and its DuckDB recursive-CTE
+    oracle, so a stream that delivers batches in event-time order
+    reproduces the batch result bit-for-bit."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ema, n, last = state.get if state.exists else (None, 0, None)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for x in rows["value"]:
+        x = float(x)
+        ema = x if ema is None else 0.8 * ema + 0.2 * x
+        last = x
+        n += 1
+    state.update((ema, n, last))
+    state.setTimeoutDuration(3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_value": [last],
+            "ema_last": [ema],
+        }
+    )
+
+
+def streaming_ema(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """True-streaming twin of ``q_ema``: per-key exponential moving
+    average maintained across micro-batches via applyInPandasWithState.
+
+    State per key is THREE scalars (ema, count, last) — O(|keys|)
+    memory on an unbounded stream, idle keys evicted by timeout. Rows
+    are folded in (ts, event_id) order WITHIN each batch; like every
+    sequential recurrence, cross-batch correctness requires the source
+    to deliver batches in non-decreasing event time per key (file
+    sources replaying history in file order, or a log keyed+ordered per
+    partition — the Kafka per-partition guarantee). Handling arbitrary
+    cross-batch disorder would need a watermark-bounded reorder buffer
+    in state; documented out of scope, same discipline as CDC's seq
+    requirement (streaming/cdc.py)."""
+    from pyspark.sql import functions as F
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.groupBy(key).applyInPandasWithState(
+        _update_ema,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

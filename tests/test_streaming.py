@@ -347,3 +347,67 @@ def test_ingest_quarantine_stream_matches_batch_twin(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert round(got_sum, 2) == round(want_sum, 2)
+
+
+def test_streaming_ema_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Multi-batch replay: events split into three time-ordered files,
+    maxFilesPerTrigger=1 forces three micro-batches, and the final EMA
+    update per user must equal the batch q_ema result bit-for-bit
+    (same fold order, same IEEE expression)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.registry import QUERIES, load_all
+    from self_healing_data_pipeline_spark.streaming.stateful import (
+        streaming_ema,
+    )
+
+    load_all()
+    batch_ev = read_table(spark, sf_dir, "events")
+    lo, hi = batch_ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = (hi - lo) / 3
+    out = str(tmp_path / "ema_stream")
+    # write three event-time slices as separate files, in order, with
+    # strictly increasing modification times (FileStreamSource batches
+    # by mod time under maxFilesPerTrigger=1)
+    for i in range(3):
+        cut_lo = lo + i * span
+        cut_hi = hi if i == 2 else lo + (i + 1) * span
+        sl = batch_ev.filter(
+            (F.col("ts") >= F.lit(cut_lo))
+            & (F.col("ts") <= F.lit(cut_hi) if i == 2 else F.col("ts") < F.lit(cut_hi))
+        )
+        sl.coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)
+    stream_ev = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        streaming_ema(stream_ev)
+        .writeStream.format("memory")
+        .queryName("t_ema")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["ema_last"], r["last_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, ema_last, last_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM t_ema
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ema_last"], r["last_value"])
+        for r in QUERIES["q_ema"](spark, sf_dir).collect()
+    }
+    assert got == want  # bit-exact, including the float EMA
