@@ -337,7 +337,9 @@ def q_heavy_hitters(spark, sf_dir):
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for tok in pdf["tok"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -349,16 +351,26 @@ def q_heavy_hitters(spark, sf_dir):
                         counters[t] -= 1
                     for t in dead:
                         del counters[t]
+        # sentinel row (tok=NULL) carries this partition's stream length
+        # so the grand total comes FROM the summary pass — no separate
+        # counting scan of the token stream
         yield pd.DataFrame(
-            {"tok": list(counters), "w": list(counters.values())}
+            {
+                "tok": list(counters) + [None],
+                "w": list(counters.values()) + [seen],
+            }
         )
 
+    # cache the summaries: ≤ (k+1)·|partitions| rows feed two branches
+    # (candidate set + grand total); without it each branch re-runs the
+    # MG pass over the full token stream
+    summaries = toks.mapInPandas(mg_partition, "tok string, w long").cache()
     candidates = (
-        toks.mapInPandas(mg_partition, "tok string, w long")
-        .select("tok")
-        .distinct()
+        summaries.filter(F.col("tok").isNotNull()).select("tok").distinct()
     )
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    total = summaries.filter(F.col("tok").isNull()).agg(
+        F.sum("w").cast("long").alias("n")
+    )
     return (
         toks.join(F.broadcast(candidates), "tok")
         .groupBy("tok")

@@ -120,11 +120,13 @@ def q_dq_expectations(spark, sf_dir):
 def q_dq_fk_orphans(spark, sf_dir):
     """Referential-integrity audit over the full FK graph that
     ``q_join_discovery`` recovers: per relation, child rows vs orphans
-    (child keys with no parent). Each relation is one LEFT JOIN + one
-    ungrouped aggregate; small parents (region/nation/supplier/part/
-    customer at their respective scales) broadcast, and the only
-    big↔big pair (lineitem⋈orders) shuffles on the key once. Orphan
-    counting — not just existence — so the report quantifies damage."""
+    (child keys with no parent). All THREE lineitem FKs audit in ONE
+    scan — a single join chain (orders via the one big↔big shuffle,
+    part/supplier broadcast) feeding one aggregate that counts the
+    three orphan kinds, unpivoted to per-relation rows. The remaining
+    relations are one broadcast LEFT JOIN + ungrouped aggregate each.
+    Orphan counting — not just existence — so the report quantifies
+    damage."""
 
     def audit(child, ckey, parent, pkey, label, broadcast_parent):
         p = parent.select(pkey).distinct()
@@ -155,15 +157,70 @@ def q_dq_fk_orphans(spark, sf_dir):
     p = read_table(spark, sf_dir, "part")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
+
+    # all three lineitem FKs audited in ONE scan: chain the parent key
+    # sets onto one pass (orders via the single big-big shuffle, part/
+    # supplier broadcast) and count the three orphan kinds in one
+    # aggregate, then unpivot the counter row into per-relation rows
+    li3 = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey").distinct()),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey").distinct()),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.sum(F.when(F.col(k).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(a)
+                for k, a in (
+                    ("o_orderkey", "orph_orders"),
+                    ("p_partkey", "orph_part"),
+                    ("s_suppkey", "orph_supplier"),
+                )
+            ],
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rel).alias("relation"),
+                            F.col("n_child").alias("n_child"),
+                            F.col(a).alias("n_orphans"),
+                        )
+                        for rel, a in (
+                            ("lineitem.l_orderkey->orders", "orph_orders"),
+                            ("lineitem.l_partkey->part", "orph_part"),
+                            ("lineitem.l_suppkey->supplier", "orph_supplier"),
+                        )
+                    ]
+                )
+            ).alias("x")
+        )
+        .select(
+            "x.relation",
+            "x.n_child",
+            "x.n_orphans",
+            (F.col("x.n_orphans") == 0).alias("ok"),
+        )
+    )
     parts = [
         audit(c, "c_nationkey", n, "n_nationkey",
               "customer.c_nationkey->nation", True),
-        audit(li, "l_orderkey", o, "o_orderkey",
-              "lineitem.l_orderkey->orders", False),
-        audit(li, "l_partkey", p, "p_partkey",
-              "lineitem.l_partkey->part", True),
-        audit(li, "l_suppkey", s, "s_suppkey",
-              "lineitem.l_suppkey->supplier", True),
+        li3,
         audit(n, "n_regionkey", r, "r_regionkey",
               "nation.n_regionkey->region", True),
         audit(o, "o_custkey", c, "c_custkey",
@@ -279,11 +336,14 @@ def q_dq_benford(spark, sf_dir):
         .cast("long")
         .alias("digit")
     )
-    total = digits.agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan, one subtree: the grand total is a window sum OVER the
+    # 9-row digit histogram (single-partition, but over 9 rows)
     return (
         digits.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(total))
+        .withColumn(
+            "n", F.sum("n_orders").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "digit",
             "n_orders",
@@ -342,17 +402,28 @@ def q_dq_category_drift(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         "o_orderpriority",
     )
+    # ONE table scan, ONE subtree: the months×priorities aggregate
+    # (~#months·5 rows) is the only read; monthly totals, the global
+    # mix, and the grand total are window sums OVER that aggregate —
+    # joins back to re-derived branches would re-scan the table
     m = o.groupBy("month", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("c_m")
     )
-    mn = m.groupBy("month").agg(F.sum("c_m").cast("long").alias("n_m"))
-    g = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("c_g"))
-    n = o.agg(F.count(F.lit(1)).alias("n_g"))
+    m = m.select(
+        "month",
+        "o_orderpriority",
+        "c_m",
+        F.sum("c_m").over(Window.partitionBy("month")).cast("long").alias("n_m"),
+        F.sum("c_m")
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("c_g"),
+        # global total: single-partition window over the ~#months·5-row
+        # aggregate (bounded by the calendar, not the data)
+        F.sum("c_m").over(Window.partitionBy()).cast("long").alias("n_g"),
+    )
     return (
-        m.join(mn, "month")
-        .join(F.broadcast(g), "o_orderpriority")
-        .join(F.broadcast(n))
-        .groupBy("month")
+        m.groupBy("month")
         .agg(
             F.min("n_m").alias("n_orders"),
             F.sum(
@@ -396,11 +467,15 @@ def q_dq_freshness(spark, sf_dir):
     the feed advances. One 5-group aggregate + a broadcast 1-row global
     max; integer minutes keep the comparison exact."""
     e = read_table(spark, sf_dir, "events")
-    g = e.agg(F.max("ts").alias("max_all"))
+    # ONE scan, one subtree: the global max is a window max OVER the
+    # 5-row per-type aggregate (single-partition, but over 5 rows)
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("latest")
+    )
     return (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("latest"))
-        .join(F.broadcast(g))
+        per_type.withColumn(
+            "max_all", F.max("latest").over(Window.partitionBy())
+        )
         .select(
             "event_type",
             "n_events",

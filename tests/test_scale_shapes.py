@@ -356,12 +356,13 @@ def test_dq_fk_orphans_broadcasts_small_parents(spark, sf_dir):
     assert p.count("SortMergeJoin") <= 1
 
 
-def test_dq_drift_and_benford_broadcast_scalars(spark, sf_dir):
-    for name in ("q_dq_category_drift", "q_dq_benford"):
+def test_dq_drift_benford_freshness_single_scan(spark, sf_dir):
+    # monthly/global totals are window sums OVER the small aggregate —
+    # one table scan, one subtree, no join and no re-derived branch
+    for name in ("q_dq_category_drift", "q_dq_benford", "q_dq_freshness"):
         p = plan_of(spark, sf_dir, name)
-        # global totals join back as broadcast one-row sides, never a
-        # shuffle keyed on a constant
-        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        assert p.count("Location: InMemoryFileIndex") == 1, name
+        assert "Join" not in p, name
 
 
 def test_cumulative_distinct_window_is_partitioned(spark, sf_dir):
