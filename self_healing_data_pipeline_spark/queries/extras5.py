@@ -135,12 +135,20 @@ def q_domain_mixture(spark, sf_dir):
     Plan: one tiny per-source count aggregate (broadcast back), then a
     narrow map-side filter — no shuffle touches document text."""
     d = read_table(spark, sf_dir, "documents")
+    # the smallest source's size is a window min OVER the per-source
+    # counts (one subtree; a separate agg branch would re-scan), so the
+    # whole query reads documents exactly twice: once for rates, once
+    # for the filtered count — the two-pass minimum for global-rate
+    # sampling
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
-    floor_n = counts.agg(F.min("n_before").alias("floor_n"))
-    rated = counts.crossJoin(F.broadcast(floor_n)).select(
+    rated = counts.select(
         "source",
         "n_before",
-        F.floor(256.0 * F.col("floor_n") / F.col("n_before"))
+        F.floor(
+            256.0
+            * F.min("n_before").over(Window.partitionBy())
+            / F.col("n_before")
+        )
         .cast("bigint")
         .alias("keep_256"),
     )

@@ -186,3 +186,45 @@ def test_decode_image_no_longer_raises_for_gif_jpeg(rng):
     assert decode_image(jpeg_bytes_with_pixels(gray)).shape == (8, 8)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01\x02unknown-format-payload")
+
+
+# ---------------------------------------------------------- properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ncolors=st.integers(2, 256),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_gif_round_trip_property(h, w, ncolors, interlace, seed):
+        r = np.random.default_rng(seed)
+        pal = r.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        idx = r.integers(0, ncolors, (h, w), dtype=np.uint8)
+        blob = gif_bytes_with_pixels(idx, pal, interlace=interlace)
+        got = decode_gif_pixels(blob)
+        assert got is not None and np.array_equal(got, pal[idx])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_round_trip_property(h, w, rgb, seed):
+        r = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = r.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px))
+        assert got is not None and got.shape == px.shape
+        tol = 8 if rgb else 4
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= tol
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
