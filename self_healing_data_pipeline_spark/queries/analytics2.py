@@ -491,3 +491,133 @@ def q_customer_rfm(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "q_period_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents, n_orders,
+           LAG(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+           CASE WHEN LAG(revenue_cents) OVER (ORDER BY month) IS NULL
+                THEN NULL
+                ELSE (revenue_cents - LAG(revenue_cents) OVER (ORDER BY month))
+                     / CAST(LAG(revenue_cents) OVER (ORDER BY month) AS DOUBLE)
+           END AS mom_growth
+    FROM monthly ORDER BY month
+    """,
+)
+def q_period_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the period-over-period BI
+    staple. Revenue in exact summed cents (no float-sum ordering), one
+    LAG window over the per-MONTH aggregate (input bounded by the
+    calendar, not the data), growth as a single IEEE division of exact
+    longs. The month aggregate is the only table read."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue_cents",
+            "n_orders",
+            prev.alias("prev_cents"),
+            F.when(prev.isNull(), F.lit(None).cast("double"))
+            .otherwise(
+                (F.col("revenue_cents") - prev) / prev.cast("double")
+            )
+            .alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), laid AS (
+      SELECT f.cohort,
+             (CAST(SUBSTR(m.month, 1, 4) AS BIGINT) * 12
+              + CAST(SUBSTR(m.month, 6, 2) AS BIGINT))
+             - (CAST(SUBSTR(f.cohort, 1, 4) AS BIGINT) * 12
+                + CAST(SUBSTR(f.cohort, 6, 2) AS BIGINT)) AS month_age,
+             m.cents
+      FROM (SELECT o_custkey,
+                   CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders) m
+      JOIN firsts f ON m.o_custkey = f.o_custkey
+    )
+    SELECT cohort, month_age,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_orders,
+           CAST(SUM(SUM(cents)) OVER (PARTITION BY cohort ORDER BY month_age
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_revenue_cents
+    FROM laid GROUP BY cohort, month_age
+    ORDER BY cohort, month_age
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue laid out by months-since-acquisition, with the
+    running cumulative LTV per cohort — the retention-economics view
+    every subscription/commerce dashboard carries. One per-customer
+    first-order aggregate (broadcast back onto orders), month age as
+    exact integer month arithmetic, revenue in exact cents, and the
+    cumulative sum windows over the cohort×age GRID (~months², bounded
+    by the calendar) partitioned by cohort."""
+    o = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    mnum = lambda c: (  # noqa: E731 - local month-number helper
+        F.substring(c, 1, 4).cast("long") * 12
+        + F.substring(c, 6, 2).cast("long")
+    )
+    laid = (
+        o.select(
+            "o_custkey",
+            month.alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(firsts), "o_custkey")
+        .select(
+            "cohort",
+            (mnum(F.col("month")) - mnum(F.col("cohort"))).alias("month_age"),
+            "cents",
+        )
+    )
+    grid = laid.groupBy("cohort", "month_age").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn(
+            "cum_revenue_cents",
+            F.sum("revenue_cents").over(w).cast("long"),
+        )
+        .orderBy("cohort", "month_age")
+    )
