@@ -150,9 +150,15 @@ def q_agg_approx_percentile(spark, sf_dir):
 
     The quantile array is posexploded to scalar (flag, idx, value) rows so
     the output stays flat (driver canonicalizers can't hash array cells).
-    Self-witnessing: each approx value is bracketed by the group min/max so
-    the rows-only check still sees a sanity-tested number.
-    """
+    Self-witnessing at TWO strengths (round-4 upgrade, mirroring the HLL
+    accuracy gate q_distinct_sketch_accuracy): ``within_bounds`` brackets
+    each approx value by the group min/max, and ``rank_ok`` verifies the
+    sketch's actual accuracy contract — the returned value's TRUE rank in
+    the group (measured by one exact conditional count joined back) must
+    sit within 0.001 of the requested quantile, 10× looser than the
+    configured 1/10000 rank-error guarantee. The verification join
+    broadcasts the 12-row quantile table onto the fact side — the witness
+    costs one extra aggregate, never a sort."""
     li = read_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
@@ -161,12 +167,39 @@ def q_agg_approx_percentile(spark, sf_dir):
         F.min("l_extendedprice").alias("grp_min"),
         F.max("l_extendedprice").alias("grp_max"),
     )
-    return agg.select(
+    qrows = agg.select(
         "l_returnflag",
         F.posexplode("price_quantiles").alias("quantile_idx", "quantile_value"),
         "grp_min",
         "grp_max",
-    ).select(
+    ).withColumn(
+        "target_p",
+        F.element_at(
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)),
+            F.col("quantile_idx").cast("int") + 1,
+        ),
+    )
+    achieved = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(qrows), "l_returnflag")
+        .groupBy("l_returnflag", "quantile_idx")
+        .agg(
+            F.min("quantile_value").alias("quantile_value"),
+            F.min("grp_min").alias("grp_min"),
+            F.min("grp_max").alias("grp_max"),
+            F.min("target_p").alias("target_p"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col("quantile_value"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("achieved_rank"),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
+    )
+    return achieved.select(
         "l_returnflag",
         F.col("quantile_idx").cast("bigint").alias("quantile_idx"),
         F.col("quantile_value").cast("double").alias("quantile_value"),
@@ -174,6 +207,12 @@ def q_agg_approx_percentile(spark, sf_dir):
             (F.col("quantile_value") >= F.col("grp_min"))
             & (F.col("quantile_value") <= F.col("grp_max"))
         ).alias("within_bounds"),
+        (
+            # bound = sketch guarantee (1e-4, 10× slack) OR one rank step
+            # (1/n — achieved ranks are quantized on small groups)
+            F.abs(F.col("achieved_rank") - F.col("target_p"))
+            <= F.greatest(F.lit(0.001), 1.0 / F.col("grp_n").cast("double"))
+        ).alias("rank_ok"),
     )
 
 
