@@ -90,6 +90,31 @@ def main() -> None:
     load_all()
     QUERIES["q_ingest_quarantine"](spark, "/root/testdata/sf0.001").show()
 
+    print("== 4. declarative expectations: audit + first-failing-rule routing ==")
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_in,
+        expect_positive,
+        route_violations,
+        run_expectations,
+    )
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rules = [
+        expect_positive("quantity_positive", "l_quantity"),
+        expect_between("discount_in_unit_range", "l_discount", 0, 1),
+        expect_in("returnflag_enum", "l_returnflag", ["A", "N", "R"]),
+    ]
+    print("   one-scan rule report:")
+    run_expectations(li, rules).show()
+    print("   quarantine routing (clean rows stay, violations tagged):")
+    route_violations(li, rules).groupBy(
+        F.coalesce("quarantine_rule", F.lit("clean")).alias("route")
+    ).count().show()
+
     spark.stop()
 
 
