@@ -1,0 +1,207 @@
+"""Incremental JOIN-view maintenance (delta joins) — the third leg of
+the materialized-view family next to CDC key snapshots
+(``streaming/cdc.py``) and mergeable rollups (``streaming/rollup.py``).
+
+A materialized inner equi-join J = L ⋈ R is kept current as keyed
+upsert/delete deltas arrive for EITHER side, using the classic
+delta-join identity: when ΔL arrives,
+
+    J' = (J ∖ rows whose left key ∈ keys(ΔL)) ∪ (upserts(ΔL) ⋈ R)
+
+— only the DELTA ever joins the full opposite side; the standing
+L ⋈ R is never recomputed. Per batch the work is |ΔL|⋈|R| (delta side
+broadcastable when small) plus one hash anti-join of J on the delta's
+keys; at warehouse scale J, L and R are bucketed by join key so both
+steps are shuffle-free. A mixed batch carrying both sides applies left
+then right sequentially inside one epoch, so the right delta joins the
+already-updated left — associativity the equivalence tests lock in.
+
+State layout: three epoch-snapshot stores under one root
+(``left/ right/ join/``, each ``batch=<epoch>`` parquet dirs), sharing
+``streaming/snapshots.py`` resolution — replay reads strictly-prior
+epochs and skips footerless partial writes, so at-least-once
+foreachBatch delivery re-derives identical bytes (same crash-safety
+discipline CDC and rollup use).
+
+Keys are unique per side (dimension/keyed-entity semantics, the same
+contract as CDC apply-changes); deletes are tombstones by key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.streaming.snapshots import (
+    read_latest_snapshot,
+)
+
+_SIDES = ("left", "right")
+
+
+def _dirs(state_root: str) -> dict[str, str]:
+    return {name: os.path.join(state_root, name) for name in (*_SIDES, "join")}
+
+
+def _collapse_delta(delta: DataFrame, key: str) -> DataFrame:
+    """Latest-wins collapse of a delta to one row per key (op + payload),
+    ordered by seq with the CDC tie-break discipline: deletes beat
+    same-seq upserts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.desc("seq"), F.asc("op")  # 'delete' < 'upsert': delete wins ties
+    )
+    return (
+        delta.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _merge_side(
+    prev: DataFrame | None, delta1: DataFrame, key: str
+) -> DataFrame:
+    """Apply a collapsed delta to a side snapshot: upserts replace by
+    key, deletes remove."""
+    upserts = delta1.filter(F.col("op") == "upsert").drop("op", "seq")
+    keys = delta1.select(key)
+    if prev is None:
+        return upserts
+    kept = prev.join(keys, key, "left_anti")
+    return kept.unionByName(upserts)
+
+
+def apply_join_delta_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_root: str,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    epoch_id: int,
+) -> None:
+    """Apply one epoch's mixed-side delta batch and commit new
+    snapshots for left/right/join.
+
+    ``batch`` columns: ``side`` ('left'|'right'), ``op``
+    ('upsert'|'delete'), ``seq`` (per-key version), and the union of
+    ``left_cols`` + ``right_cols`` (the irrelevant side's columns null
+    per row). ``left_key``/``right_key`` must be differently named (the
+    join view carries both). The join view = left payload ⋈ right
+    payload on ``left_key = right_key``.
+    """
+    if left_key == right_key:
+        raise ValueError("left_key and right_key must be distinct names")
+    dirs = _dirs(state_root)
+    sides: dict[str, DataFrame | None] = {
+        s: read_latest_snapshot(spark, dirs[s], before_epoch=epoch_id)
+        for s in _SIDES
+    }
+    join_view = read_latest_snapshot(
+        spark, dirs["join"], before_epoch=epoch_id
+    )
+    cols = {"left": left_cols, "right": right_cols}
+
+    for side, key, other in (
+        ("left", left_key, "right"),
+        ("right", right_key, "left"),
+    ):
+        delta = batch.filter(F.col("side") == side).drop("side")
+        if delta.isEmpty():
+            continue
+        d1 = _collapse_delta(delta.select("op", "seq", *cols[side]), key)
+        sides[side] = _merge_side(sides[side], d1, key)
+
+        # delta-join: retract every pair carrying a touched key, then
+        # add fresh pairs from the upserted rows against the CURRENT
+        # other side (already updated if it came first in this epoch)
+        touched = d1.select(F.col(key))
+        if join_view is not None:
+            join_view = join_view.join(
+                F.broadcast(touched), key, "left_anti"
+            )
+        upserted = sides[side].join(F.broadcast(touched), key, "left_semi")
+        other_df = sides[other]
+        if other_df is not None:
+            fresh = (
+                upserted.join(
+                    other_df, F.col(left_key) == F.col(right_key), "inner"
+                )
+                if side == "left"
+                else other_df.join(
+                    upserted, F.col(left_key) == F.col(right_key), "inner"
+                )
+            )
+            join_view = (
+                fresh if join_view is None else join_view.unionByName(fresh)
+            )
+
+    for s in _SIDES:
+        if sides[s] is not None:
+            sides[s].write.mode("overwrite").parquet(
+                os.path.join(dirs[s], f"batch={epoch_id}")
+            )
+    if join_view is not None:
+        join_view.write.mode("overwrite").parquet(
+            os.path.join(dirs["join"], f"batch={epoch_id}")
+        )
+
+
+def read_join_view(spark: SparkSession, state_root: str) -> DataFrame | None:
+    """Current materialized join (newest committed snapshot)."""
+    return read_latest_snapshot(spark, _dirs(state_root)["join"])
+
+
+def read_side(
+    spark: SparkSession, state_root: str, side: str
+) -> DataFrame | None:
+    return read_latest_snapshot(spark, _dirs(state_root)[side])
+
+
+def maintain_join(
+    spark: SparkSession,
+    source_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    schema,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    max_files_per_trigger: int | None = None,
+):
+    """True-streaming wiring: a file source of mixed-side delta batches
+    drives :func:`apply_join_delta_batch` through foreachBatch with
+    ``trigger(availableNow=True)`` — the same shape as
+    ``rollup.maintain_rollup``. Returns after the stream drains."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        apply_join_delta_batch(
+            spark,
+            batch,
+            state_root,
+            left_key=left_key,
+            right_key=right_key,
+            left_cols=left_cols,
+            right_cols=right_cols,
+            epoch_id=epoch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
