@@ -621,3 +621,133 @@ def q_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort", "month_age")
     )
+
+
+@query(
+    "q_incremental_join_view",
+    oracle="""
+    WITH facts AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey % 8 = 0
+    ), dims AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT d.c_mktsegment AS segment,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(f.total_cents) AS BIGINT) AS cents
+    FROM facts f JOIN dims d ON f.o_custkey = d.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def q_incremental_join_view(spark, sf_dir):
+    """The incremental fact⋈dim VIEW's target state, oracle-checked —
+    the same pattern q_rollup_partials uses for continuous aggregates
+    (reference vision: a pipeline that keeps derived tables current,
+    `README.md:2`). The query actually RUNS the delta-join machinery
+    (``streaming/incremental_join.apply_fact_dim_delta_batch``) over
+    three epochs: dims + the first fact tercile, then the second, then
+    the third tercile TOGETHER WITH an SCD1 update renaming every
+    custkey%10==0 segment — exercising upserts, growth, and the
+    dimension-update re-pairing path. The returned aggregate of the
+    materialized view must equal the oracle's plain one-shot join of
+    the FINAL sides — arrival order and incrementality invisible in the
+    result, which is the correctness contract of view maintenance.
+    Facts are thinned to o_orderkey%8==0 so the three materialization
+    epochs stay bench-friendly; per epoch the work is |Δ|⋈|dim| plus a
+    touched-key anti-join, never a recompute (tested in
+    tests/test_incremental_join.py)."""
+    import os
+    import shutil
+
+    from self_healing_data_pipeline_spark.streaming.incremental_join import (
+        apply_fact_dim_delta_batch,
+        read_fact_dim_view,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        f"incjoin_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 8 == 0
+    )
+    c = read_table(spark, sf_dir, "customer")
+
+    def fact_delta(pred):
+        return o.filter(pred).select(
+            F.lit("fact").alias("side"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+
+    def dim_delta(df, seq):
+        return df.select(
+            F.lit("dim").alias("side"),
+            F.lit("upsert").alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("long").alias("total_cents"),
+            "c_custkey",
+            "c_mktsegment",
+        )
+
+    kw = dict(
+        fact_key="o_orderkey",
+        fact_fk="o_custkey",
+        dim_key="c_custkey",
+        fact_cols=["o_orderkey", "o_custkey", "total_cents"],
+        dim_cols=["c_custkey", "c_mktsegment"],
+    )
+    # epoch 0: all dims + first fact tercile
+    apply_fact_dim_delta_batch(
+        spark,
+        dim_delta(c.select("c_custkey", "c_mktsegment"), 1).unionByName(
+            fact_delta(F.col("o_orderkey") % 3 == 0)
+        ),
+        scratch,
+        epoch_id=0,
+        **kw,
+    )
+    # epoch 1: second tercile
+    apply_fact_dim_delta_batch(
+        spark, fact_delta(F.col("o_orderkey") % 3 == 1), scratch,
+        epoch_id=1, **kw,
+    )
+    # epoch 2: third tercile + SCD1 segment rename for custkey%10==0
+    scd1 = dim_delta(
+        c.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+        ),
+        2,
+    )
+    apply_fact_dim_delta_batch(
+        spark,
+        fact_delta(F.col("o_orderkey") % 3 == 2).unionByName(scd1),
+        scratch,
+        epoch_id=2,
+        **kw,
+    )
+    view = read_fact_dim_view(spark, scratch)
+    return (
+        view.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("total_cents").cast("long").alias("cents"),
+        )
+        .orderBy("segment")
+    )

@@ -205,3 +205,120 @@ def maintain_join(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------
+# N:1 fact ⋈ dimension maintenance — the FK-join shape
+# ---------------------------------------------------------------------
+
+_FD_SIDES = ("fact", "dim")
+
+
+def _fd_dirs(state_root: str) -> dict[str, str]:
+    return {
+        name: os.path.join(state_root, name) for name in (*_FD_SIDES, "join")
+    }
+
+
+def apply_fact_dim_delta_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_root: str,
+    *,
+    fact_key: str,
+    fact_fk: str,
+    dim_key: str,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    epoch_id: int,
+) -> None:
+    """Maintain a materialized N:1 fact ⋈ dimension view under keyed
+    deltas on EITHER side — the FK-join generalization of
+    :func:`apply_join_delta_batch` (which is the 1:1 special case).
+
+    ``batch`` columns: ``side`` ('fact'|'dim'), ``op``, ``seq``, plus
+    ``fact_cols`` (must include ``fact_key`` — the fact's unique key —
+    and ``fact_fk``) and ``dim_cols`` (must include ``dim_key``).
+    The view = facts ⋈ dims on ``fact_fk = dim_key``.
+
+    Delta work per batch:
+
+    - fact delta: retract view rows for touched fact keys; fresh pairs =
+      upserted facts ⋈ current dim (delta side broadcastable).
+    - dim delta: retract view rows whose ``fact_fk`` is a touched dim
+      key (an SCD1 dimension update RE-PAIRS every referencing fact);
+      fresh pairs = facts semi-filtered to touched FKs ⋈ upserted dims —
+      the fact store is read once, filtered map-side by the broadcast
+      touched-key set, never rejoined in full.
+
+    The standing view is never recomputed; snapshots/replay semantics
+    are identical to the 1:1 form.
+    """
+    if fact_fk == dim_key:
+        raise ValueError("fact_fk and dim_key must be distinct names")
+    dirs = _fd_dirs(state_root)
+    facts = read_latest_snapshot(spark, dirs["fact"], before_epoch=epoch_id)
+    dims = read_latest_snapshot(spark, dirs["dim"], before_epoch=epoch_id)
+    view = read_latest_snapshot(spark, dirs["join"], before_epoch=epoch_id)
+
+    # --- fact delta first (joins see this epoch's facts below) ---
+    fd = batch.filter(F.col("side") == "fact")
+    if not fd.isEmpty():
+        d1 = _collapse_delta(fd.select("op", "seq", *fact_cols), fact_key)
+        facts = _merge_side(facts, d1, fact_key)
+        touched = d1.select(fact_key)
+        if view is not None:
+            view = view.join(F.broadcast(touched), fact_key, "left_anti")
+        fresh_facts = facts.join(F.broadcast(touched), fact_key, "left_semi")
+        if dims is not None:
+            fresh = fresh_facts.join(
+                dims, F.col(fact_fk) == F.col(dim_key), "inner"
+            )
+            view = fresh if view is None else view.unionByName(fresh)
+
+    # --- dim delta: re-pair every referencing fact ---
+    dd = batch.filter(F.col("side") == "dim")
+    if not dd.isEmpty():
+        d1 = _collapse_delta(dd.select("op", "seq", *dim_cols), dim_key)
+        dims = _merge_side(dims, d1, dim_key)
+        touched = d1.select(dim_key)
+        if view is not None:
+            # alias the probe column: the view carries dim_key itself
+            view = view.join(
+                F.broadcast(touched.select(F.col(dim_key).alias("__tk"))),
+                F.col(fact_fk) == F.col("__tk"),
+                "left_anti",
+            )
+        if facts is not None:
+            upserted_dims = dims.join(
+                F.broadcast(touched), dim_key, "left_semi"
+            )
+            referencing = facts.join(
+                F.broadcast(touched.select(F.col(dim_key).alias(fact_fk))),
+                fact_fk,
+                "left_semi",
+            )
+            fresh = referencing.join(
+                upserted_dims, F.col(fact_fk) == F.col(dim_key), "inner"
+            )
+            view = fresh if view is None else view.unionByName(fresh)
+
+    if facts is not None:
+        facts.write.mode("overwrite").parquet(
+            os.path.join(dirs["fact"], f"batch={epoch_id}")
+        )
+    if dims is not None:
+        dims.write.mode("overwrite").parquet(
+            os.path.join(dirs["dim"], f"batch={epoch_id}")
+        )
+    if view is not None:
+        view.write.mode("overwrite").parquet(
+            os.path.join(dirs["join"], f"batch={epoch_id}")
+        )
+
+
+def read_fact_dim_view(
+    spark: SparkSession, state_root: str
+) -> DataFrame | None:
+    """Current materialized fact ⋈ dim view (newest committed snapshot)."""
+    return read_latest_snapshot(spark, _fd_dirs(state_root)["join"])

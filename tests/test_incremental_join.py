@@ -238,3 +238,155 @@ def test_delta_join_never_recomputes_standing_pairs(spark, tmp_path):
     assert len(view) == 10
     untouched = {v for v in view if v[0] != 1}
     assert untouched == {(k, f"c{k}", k, k * 100) for k in range(10) if k != 1}
+
+
+# ------------------------------------------------- N:1 fact ⋈ dimension
+
+from self_healing_data_pipeline_spark.streaming.incremental_join import (  # noqa: E402
+    apply_fact_dim_delta_batch,
+    read_fact_dim_view,
+)
+
+FD_SCHEMA = T.StructType(
+    [
+        T.StructField("side", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("order_id", T.LongType()),
+        T.StructField("cust_fk", T.LongType()),
+        T.StructField("amount", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("segment", T.StringType()),
+    ]
+)
+FACT_COLS = ["order_id", "cust_fk", "amount"]
+DIM_COLS = ["cid", "segment"]
+
+
+def _fd_row(side, op, seq, **kw):
+    return (
+        side,
+        op,
+        seq,
+        kw.get("order_id"),
+        kw.get("cust_fk"),
+        kw.get("amount"),
+        kw.get("cid"),
+        kw.get("segment"),
+    )
+
+
+def _fd_apply(spark, rows, root, epoch):
+    apply_fact_dim_delta_batch(
+        spark,
+        spark.createDataFrame(rows, FD_SCHEMA),
+        str(root),
+        fact_key="order_id",
+        fact_fk="cust_fk",
+        dim_key="cid",
+        fact_cols=FACT_COLS,
+        dim_cols=DIM_COLS,
+        epoch_id=epoch,
+    )
+
+
+def _fd_view(spark, root):
+    df = read_fact_dim_view(spark, str(root))
+    if df is None:
+        return set()
+    return {
+        (r["order_id"], r["cust_fk"], r["amount"], r["cid"], r["segment"])
+        for r in df.collect()
+    }
+
+
+def test_dim_update_repairs_all_referencing_facts(spark, tmp_path):
+    root = tmp_path / "fd1"
+    _fd_apply(
+        spark,
+        [
+            _fd_row("dim", "upsert", 1, cid=1, segment="GOLD"),
+            _fd_row("dim", "upsert", 1, cid=2, segment="SILVER"),
+            _fd_row("fact", "upsert", 1, order_id=10, cust_fk=1, amount=100),
+            _fd_row("fact", "upsert", 1, order_id=11, cust_fk=1, amount=200),
+            _fd_row("fact", "upsert", 1, order_id=12, cust_fk=2, amount=300),
+        ],
+        root,
+        0,
+    )
+    assert _fd_view(spark, root) == {
+        (10, 1, 100, 1, "GOLD"),
+        (11, 1, 200, 1, "GOLD"),
+        (12, 2, 300, 2, "SILVER"),
+    }
+    # SCD1 dimension update: BOTH facts referencing cid=1 re-pair
+    _fd_apply(
+        spark, [_fd_row("dim", "upsert", 2, cid=1, segment="PLAT")], root, 1
+    )
+    assert _fd_view(spark, root) == {
+        (10, 1, 100, 1, "PLAT"),
+        (11, 1, 200, 1, "PLAT"),
+        (12, 2, 300, 2, "SILVER"),
+    }
+
+
+def test_dim_delete_drops_pairs_fact_moves_fk(spark, tmp_path):
+    root = tmp_path / "fd2"
+    _fd_apply(
+        spark,
+        [
+            _fd_row("dim", "upsert", 1, cid=1, segment="A"),
+            _fd_row("dim", "upsert", 1, cid=2, segment="B"),
+            _fd_row("fact", "upsert", 1, order_id=10, cust_fk=1, amount=5),
+        ],
+        root,
+        0,
+    )
+    # delete dim 1 -> the pair disappears (fact remains unmatched)
+    _fd_apply(spark, [_fd_row("dim", "delete", 2, cid=1)], root, 1)
+    assert _fd_view(spark, root) == set()
+    # fact re-keys to dim 2 -> pairs with B
+    _fd_apply(
+        spark,
+        [_fd_row("fact", "upsert", 3, order_id=10, cust_fk=2, amount=5)],
+        root,
+        2,
+    )
+    assert _fd_view(spark, root) == {(10, 2, 5, 2, "B")}
+
+
+def test_fact_dim_splits_converge_and_replay_idempotent(spark, tmp_path):
+    events = (
+        [
+            _fd_row("dim", "upsert", i, cid=i % 4, segment=f"s{i}")
+            for i in range(1, 7)
+        ]
+        + [
+            _fd_row(
+                "fact", "upsert", i, order_id=i, cust_fk=i % 5, amount=i * 10
+            )
+            for i in range(1, 12)
+        ]
+        + [_fd_row("dim", "delete", 99, cid=2)]
+    )
+    views = []
+    for tag, chunks in (("one", [events]), ("many", [[e] for e in events])):
+        root = tmp_path / f"fd_{tag}"
+        for i, chunk in enumerate(chunks):
+            _fd_apply(spark, chunk, root, i)
+        views.append(_fd_view(spark, root))
+    assert views[0] == views[1]
+    # ground truth
+    dims = {i % 4: f"s{i}" for i in range(1, 7)}
+    dims.pop(2)
+    facts = {i: (i % 5, i * 10) for i in range(1, 12)}
+    want = {
+        (oid, fk, amt, fk, dims[fk])
+        for oid, (fk, amt) in facts.items()
+        if fk in dims
+    }
+    assert views[0] == want
+    # replay the final epoch of the many-split run
+    root = tmp_path / "fd_many"
+    _fd_apply(spark, [events[-1]], root, len(events) - 1)
+    assert _fd_view(spark, root) == want
