@@ -322,3 +322,21 @@ def read_fact_dim_view(
 ) -> DataFrame | None:
     """Current materialized fact ⋈ dim view (newest committed snapshot)."""
     return read_latest_snapshot(spark, _fd_dirs(state_root)["join"])
+
+
+def prune_join_snapshots(state_root: str, keep: int = 2) -> dict[str, list[int]]:
+    """Retention across all three stores (left/right/join — and the
+    fact/dim layout shares the same names via ``_fd_dirs``): drop all
+    but the newest ``keep`` epochs per store, reusing the CDC pruner's
+    rules (keep ≥2; run from maintenance, not inside foreachBatch).
+    Returns pruned epoch ids per store."""
+    from self_healing_data_pipeline_spark.streaming.cdc import (
+        prune_snapshots,
+    )
+
+    out: dict[str, list[int]] = {}
+    for name in ("left", "right", "fact", "dim", "join"):
+        d = os.path.join(state_root, name)
+        if os.path.isdir(d):
+            out[name] = prune_snapshots(d, keep=keep)
+    return out

@@ -390,3 +390,27 @@ def test_fact_dim_splits_converge_and_replay_idempotent(spark, tmp_path):
     root = tmp_path / "fd_many"
     _fd_apply(spark, [events[-1]], root, len(events) - 1)
     assert _fd_view(spark, root) == want
+
+
+def test_prune_join_snapshots_keeps_state_readable(spark, tmp_path):
+    from self_healing_data_pipeline_spark.streaming.incremental_join import (
+        prune_join_snapshots,
+    )
+
+    root = tmp_path / "prune"
+    for e in range(4):
+        _fd_apply(
+            spark,
+            [
+                _fd_row("dim", "upsert", e + 1, cid=1, segment=f"s{e}"),
+                _fd_row(
+                    "fact", "upsert", e + 1, order_id=e, cust_fk=1, amount=e
+                ),
+            ],
+            root,
+            e,
+        )
+    before = _fd_view(spark, root)
+    pruned = prune_join_snapshots(str(root), keep=2)
+    assert pruned["join"] == [0, 1] and pruned["fact"] == [0, 1]
+    assert _fd_view(spark, root) == before  # head snapshot untouched
