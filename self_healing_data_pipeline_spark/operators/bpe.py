@@ -37,14 +37,25 @@ EOW = "</w>"
 
 
 def train_bpe_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 200
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_vocab: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus.
 
     Spark computes the word-frequency table (the only corpus-sized
     pass); the standard pair-counting iterations run over that bounded
-    vocabulary driver-side. Ties on pair frequency break
-    lexicographically so training is fully deterministic."""
+    vocabulary driver-side. The collect is CAPPED at the ``max_vocab``
+    most frequent words (deterministic: frequency desc, word asc —
+    planned as TakeOrderedAndProject, no global sort), so an adversarial
+    or web-scale corpus — whose raw "word" count grows with typos, URLs
+    and hashes far past Heaps'-law prose — cannot blow the driver;
+    training merges from a frequency-capped vocabulary is standard
+    practice (the tail words a cap drops carry negligible pair mass, so
+    on any prose-like corpus the learned merges are unchanged — see
+    tests/test_bpe.py). Ties on pair frequency break lexicographically
+    so training is fully deterministic."""
     vocab_rows = (
         docs.select(
             F.explode(
@@ -53,6 +64,8 @@ def train_bpe_merges(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(max_vocab)
         .collect()
     )
     vocab: dict[tuple[str, ...], int] = {

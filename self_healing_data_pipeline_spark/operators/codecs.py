@@ -165,8 +165,13 @@ def gif_bytes_with_pixels(
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
-    # global color table size: 2^(k+1) entries, k in 0..7
+    # global color table size: 2^(k+1) entries, k in 0..7; >256 entries
+    # would silently overflow the 3-bit GCT-size field in the packed byte
     n_needed = max(2, int(idx.max()) + 1, len(pal))
+    if n_needed > 256:
+        raise ValueError(
+            f"GIF palette limited to 256 entries, need {n_needed}"
+        )
     k = max(0, (n_needed - 1).bit_length() - 1)
     n_entries = 1 << (k + 1)
     gct = np.zeros((n_entries, 3), dtype=np.uint8)

@@ -186,17 +186,22 @@ def q_pareto_frontier(spark, sf_dir):
     """Pareto frontier (skyline) of customers over (total spend, order
     count) — multi-objective top-N without collapsing objectives into a
     weighted score. The oracle is the O(n²) NOT-EXISTS dominance
-    definition; the Spark plan is the O(n log n) envelope form:
-    pre-aggregate to ONE row per distinct spend (max orders at that
-    spend), one ordered pass computing the running max of orders over
-    strictly-higher spends (integer cents ⟹ "spend > s" is the exact
-    RANGE frame ≥ s+1), then customers join back against the 〈spend →
-    envelope〉 table. Dominated iff a strictly-richer point has ≥ orders,
-    or an equal-spend point has > orders. Spend in exact summed cents so
-    no float-sum ordering can split the frontier across engines. The
-    global window runs over distinct spend values only; at warehouse
-    scale precede it with per-partition local skylines (same merge law:
-    skyline(skylines) = skyline)."""
+    definition; the Spark plan is the O(n log n) envelope form with the
+    LOCAL-SKYLINE MERGE (skyline(skylines) = skyline): pre-aggregate to
+    ONE row per distinct spend (max orders at that spend), bucket spends
+    into ~1000 deterministic value ranges, run the running-max-of-orders
+    envelope WITHIN each bucket (parallel across buckets; integer cents
+    ⟹ "spend > s" is the exact RANGE frame ≥ s+1), and close each
+    bucket with the suffix-max of the strictly-higher buckets — a
+    per-bucket aggregate small enough to collect (≤1001 rows, bounded by
+    the bucket constant, never by data) whose suffix scan runs
+    driver-side and broadcasts back. No ordered pass ever sees more than
+    one bucket, so nothing serializes at scale
+    (tests/test_scale_shapes.py asserts no SinglePartition). Customers
+    then join back against the 〈spend → envelope〉 table: dominated iff a
+    strictly-richer point has ≥ orders, or an equal-spend point has >
+    orders. Spend in exact summed cents so no float-sum ordering can
+    split the frontier across engines."""
     o = read_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
@@ -207,14 +212,42 @@ def q_pareto_frontier(spark, sf_dir):
     per_spend = agg.groupBy("spend_cents").agg(
         F.max("n_orders").alias("mx_orders")
     )
+    mm = per_spend.agg(
+        F.min("spend_cents").alias("lo"), F.max("spend_cents").alias("hi")
+    ).collect()[0]
+    lo = mm["lo"] if mm["lo"] is not None else 0
+    hi = mm["hi"] if mm["hi"] is not None else 0
+    width = max(1, (hi - lo) // 1000 + 1)
+    bucket = F.floor((F.col("spend_cents") - F.lit(lo)) / F.lit(width))
+    spends = per_spend.withColumn("__b", bucket)
+    # per-bucket maxima -> driver suffix scan over STRICTLY higher buckets
+    bmax = {
+        r["__b"]: r["m"]
+        for r in spends.groupBy("__b").agg(F.max("mx_orders").alias("m")).collect()
+    }
+    suffix: dict[int, int | None] = {}
+    run = None
+    for b in sorted(bmax, reverse=True):
+        suffix[b] = run
+        run = bmax[b] if run is None else max(run, bmax[b])
+    higher = spark.createDataFrame(
+        [(int(b), s) for b, s in suffix.items()] or [(0, None)],
+        "__b long, __higher long",
+    )
     w = (
-        Window.orderBy(F.desc("spend_cents"))
+        Window.partitionBy("__b")
+        .orderBy(F.desc("spend_cents"))
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    env = per_spend.select(
-        "spend_cents",
-        "mx_orders",
-        F.max("mx_orders").over(w).alias("richer_max"),
+    env = (
+        spends.join(F.broadcast(higher), "__b", "left")
+        .select(
+            "spend_cents",
+            "mx_orders",
+            F.greatest(
+                F.max("mx_orders").over(w), F.col("__higher")
+            ).alias("richer_max"),
+        )
     )
     return (
         agg.join(env, "spend_cents")
@@ -319,17 +352,24 @@ _MG_K = 256
 def q_heavy_hitters(spark, sf_dir):
     """Exact corpus heavy hitters (tokens above a 1/200 frequency share)
     via the bounded-memory two-phase plan: per-partition MISRA-GRIES
-    summaries (k=256 counters, streaming over Arrow batches inside
-    mapInPandas) produce a guaranteed candidate SUPERSET — a token
-    decremented away in every partition has global count ≤ Σ n_p/k =
-    N/256 < N/200, so every true heavy hitter survives somewhere; k >
-    DENOM makes that hold under ANY partitioning. Then one exact
-    aggregate restricted to (broadcast) candidates applies the true
-    threshold. The full token stream is never shuffled for candidacy —
-    each task emits ≤ k (token, weight) rows — and the exact pass
-    shuffles only candidate tokens. Because phase 2 is exact over a
-    superset, the result equals the oracle's plain GROUP BY / HAVING:
-    the sketch changes cost, not answers."""
+    summaries (k=256 counters) produce a guaranteed candidate SUPERSET,
+    then one exact aggregate restricted to (broadcast) candidates
+    applies the true threshold. The kernel is the VECTORIZED mergeable-
+    summaries form (Agarwal et al. 2012): each Arrow batch contributes
+    its exact ``value_counts`` (an error-free summary), merged pointwise
+    into the running counters; when the merge overflows k entries it
+    subtracts the (k+1)-th largest count from all and keeps the
+    positives — one sort of ≤ k+batch-distinct ints per batch instead of
+    a per-token Python loop. The merged summary's undercount is ≤
+    n_p/(k+1), so a token absent from EVERY partition summary has global
+    count ≤ Σ n_p/(k+1) = N/257 < N/200: every true heavy hitter
+    survives somewhere, under ANY partitioning. The full token stream is
+    never shuffled for candidacy — each task emits ≤ k (token, weight)
+    rows, and the bounded summaries (≤ (k+1)·|partitions| rows) are
+    collected once driver-side (no cache lingering in executor memory)
+    to build the broadcast candidate set and the grand total. Because
+    phase 2 is exact over a superset, the result equals the oracle's
+    plain GROUP BY / HAVING: the sketch changes cost, not answers."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -340,17 +380,13 @@ def q_heavy_hitters(spark, sf_dir):
         seen = 0
         for pdf in batches:
             seen += len(pdf)
-            for tok in pdf["tok"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_K:
-                    counters[tok] = 1
-                else:
-                    dead = [t for t in counters if counters[t] == 1]
-                    for t in counters:
-                        counters[t] -= 1
-                    for t in dead:
-                        del counters[t]
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > _MG_K:
+                d_sub = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {
+                    t: c - d_sub for t, c in counters.items() if c > d_sub
+                }
         # sentinel row (tok=NULL) carries this partition's stream length
         # so the grand total comes FROM the summary pass — no separate
         # counting scan of the token stream
@@ -361,22 +397,17 @@ def q_heavy_hitters(spark, sf_dir):
             }
         )
 
-    # cache the summaries: ≤ (k+1)·|partitions| rows feed two branches
-    # (candidate set + grand total); without it each branch re-runs the
-    # MG pass over the full token stream
-    summaries = toks.mapInPandas(mg_partition, "tok string, w long").cache()
-    candidates = (
-        summaries.filter(F.col("tok").isNotNull()).select("tok").distinct()
-    )
-    total = summaries.filter(F.col("tok").isNull()).agg(
-        F.sum("w").cast("long").alias("n")
+    rows = toks.mapInPandas(mg_partition, "tok string, w long").collect()
+    cand_toks = sorted({r["tok"] for r in rows if r["tok"] is not None})
+    grand_total = sum(r["w"] for r in rows if r["tok"] is None)
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand_toks] or [("",)], "tok string"
     )
     return (
         toks.join(F.broadcast(candidates), "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .join(F.broadcast(total))
-        .filter(F.col("freq") * _HH_DENOM > F.col("n"))
+        .filter(F.col("freq") * _HH_DENOM > F.lit(grand_total))
         .select("tok", F.col("freq").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), "tok")
     )
@@ -457,14 +488,33 @@ def q_events_attribution(spark, sf_dir):
 def q_customer_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quartiles) —
     the classic customer-value grid, reported as segment sizes + exact
-    value mass per cell. One per-customer aggregate (monetary in exact
-    summed cents), three NTILE windows with a unique custkey tie-break
-    (NTILE is order-sensitive; the tie-break makes bucket edges
-    deterministic on both engines), then a 64-cell rollup. The windows
-    are global by nature of quartiles — their input is the customer
-    AGGREGATE (one row per customer), not orders; at warehouse scale
-    replace with approx-quantile cut points computed once and a
-    broadcast range join (same grid, no global sort)."""
+    value mass per cell. The oracle states the spec as three NTILE
+    windows with a unique custkey tie-break; the Spark plan is the
+    warehouse form — EXACT quartile CUT POINTS computed once and
+    broadcast into a narrow comparison, no global sort or window
+    anywhere (tests/test_scale_shapes.py asserts no SinglePartition):
+
+    1. one per-customer aggregate (monetary in exact summed cents);
+    2. per dimension, bucket values into ~1000 deterministic value
+       ranges (min/max collected once — 1 row) and aggregate per-bucket
+       counts (ONE job for all three dimensions via a 3-way explode;
+       ≤3×1001 rows collected — bounded by the bucket constant);
+    3. driver-side, walk the cumulative bucket counts to locate the
+       bucket + local rank of each NTILE boundary (B_t = t·q + min(t,r),
+       the exact tile edges), then ONE windowed job over just the
+       boundary buckets (window partitions by (dim, bucket); each input
+       is a ~1/1000 value slice) joined to the ≤9-row (dim, bucket,
+       rank) candidate table extracts the boundary (value, custkey)
+       composites;
+    4. the final pass scores every customer by three broadcast composite
+       comparisons — score = 1 + Σ_t [(v, custkey) > cut_t], which
+       reproduces NTILE exactly because the custkey tie-break makes the
+       order total — then rolls up the 64-cell grid.
+
+    Ties concentrate mass in one bucket only for the frequency
+    dimension (small-integer domain); its boundary-bucket window is
+    bounded by the tie mass of one value — the irreducible cost of an
+    exact tie-broken quantile."""
     o = read_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -473,15 +523,120 @@ def q_customer_rfm(spark, sf_dir):
         .cast("long")
         .alias("monetary_cents"),
     )
+    vals = {
+        "r": F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date"))
+        .cast("long"),
+        "f": F.col("frequency").cast("long"),
+        "m": F.col("monetary_cents"),
+    }
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for dim, v in vals.items()
+            for a in (
+                F.min(v).alias(f"lo_{dim}"),
+                F.max(v).alias(f"hi_{dim}"),
+            )
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    cuts = {dim: [] for dim in vals}  # dim -> [(value, custkey) or None]
+    edges: list[int] = []
+    if n > 0:
+        widths = {
+            dim: max(1, (stats[f"hi_{dim}"] - stats[f"lo_{dim}"]) // 1000 + 1)
+            for dim in vals
+        }
+        buckets = {
+            dim: F.floor((v - F.lit(stats[f"lo_{dim}"])) / F.lit(widths[dim]))
+            for dim, v in vals.items()
+        }
+        tagged = base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dim).alias("dim"),
+                            v.alias("v"),
+                            buckets[dim].alias("b"),
+                            F.col("o_custkey").alias("ck"),
+                        )
+                        for dim, v in vals.items()
+                    ]
+                )
+            ).alias("x")
+        ).select("x.*")
+        bcounts: dict[str, dict[int, int]] = {dim: {} for dim in vals}
+        for r in tagged.groupBy("dim", "b").count().collect():
+            bcounts[r["dim"]][r["b"]] = r["count"]
+        # NTILE(4) tile edges: B_t = t*q + min(t, r)
+        q4, r4 = divmod(n, 4)
+        edges = [t * q4 + min(t, r4) for t in (1, 2, 3)]
+        # locate each edge's bucket + local rank from cumulative counts
+        cand = []  # (dim, bucket, local_rank, tile_idx)
+        for dim in vals:
+            cum = 0
+            want = [(t, e) for t, e in enumerate(edges) if 1 <= e <= n]
+            wi = 0
+            for b in sorted(bcounts[dim]):
+                c = bcounts[dim][b]
+                while wi < len(want) and want[wi][1] <= cum + c:
+                    cand.append((dim, int(b), want[wi][1] - cum, want[wi][0]))
+                    wi += 1
+                cum += c
+        cand_df = spark.createDataFrame(
+            cand or [("_", 0, 0, 0)],
+            "dim string, b long, rn long, tile int",
+        )
+        wrank = Window.partitionBy("dim", "b").orderBy("v", "ck")
+        bpairs = {(dim, b) for dim, b, _, _ in cand}
+        boundary = (
+            tagged.filter(
+                F.concat_ws("|", "dim", "b").isin(
+                    [f"{dim}|{b}" for dim, b in bpairs] or ["_"]
+                )
+            )
+            .withColumn("rn", F.row_number().over(wrank))
+            .join(F.broadcast(cand_df), ["dim", "b", "rn"])
+            .select("dim", "tile", "v", "ck")
+            .collect()
+        )
+        for r in boundary:
+            while len(cuts[r["dim"]]) <= r["tile"]:
+                cuts[r["dim"]].append(None)
+            cuts[r["dim"]][r["tile"]] = (r["v"], r["ck"])
+
+    def score(dim):
+        # 1 + Σ_t [composite rank > B_t]; a missing cut for edge e means
+        # e == 0 (empty leading tiles: every rank exceeds it) — edges
+        # with e == n never match "greater than", needing no term only
+        # if absent, but e <= n-1 for any tile that can shift a score
+        s = F.lit(1)
+        dim_cuts = cuts[dim]
+        for t, e in enumerate(edges):
+            cut = dim_cuts[t] if t < len(dim_cuts) else None
+            if cut is None:
+                if e == 0:
+                    s = s + F.lit(1)
+                # e == n with no cut row cannot happen (rank n exists);
+                # e > n is impossible (B_t <= n)
+                continue
+            cv, ck = cut
+            v = vals[dim]
+            s = s + F.when(
+                (v > F.lit(cv))
+                | ((v == F.lit(cv)) & (F.col("o_custkey") > F.lit(ck))),
+                1,
+            ).otherwise(0)
+        return s
+
     scored = base.select(
         "o_custkey",
-        "frequency",
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+        score("r").alias("r_score"),
+        score("f").alias("f_score"),
+        score("m").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

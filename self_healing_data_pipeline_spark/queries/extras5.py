@@ -20,6 +20,7 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
 _CTX = 512  # tokens per packed context window
 _SPAN = 64  # substring-dedup span length
 _STRIDE = 32  # span stride (overlapping halves so no dup straddles a gap)
+_PFX_BUCKET = 4096  # doc_ids per prefix-sum bucket (two-phase running sum)
 
 
 @query(
@@ -61,23 +62,57 @@ def q_pack_context(spark, sf_dir):
     window draws from — the provenance index needed for per-example
     attribution and loss masking at window boundaries.
 
-    Plan: one window function (partition source, order doc_id) for the
-    running token offset, then an engine-side ``explode(sequence(...))``
-    over each doc's touched window range — expansion is bounded by
-    tokens/512 per doc, and the shuffle key is (source, window_id):
-    partition-parallel at any corpus size."""
+    Plan: the running token offset is a TWO-PHASE distributed prefix sum
+    (a corpus has few sources, so a plain per-source ordered window would
+    serialize each source through one task): docs bucket into contiguous
+    doc_id ranges (4096 ids/bucket), phase 1 aggregates one token
+    subtotal per (source, bucket) — a table 3-4 orders of magnitude
+    smaller than the corpus — and turns it into per-bucket cumulative
+    offsets with a window over that small table (partitioned by source;
+    input is bucket-grain, never doc-grain); phase 2 broadcasts the
+    offsets back and runs the running sum WITHIN each (source, bucket)
+    partition, which parallelizes across buckets. Then an engine-side
+    ``explode(sequence(...))`` over each doc's touched window range —
+    expansion is bounded by tokens/512 per doc, and the shuffle key is
+    (source, window_id): partition-parallel at any corpus size
+    (tests/test_scale_shapes.py asserts no SinglePartition and that the
+    doc-bearing window partitions by the bucket)."""
     d = read_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     n_tokens = F.size(F.split("text", " "))
-    spans = d.select(
+    toks = d.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
-    ).withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        F.floor(F.col("doc_id") / _PFX_BUCKET).alias("__pfx_bucket"),
+    )
+    # phase 1: per-(source, bucket) subtotals -> cumulative bucket offsets
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("__pfx_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("source", "__pfx_bucket")
+        .agg(F.sum("n_tokens").alias("__sub"))
+        .select(
+            "source",
+            "__pfx_bucket",
+            F.coalesce(F.sum("__sub").over(wb), F.lit(0)).alias("__bucket_off"),
+        )
+    )
+    # phase 2: narrow within-bucket running sum + the broadcast offset
+    ww = (
+        Window.partitionBy("source", "__pfx_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        toks.join(F.broadcast(offsets), ["source", "__pfx_bucket"])
+        .withColumn(
+            "start_tok",
+            F.col("__bucket_off") + F.sum("n_tokens").over(ww) - F.col("n_tokens"),
+        )
+    )
     return (
         spans.select(
             "doc_id",
@@ -300,9 +335,16 @@ def q_text_bigram_coherence(spark, sf_dir):
     unlike a sum of per-bigram log-probs whose float order would
     drift). High = made of common transitions; low = unusual text.
 
-    Plan: tokenize ONCE (posexplode), LEAD per doc for bigrams, two
-    hash aggregates for the model counts (map-side combined), then two
-    joins keyed on the bigram/unigram — shuffles carry words and
+    Plan: tokenize ONCE (posexplode), LEAD per doc for bigrams, then
+    pre-aggregate the token stream to (doc_id, w1, w2, cnt) BEFORE any
+    join — repeated bigrams within a document collapse, so the two
+    model-count joins (on (w1, w2) and on w1) move doc-grain counted
+    rows, not the raw token stream, cutting both shuffle volume and the
+    Zipf skew mass on the w1 key ("the" carries one row per document
+    that uses it, not one per occurrence; AQE skew-join splitting covers
+    the residual head). Model masses then weight by cnt:
+    Σ cnt·n over the collapsed rows equals the per-occurrence sum
+    exactly, so the doc score is unchanged. Shuffles carry words and
     counts, never documents."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -317,19 +359,26 @@ def q_text_bigram_coherence(spark, sf_dir):
             F.lead("w").over(wseq).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.sum("cnt").alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.sum("cnt").alias("n1"))
     return (
         pairs.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("n2").cast("bigint").alias("corpus_bigram_mass"),
-            F.sum("n1").cast("bigint").alias("corpus_unigram_mass"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("n2")).cast("bigint").alias(
+                "corpus_bigram_mass"
+            ),
+            F.sum(F.col("cnt") * F.col("n1")).cast("bigint").alias(
+                "corpus_unigram_mass"
+            ),
             (
-                F.sum("n2").cast("double") / F.sum("n1").cast("double")
+                F.sum(F.col("cnt") * F.col("n2")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n1")).cast("double")
             ).alias("coherence"),
         )
         .orderBy("doc_id")

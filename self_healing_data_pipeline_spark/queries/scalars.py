@@ -153,12 +153,17 @@ def q_agg_approx_percentile(spark, sf_dir):
     Self-witnessing at TWO strengths (round-4 upgrade, mirroring the HLL
     accuracy gate q_distinct_sketch_accuracy): ``within_bounds`` brackets
     each approx value by the group min/max, and ``rank_ok`` verifies the
-    sketch's actual accuracy contract — the returned value's TRUE rank in
-    the group (measured by one exact conditional count joined back) must
-    sit within 0.001 of the requested quantile, 10× looser than the
-    configured 1/10000 rank-error guarantee. The verification join
-    broadcasts the 12-row quantile table onto the fact side — the witness
-    costs one extra aggregate, never a sort."""
+    sketch's actual accuracy contract — the returned value's TRUE rank
+    INTERVAL in the group, [count(< v)/n, count(<= v)/n] (measured by one
+    exact conditional-count aggregate joined back), must bracket the
+    requested quantile within 0.001, 10× looser than the configured
+    1/10000 rank-error guarantee. The tie-aware interval matters: on a
+    column with heavy value ties, count(<= v) alone overshoots the target
+    by the tie mass of v even when the sketch meets its contract — the
+    percentile of a tied value is the whole interval, so the gate tests
+    interval membership, not a point. The verification join broadcasts
+    the 12-row quantile table onto the fact side — the witness costs one
+    extra aggregate, never a sort."""
     li = read_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
@@ -191,11 +196,19 @@ def q_agg_approx_percentile(spark, sf_dir):
             (
                 F.sum(
                     F.when(
+                        F.col("l_extendedprice") < F.col("quantile_value"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("achieved_lo"),
+            (
+                F.sum(
+                    F.when(
                         F.col("l_extendedprice") <= F.col("quantile_value"), 1
                     ).otherwise(0)
                 )
                 / F.count(F.lit(1)).cast("double")
-            ).alias("achieved_rank"),
+            ).alias("achieved_hi"),
             F.count(F.lit(1)).alias("grp_n"),
         )
     )
@@ -208,10 +221,20 @@ def q_agg_approx_percentile(spark, sf_dir):
             & (F.col("quantile_value") <= F.col("grp_max"))
         ).alias("within_bounds"),
         (
-            # bound = sketch guarantee (1e-4, 10× slack) OR one rank step
+            # tie-aware: target must fall within the value's rank
+            # interval [count(< v)/n, count(<= v)/n], slackened by the
+            # sketch guarantee (1e-4, 10× slack) OR one rank step
             # (1/n — achieved ranks are quantized on small groups)
-            F.abs(F.col("achieved_rank") - F.col("target_p"))
-            <= F.greatest(F.lit(0.001), 1.0 / F.col("grp_n").cast("double"))
+            (
+                F.col("target_p")
+                >= F.col("achieved_lo")
+                - F.greatest(F.lit(0.001), 1.0 / F.col("grp_n").cast("double"))
+            )
+            & (
+                F.col("target_p")
+                <= F.col("achieved_hi")
+                + F.greatest(F.lit(0.001), 1.0 / F.col("grp_n").cast("double"))
+            )
         ).alias("rank_ok"),
     )
 

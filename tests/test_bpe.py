@@ -61,6 +61,29 @@ def test_counter_matches_per_word_encode():
     assert got == [expected, 0, 0]
 
 
+def test_vocab_cap_bounds_collect_and_preserves_merges(spark):
+    """A heavy-tail corpus (many once-only junk 'words' beside a small
+    prose head) must train identical merges under a cap that drops the
+    tail — and the capped collect must be bounded by max_vocab, not by
+    the corpus's distinct-word count."""
+    import random
+
+    head = " ".join(["low"] * 50 + ["lower"] * 20)
+    rng = random.Random(7)
+    junk = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(3))
+        for _ in range(500)
+    )  # ~500 low-frequency words; no adjacent pair accumulates mass
+    docs = spark.createDataFrame([(head,), (junk,)], "text string")
+    expected = [("o", "w"), ("l", "ow"), ("low", EOW)]
+    # the head dominates every merge decision, so dropping the tail
+    # changes nothing: capped == uncapped == the hand-derived merges
+    assert train_bpe_merges(docs, n_merges=3, max_vocab=50) == expected
+    assert train_bpe_merges(docs, n_merges=3) == expected
+    # determinism under the cap: frequency-desc word-asc is a total order
+    assert train_bpe_merges(docs, n_merges=3, max_vocab=50) == expected
+
+
 def test_query_witness_exact_ge_estimate(spark, sf_dir):
     from self_healing_data_pipeline_spark.queries.corpus_ops import (
         q_text_token_bpe_exact,

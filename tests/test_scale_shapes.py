@@ -381,10 +381,31 @@ def test_heavy_hitters_exact_pass_broadcasts_candidates(spark, sf_dir):
 
 def test_pareto_frontier_window_input_is_preaggregated(spark, sf_dir):
     # the ordered dominance pass runs over one row per distinct spend
-    # (per_spend aggregate appears upstream of the window)
+    # (per_spend aggregate appears upstream of the window) AND the
+    # envelope window partitions by the value bucket — the local-skyline
+    # merge means no single task ever sorts the full spend domain
     p = plan_of(spark, sf_dir, "q_pareto_frontier")
     assert "Window" in p
     import re
-    win_pos = p.index("Window")
+
     # an aggregate on spend_cents must feed the window subtree
     assert re.search(r"partial_max\(n_orders", p) or "max(n_orders" in p
+    assert "SinglePartition" not in p
+    assert "__b" in p  # bucket-partitioned envelope window
+
+
+def test_rfm_has_no_global_sort_or_window(spark, sf_dir):
+    # quartile scores come from broadcast cut-point comparisons: the
+    # final plan must contain no window at all and no SinglePartition
+    p = plan_of(spark, sf_dir, "q_customer_rfm")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+
+
+def test_pack_context_prefix_sum_is_two_phase(spark, sf_dir):
+    # the running token offset must never serialize a whole source
+    # through one task: the doc-bearing window partitions by the
+    # doc_id-range bucket, and nothing plans SinglePartition
+    p = plan_of(spark, sf_dir, "q_pack_context")
+    assert "SinglePartition" not in p
+    assert "__pfx_bucket" in p
