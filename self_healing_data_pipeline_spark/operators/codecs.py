@@ -16,13 +16,18 @@ public algorithms implementable without codec libraries:
   with the tables EMBEDDED in DHT segments (any spec-compliant decoder
   reads them from the file, so the encoder is free to use a canonical
   fixed-length table; Annex K's tables would only change the
-  compression ratio, not correctness). With all-ones quantization the
+  compression ratio, not correctness). Both 4:4:4 and 4:2:0 chroma
+  subsampling are encoded and decoded (MCU-interleaved per T.81
+  A.2.3; 2×2 box-filter down, nearest-neighbor up — 4:2:0 is what
+  real camera/tool JPEGs use). With all-ones quantization the 4:4:4
   round trip is near-lossless (|error| ≤ ~4 from coefficient rounding;
   8-bit input keeps every DC diff in category ≤ 11 and every AC
-  coefficient in category ≤ 10, so baseline's symbol range suffices).
+  coefficient in category ≤ 10, so baseline's symbol range suffices);
+  4:2:0 additionally loses only what subsampling discards — exact-ish
+  on luma and on any image whose chroma is constant per 2×2 block.
 
 Decoders return ``None`` (never raise) for unsupported variants —
-progressive JPEG, chroma subsampling, restart intervals — so the
+progressive JPEG, restart intervals, sampling beyond 2×2 — so the
 Arrow-batched feature kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
@@ -382,30 +387,90 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def jpeg_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
+def _mean_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 box-filter downsample (the standard 4:2:0 chroma reduction);
+    odd edges replicate so the mean never reads past the image."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    ) / 4.0
+
+
+def _emit_block(writer: _BitWriterMSB, zz: np.ndarray, dc_prev: int) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - dc_prev
+    size = _category(diff)
+    code, length = _DC_ENC[size]
+    writer.put(code, length)
+    if size:
+        writer.put(_mag_bits(diff, size), size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            code, length = _AC_ENC[0x00]  # EOB
+            writer.put(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_ENC[0xF0]  # ZRL
+            writer.put(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = _AC_ENC[(run << 4) | size]
+        writer.put(code, length)
+        writer.put(_mag_bits(v, size), size)
+        run = 0
+    return int(zz[0])
+
+
+def jpeg_bytes_with_pixels(
+    pixels, quant: int = 1, subsampling: str = "444"
+) -> bytes:
     """Baseline JPEG encoder for ``(h, w)`` grayscale or ``(h, w, 3)``
-    RGB uint8 arrays: 4:4:4 (no subsampling), uniform ``quant``
-    quantization (1 = near-lossless), canonical Huffman tables embedded
-    in DHT. Decode twin: :func:`decode_jpeg_pixels`."""
+    RGB uint8 arrays: 4:4:4 or 4:2:0 (``subsampling="420"`` — luma at
+    2×2 sampling, chroma box-filtered to half resolution, the layout
+    real-world camera/tool JPEGs actually use), uniform ``quant``
+    quantization (1 = near-lossless on luma), canonical Huffman tables
+    embedded in DHT, MCU-interleaved entropy coding per T.81 A.2.3.
+    Decode twin: :func:`decode_jpeg_pixels`."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    planes = (
-        [px.astype(np.float64)]
-        if gray
-        else [_rgb_to_ycbcr(px)[..., c] for c in range(3)]
-    )
+    if gray:
+        comps = [(px.astype(np.float64), 1, 1)]
+    elif subsampling == "420":
+        ycc = _rgb_to_ycbcr(px)
+        comps = [
+            (ycc[..., 0], 2, 2),
+            (_mean_downsample2(ycc[..., 1]), 1, 1),
+            (_mean_downsample2(ycc[..., 2]), 1, 1),
+        ]
+    elif subsampling == "444":
+        ycc = _rgb_to_ycbcr(px)
+        comps = [(ycc[..., c], 1, 1) for c in range(3)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    ncomp = len(comps)
     qtab = np.full(64, quant, dtype=np.int64)
+    hmax = max(ch for _, ch, _ in comps)
+    vmax = max(cv for _, _, cv in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (one table, used by all components)
     out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
     out += bytes(int(qtab[i]) for i in range(64))
     # SOF0
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC class 0 id 0, AC class 1 id 0
     for cls, bits, syms in (
@@ -421,50 +486,34 @@ def jpeg_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # pad to 8×8 blocks by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    writer = _BitWriterMSB()
-    dc_prev = [0] * ncomp
+    # per-component quantized block grids on the shared MCU lattice
+    # (planes pad to their own block multiple by edge replication)
     coeffs = []
-    for plane in planes:
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    for plane, ch, cv in comps:
+        ph, pw = mcuy * 8 * cv, mcux * 8 * ch
+        p = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
         blocks = (
             p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         )  # (by, bx, 8, 8)
         fdct = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
-        q = np.round(fdct / qtab.reshape(8, 8)).astype(np.int64)
-        coeffs.append(q)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for c in range(ncomp):
-                zz = coeffs[c][by, bx].reshape(-1)[_ZIGZAG]
-                diff = int(zz[0]) - dc_prev[c]
-                dc_prev[c] = int(zz[0])
-                size = _category(diff)
-                code, length = _DC_ENC[size]
-                writer.put(code, length)
-                if size:
-                    writer.put(_mag_bits(diff, size), size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if i > last_nz:
-                        code, length = _AC_ENC[0x00]  # EOB
-                        writer.put(code, length)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _AC_ENC[0xF0]  # ZRL
-                        writer.put(code, length)
-                        run -= 16
-                    size = _category(v)
-                    code, length = _AC_ENC[(run << 4) | size]
-                    writer.put(code, length)
-                    writer.put(_mag_bits(v, size), size)
-                    run = 0
+        coeffs.append(np.round(fdct / qtab.reshape(8, 8)).astype(np.int64))
+
+    writer = _BitWriterMSB()
+    dc_prev = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (_, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = (
+                            coeffs[c][my * cv + by, mx * ch + bx]
+                            .reshape(-1)[_ZIGZAG]
+                        )
+                        dc_prev[c] = _emit_block(writer, zz, dc_prev[c])
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -551,12 +600,14 @@ def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
 def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     """REAL baseline-JPEG pixel decode: segment walk (DQT/DHT/SOF0/SOS),
     canonical-Huffman entropy decode with byte-unstuffing, DC prediction,
-    dezigzag, dequantization, 8×8 IDCT, level shift, and YCbCr→RGB for
-    3-component scans. Supports baseline sequential 8-bit 4:4:4 or
-    grayscale without restart markers (exactly what
-    :func:`jpeg_bytes_with_pixels` emits, and the common subset of
-    camera/tool output after ``convert -sampling-factor 1x1``); returns
-    None for progressive/subsampled/restart variants."""
+    dezigzag, dequantization, 8×8 IDCT, MCU-interleaved component
+    placement with per-component sampling factors up to 2×2 (4:4:4,
+    4:2:0, 4:2:2/4:4:0 — chroma upsampled by nearest-neighbor
+    replication), level shift, and YCbCr→RGB for 3-component scans.
+    Covers what :func:`jpeg_bytes_with_pixels` emits in both its 4:4:4
+    and 4:2:0 modes — 4:2:0 being the layout real camera/tool output
+    actually uses; returns None for progressive/restart/16-bit-table
+    variants."""
     if not payload or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -565,7 +616,7 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    comps: list[tuple[int, int, int, int]] = []  # (id, ch, cv, qtab)
     scan: list[tuple[int, int, int]] = []  # (id, dc_table, ac_table)
     i, n = 2, len(b)
     data_start = None
@@ -609,9 +660,10 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             nc = seg[5]
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    return None  # subsampled: unsupported
-                comps.append((cid, samp, tq))
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    return None  # sampling beyond 2x2: unsupported
+                comps.append((cid, ch, cv, tq))
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # progressive / other SOF: unsupported
         elif marker == 0xDD:  # DRI
@@ -630,55 +682,78 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
         return None
     reader = _BitReaderMSB(b[data_start:])
     ncomp = len(comps)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
+    if ncomp == 1:
+        # single-component scans are non-interleaved: one block per MCU
+        # regardless of the declared sampling factors (T.81 A.2.2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_geom = {cid: (ch, cv) for cid, ch, cv, _ in comps}
+    comp_q = {cid: tq for cid, _, _, tq in comps}
+    planes = {
+        cid: np.zeros((mcuy * 8 * cv, mcux * 8 * ch), dtype=np.float64)
+        for cid, ch, cv, _ in comps
+    }
     dc_prev = [0] * ncomp
-    comp_q = {cid: tq for cid, _, tq in comps}
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for c, (cid, dct, act) in enumerate(scan):
                 dc_entry = huff.get((0, dct))
                 ac_entry = huff.get((1, act))
                 qt = qtabs.get(comp_q.get(cid, 0))
-                if dc_entry is None or ac_entry is None or qt is None:
+                geom = comp_geom.get(cid)
+                if dc_entry is None or ac_entry is None or qt is None or geom is None:
                     return None
+                ch, cv = geom
                 dc_table, dc_min = dc_entry
                 ac_table, ac_min = ac_entry
-                zz = np.zeros(64, dtype=np.int64)
-                size = _huff_decode(reader, dc_table, dc_min)
-                if size is None:
-                    return None
-                if size:
-                    v = reader.read(size)
-                    if v is None:
-                        return None
-                    dc_prev[c] += _extend(v, size)
-                zz[0] = dc_prev[c]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_table, ac_min)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k >= 64 or size == 0:
-                        return None
-                    v = reader.read(size)
-                    if v is None:
-                        return None
-                    zz[k] = _extend(v, size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz * qt
-                block = block.reshape(8, 8)
-                pix = _DCT.T @ block @ _DCT + 128.0
-                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode(reader, dc_table, dc_min)
+                        if size is None:
+                            return None
+                        if size:
+                            v = reader.read(size)
+                            if v is None:
+                                return None
+                            dc_prev[c] += _extend(v, size)
+                        zz[0] = dc_prev[c]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_table, ac_min)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k >= 64 or size == 0:
+                                return None
+                            v = reader.read(size)
+                            if v is None:
+                                return None
+                            zz[k] = _extend(v, size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * qt
+                        block = block.reshape(8, 8)
+                        pix = _DCT.T @ block @ _DCT + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+    # upsample subsampled components to full resolution (nearest), crop
+    planes = [
+        np.repeat(
+            np.repeat(planes[cid], vmax // cv, axis=0), hmax // ch, axis=1
+        )[:h, :w]
+        for cid, ch, cv, _ in comps
+    ]
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if ncomp != 3:

@@ -72,9 +72,10 @@ def decode_pixels(payload: bytes | None):
     """REAL pixel decode across all four fixture formats, no codec
     library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
     (canonical Huffman + IDCT), uncompressed BMP (the latter three in
-    ``operators/codecs.py``). Returns an ``(h, w[, ch])`` uint8 array,
-    or None for malformed payloads and the documented unsupported
-    variants (progressive JPEG, subsampled scans, Adam7 PNG)."""
+    ``operators/codecs.py``; JPEG covers 4:4:4 and 4:2:0 subsampling).
+    Returns an ``(h, w[, ch])`` uint8 array, or None for malformed
+    payloads and the documented unsupported variants (progressive JPEG,
+    Adam7 PNG)."""
     from self_healing_data_pipeline_spark.operators.codecs import (
         decode_bmp_pixels,
         decode_gif_pixels,
@@ -95,18 +96,19 @@ def decode_pixels(payload: bytes | None):
 
 def decode_image(payload: bytes):
     """Image pixel decode (raising form of :func:`decode_pixels`).
-    PNG/GIF/baseline-JPEG/BMP all decode for real; only unknown formats
-    and codec-requiring variants (progressive JPEG, subsampled chroma)
-    raise — that is the full remaining stub boundary."""
+    PNG/GIF/baseline-JPEG/BMP all decode for real (JPEG incl. 4:2:0
+    chroma subsampling); only unknown formats and codec-requiring
+    variants (progressive JPEG, Adam7 PNG) raise — that is the full
+    remaining stub boundary."""
     px = decode_pixels(payload)
     if px is not None:
         return px
     fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
         f"{fmt or 'unknown'} payload did not decode: unknown format or an "
-        "unsupported variant (progressive JPEG / subsampled scan / Adam7 "
-        "PNG) — wire a codec library here; the Spark plumbing and the "
-        "four real decode paths show the full shape"
+        "unsupported variant (progressive JPEG / Adam7 PNG) — wire a "
+        "codec library here; the Spark plumbing and the four real decode "
+        "paths show the full shape"
     )
 
 

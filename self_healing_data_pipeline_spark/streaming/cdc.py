@@ -24,8 +24,8 @@ schema doesn't perturb historical ties; sources whose seq uniquely
 versions each key's payload — the normal CDC contract — never hit the
 fingerprint rule at all.) Readers use
 :func:`live_state`; tombstones older than the source's max reorder
-window can be purged by a periodic compaction (age-based, not
-implemented here).
+window are purged by :func:`compact_state` (age-based, run from a
+periodic maintenance task).
 
 Idempotency (exactly-once effect under foreachBatch's at-least-once
 replay): each batch writes a FULL state snapshot to
@@ -259,6 +259,41 @@ def apply_changes(
     if not finished:
         q.stop()
         raise TimeoutError(f"CDC drain exceeded {await_seconds}s")
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    horizon_seq: int,
+    epoch_id: int,
+    seq: str = "seq",
+) -> None:
+    """Age-based tombstone compaction: write a new snapshot with every
+    tombstone whose ``seq`` is strictly below ``horizon_seq`` physically
+    removed (the module docstring's "purged by a periodic compaction",
+    now implemented).
+
+    The caller picks the horizon from the source's max reorder window —
+    e.g. ``max_committed_seq - reorder_window``: the contract is that no
+    change with seq below the horizon can still arrive, so dropping
+    those tombstones can never let a stale upsert resurrect a key.
+    Tombstones AT or above the horizon are kept, so out-of-order
+    stale upserts within the reorder window still hit them
+    (tests/test_cdc.py::test_compact_state_purges_old_tombstones_only).
+
+    Runs as its own epoch (idempotent under replay, same
+    ``batch=<epoch_id>`` overwrite discipline as the merge) and reads
+    the strictly-prior snapshot, so it composes with crash recovery
+    exactly like a change batch. Cost: one filter + snapshot rewrite —
+    schedule it like ``prune_snapshots``, from a maintenance task."""
+    current = read_state(spark, state_dir, before_epoch=epoch_id)
+    if current is None:
+        return
+    compacted = current.filter(
+        ~(F.col("__deleted") & (F.col(seq) < F.lit(horizon_seq)))
+    )
+    out = os.path.join(state_dir, f"batch={epoch_id}")
+    compacted.write.mode("overwrite").parquet(out)
 
 
 def prune_snapshots(state_dir: str, keep: int = 2) -> list[int]:

@@ -199,6 +199,49 @@ def test_prune_snapshots_keeps_latest_and_state_readable(spark, tmp_path):
     assert _state_dict(spark, state) == before  # head snapshot untouched
 
 
+def test_compact_state_purges_old_tombstones_only(spark, tmp_path):
+    """Age-based compaction drops tombstones below the reorder horizon
+    and keeps the rest — so a late stale upsert WITHIN the horizon still
+    cannot resurrect its key, while ancient tombstones stop accumulating
+    forever. Compaction must also replay idempotently like any epoch."""
+    from self_healing_data_pipeline_spark.streaming.cdc import compact_state
+
+    state = str(tmp_path / "state")
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame(
+            [
+                ("delete", 1, 5, None),  # ancient tombstone (below horizon)
+                ("delete", 2, 100, None),  # recent tombstone (kept)
+                ("upsert", 3, 50, "live"),
+            ],
+            SCHEMA,
+        ),
+        state,
+        "id",
+        "seq",
+        epoch_id=0,
+    )
+    compact_state(spark, state, horizon_seq=50, epoch_id=1)
+    raw = {r["id"]: r["__deleted"] for r in read_state(spark, state).collect()}
+    assert raw == {2: True, 3: False}  # tombstone 1 physically gone
+    # crash-replay of the compaction epoch: same snapshot, same bytes
+    compact_state(spark, state, horizon_seq=50, epoch_id=1)
+    assert {
+        r["id"]: r["__deleted"] for r in read_state(spark, state).collect()
+    } == raw
+    # a stale upsert within the horizon still hits the kept tombstone
+    apply_changes_batch(
+        spark,
+        spark.createDataFrame([("upsert", 2, 80, "zombie")], SCHEMA),
+        state,
+        "id",
+        "seq",
+        epoch_id=2,
+    )
+    assert _state_dict(spark, state) == {3: (50, "live")}
+
+
 def test_cdc_heals_change_feed_schema_drift(spark, tmp_path):
     """The change feed drifts mid-stream — a column appears, the key
     widens int->bigint — and the state must evolve instead of crash:

@@ -84,6 +84,20 @@ def test_gif_malformed_returns_none():
     assert decode_gif_pixels(blob[: len(blob) // 2]) is None
 
 
+def test_gif_rejects_over_256_palette():
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        gif_bytes_with_pixels,
+    )
+
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((300, 3), dtype=np.uint8)  # would overflow the k field
+    try:
+        gif_bytes_with_pixels(idx, pal)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 # ---------------------------------------------------------------- JPEG
 
 
@@ -125,6 +139,53 @@ def test_jpeg_quant_tradeoff(rng):
     assert len(coarse) < len(near)  # coarser quant compresses harder
     got = decode_jpeg_pixels(coarse)
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 64
+
+
+def test_jpeg_420_luma_near_lossless(rng):
+    """4:2:0 keeps full-resolution luma: a grayscale-content RGB image
+    (chroma flat everywhere) must round-trip within DCT rounding."""
+    g = rng.integers(0, 256, (21, 26), dtype=np.uint8)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+    got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px, subsampling="420"))
+    assert got is not None and got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_jpeg_420_blockwise_constant_chroma_round_trips(rng):
+    """An image whose color is constant on every 2×2 block loses nothing
+    to subsampling (the box filter is exact, nearest upsampling inverts
+    it), so the 4:2:0 round trip matches 4:4:4's error bound — the
+    encode↔decode witness for the subsampled path."""
+    small = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)  # (18, 22, 3)
+    got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px, subsampling="420"))
+    assert got is not None and got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_jpeg_420_arbitrary_rgb_decodes_sanely(rng):
+    """On arbitrary color content 4:2:0 is lossy by design; the decode
+    must still land within the subsampling error (bounded by local
+    chroma variation), and the luma channel must stay tight."""
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px, subsampling="420"))
+    assert got is not None and got.shape == px.shape
+    luma = lambda a: (  # noqa: E731 - BT.601 luma
+        0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    )
+    assert np.abs(luma(got) - luma(px)).max() <= 12
+
+
+def test_jpeg_420_odd_dims_and_bad_subsampling_arg(rng):
+    # odd dimensions exercise the MCU edge padding on both planes
+    px = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px, subsampling="420"))
+    assert got is not None and got.shape == px.shape
+    try:
+        jpeg_bytes_with_pixels(px, subsampling="422x")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
 
 
 def test_jpeg_unsupported_variants_return_none(rng):
