@@ -70,7 +70,19 @@ LINEAR_PROBES = [
     "q_sequence_match",
     "q_ema",
     "q_multimodal_features",
+    # round-5 additions (VERDICT r04 item 8): post-fix two-phase prefix
+    # sum, span-hash dedup, and the pre-aggregated bigram model — all
+    # expected ~linear (bounded explodes + map-side partial aggregates)
+    "q_pack_context",
+    "q_dedup_substring",
+    "q_text_bigram_coherence",
 ]
+
+# TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
+# (a true 10× of the same generator). Covers the round-5 de-serialized
+# plans (RFM cut points, bucketed Pareto envelope) and the FK-orphan
+# audit's broadcast-parent joins.
+FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
@@ -236,6 +248,31 @@ def main() -> None:
         }
         times["ratio"] = round(times["mid"] / max(times["small"], 1e-9), 2)
         times["family"] = "pairwise(Σ|block|²; expect ≈9 at 3×)"
+        result[q] = times
+        print(json.dumps({q: times}), flush=True)
+
+    fixture_sfs = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    fixture = [
+        q
+        for q in FIXTURE_PROBES
+        if (not only or q in only) and all(os.path.isdir(d) for d in fixture_sfs)
+    ]
+    for q in fixture:
+
+        def timed_dir(qname: str, d: str) -> float:
+            t0 = time.perf_counter()
+            QUERIES[qname](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.perf_counter() - t0, 2)
+
+        times = {
+            "small": timed_dir(q, fixture_sfs[0]),
+            "large": timed_dir(q, fixture_sfs[1]),
+            "factor": 10,
+        }
+        times["ratio"] = round(times["large"] / max(times["small"], 1e-9), 2)
+        times["family"] = "linear (driver fixtures sf0.01 -> sf0.1)"
         result[q] = times
         print(json.dumps({q: times}), flush=True)
 
