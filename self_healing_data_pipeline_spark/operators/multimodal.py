@@ -72,10 +72,10 @@ def decode_pixels(payload: bytes | None):
     """REAL pixel decode across all four fixture formats, no codec
     library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
     (canonical Huffman + IDCT), uncompressed BMP (the latter three in
-    ``operators/codecs.py``; JPEG covers 4:4:4 and 4:2:0 subsampling).
-    Returns an ``(h, w[, ch])`` uint8 array, or None for malformed
-    payloads and the documented unsupported variants (progressive JPEG,
-    Adam7 PNG)."""
+    ``operators/codecs.py``; JPEG covers 4:4:4 and 4:2:0 subsampling,
+    PNG covers Adam7 interlacing). Returns an ``(h, w[, ch])`` uint8
+    array, or None for malformed payloads and the one documented
+    unsupported variant (progressive JPEG)."""
     from self_healing_data_pipeline_spark.operators.codecs import (
         decode_bmp_pixels,
         decode_gif_pixels,
@@ -97,31 +97,85 @@ def decode_pixels(payload: bytes | None):
 def decode_image(payload: bytes):
     """Image pixel decode (raising form of :func:`decode_pixels`).
     PNG/GIF/baseline-JPEG/BMP all decode for real (JPEG incl. 4:2:0
-    chroma subsampling); only unknown formats and codec-requiring
-    variants (progressive JPEG, Adam7 PNG) raise — that is the full
-    remaining stub boundary."""
+    chroma subsampling, PNG incl. Adam7 interlacing); only unknown
+    formats and the one codec-requiring variant (progressive JPEG)
+    raise — that is the full remaining stub boundary."""
     px = decode_pixels(payload)
     if px is not None:
         return px
     fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
         f"{fmt or 'unknown'} payload did not decode: unknown format or an "
-        "unsupported variant (progressive JPEG / Adam7 PNG) — wire a "
-        "codec library here; the Spark plumbing and the four real decode "
-        "paths show the full shape"
+        "unsupported variant (progressive JPEG) — wire a codec library "
+        "here; the Spark plumbing and the four real decode paths show "
+        "the full shape"
     )
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+#: Adam7 pass lattice: (x0, y0, dx, dy) per pass (RFC 2083 §2.6).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, height: int, stride: int, ch: int):
+    """Undo per-scanline filters for one (sub-)image: ``raw`` is the
+    ``height × (stride+1)`` filtered bytes (filter byte + scanline);
+    returns the reconstructed ``(height, stride)`` uint8 array, or None
+    on an unknown filter type."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        above = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up: fully vectorized
+            rec = (line + above) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub / Average / Paeth need the already-reconstructed left
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = above[x]
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:  # Paeth
+                    ul = above[x - ch] if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                    )
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    return out
+
+
 def decode_png_pixels(payload: bytes | None):
     """REAL PNG pixel decode with only the stdlib: concatenate IDAT
     chunks, ``zlib.decompress``, undo the per-scanline filter (0=None,
-    1=Sub, 2=Up, 3=Average, 4=Paeth — RFC 2083 §6), and expand PLTE
+    1=Sub, 2=Up, 3=Average, 4=Paeth — RFC 2083 §6), de-interlace Adam7
+    images (each of the 7 passes is its own independently-filtered
+    sub-image scattered onto the output lattice), and expand PLTE
     indices for paletted images. Returns a ``(height, width, channels)``
     uint8 numpy array, or None for non-PNG / unsupported variants
-    (bit depths other than 8, Adam7 interlacing).
+    (bit depths other than 8).
 
     Per-payload work is O(pixels); inside the Arrow-batched mapInPandas
     kernel that keeps memory bounded by batch size at any table size."""
@@ -159,44 +213,41 @@ def decode_png_pixels(payload: bytes | None):
         not idat
         or width is None
         or bit_depth != 8
-        or interlace != 0
+        or interlace not in (0, 1)
         or color_type not in _PNG_CHANNELS
     ):
         return None
     ch = _PNG_CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = width * ch
-    if len(raw) != height * (stride + 1):
-        return None
-    raw = raw.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    for y in range(height):
-        ftype = raw[y, 0]
-        line = raw[y, 1:].astype(np.int32)
-        above = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if ftype == 0:
-            rec = line
-        elif ftype == 2:  # Up: fully vectorized
-            rec = (line + above) & 0xFF
-        else:  # Sub / Average / Paeth need the already-reconstructed left
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                up = above[x]
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) >> 1
-                else:  # Paeth
-                    ul = above[x - ch] if x >= ch else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = (
-                        left if pa <= pb and pa <= pc else up if pb <= pc else ul
-                    )
-                rec[x] = (line[x] + pred) & 0xFF
-        out[y] = rec
-    px = out.reshape(height, width, ch)
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            return None
+        out = _png_unfilter(raw.reshape(height, stride + 1), height, stride, ch)
+        if out is None:
+            return None
+        px = out.reshape(height, width, ch)
+    else:  # Adam7
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * ch
+            need = ph * (pstride + 1)
+            if pos + need > len(raw):
+                return None
+            sub = _png_unfilter(
+                raw[pos : pos + need].reshape(ph, pstride + 1), ph, pstride, ch
+            )
+            if sub is None:
+                return None
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            pos += need
+        if pos != len(raw):
+            return None
     if color_type == 3:
         if palette is None:
             return None
@@ -279,25 +330,16 @@ def png_bytes(width: int, height: int) -> bytes:
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
-def png_bytes_with_pixels(pixels, filters=None) -> bytes:
-    """Full PNG encoder for an ``(h, w, ch)`` uint8 array (stdlib only):
-    per-row scanline filters (cycling 0..4 by default so a decode
-    round-trip exercises ALL five filter types), zlib-deflated IDAT,
-    correct CRCs. The decode twin is :func:`decode_png_pixels`; together
-    they give a pixel-exact round-trip witness for tests."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat, ch: int, filters=None) -> bytearray:
+    """Apply per-scanline filters to one (sub-)image: ``flat`` is the
+    ``(h, stride)`` int32 pixel-byte array; returns filter-byte-prefixed
+    scanlines. Filters cycle 0..4 by default so round-trips exercise all
+    five types."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
+    h, stride = flat.shape
     if filters is None:
         filters = [y % 5 for y in range(h)]
-    flat = px.reshape(h, w * ch).astype(np.int32)
-    stride = w * ch
     raw = bytearray()
     for y in range(h):
         line = flat[y]
@@ -322,6 +364,42 @@ def png_bytes_with_pixels(pixels, filters=None) -> bytes:
             enc = line - pred
         raw.append(f)
         raw += (enc & 0xFF).astype(np.uint8).tobytes()
+    return raw
+
+
+def png_bytes_with_pixels(pixels, filters=None, interlace: bool = False) -> bytes:
+    """Full PNG encoder for an ``(h, w, ch)`` uint8 array (stdlib only):
+    per-row scanline filters (cycling 0..4 by default so a decode
+    round-trip exercises ALL five filter types), optional Adam7
+    interlacing (``interlace=True`` — the 7 passes are extracted on the
+    standard lattice and filtered independently, per RFC 2083 §2.6),
+    zlib-deflated IDAT, correct CRCs. The decode twin is
+    :func:`decode_png_pixels`; together they give a pixel-exact
+    round-trip witness for tests, interlaced or not."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * ch).astype(np.int32),
+                ch,
+                filters,
+            )
+    else:
+        raw = _png_filter_rows(
+            px.reshape(h, w * ch).astype(np.int32), ch, filters
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -331,7 +409,9 @@ def png_bytes_with_pixels(pixels, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -189,6 +189,35 @@ def test_png_pixel_roundtrip_all_filters():
     assert np.array_equal(decode_image(png_bytes_with_pixels(px)), px)
 
 
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode witness: an interlaced encode (7 independently
+    filtered passes on the standard lattice) must decode pixel-exact,
+    for every channel count and for sub-8×8 images where some passes
+    are empty — shrinking the codec stub boundary to progressive JPEG
+    alone."""
+    import numpy as np
+
+    from self_healing_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_bytes_with_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        for shape in ((11, 9), (16, 16), (5, 3), (1, 1), (2, 10)):
+            px = rng.integers(0, 256, size=(*shape, ch), dtype=np.uint8)
+            blob = png_bytes_with_pixels(px, interlace=True)
+            got = decode_png_pixels(blob)
+            assert got is not None and got.shape == px.shape, (ch, shape)
+            assert np.array_equal(got, px), (ch, shape)
+    # interlaced and sequential encodes of the same pixels agree
+    px = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png_pixels(png_bytes_with_pixels(px, interlace=True)),
+        decode_png_pixels(png_bytes_with_pixels(px)),
+    )
+
+
 def test_png_decode_rejects_unsupported_variants():
     import numpy as np
 
