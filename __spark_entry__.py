@@ -31,14 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q_agg_groupby"](spark, "/root/testdata/sf0.001")
 
 
-def _latest_verdicts() -> dict[str, bool]:
-    """Latest per-key driver verdict from CORRECTNESS_r*.json files.
-
-    True = green (hash-verified, or rows-only-by-design with rows recorded);
-    False = a verdict exists but it failed. Keys never checked are absent.
+def _latest_verdicts() -> dict[str, tuple[bool, int]]:
+    """Latest per-key driver verdict from CORRECTNESS_r*.json files, as
+    ``key -> (green, round)`` where ``round`` is the round of the MOST
+    RECENT verdict (its vintage). green=True means hash-verified, or
+    rows-only-by-design with rows recorded; False = the verdict failed.
+    Keys never checked are absent.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, bool] = {}
+    latest: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -47,12 +48,16 @@ def _latest_verdicts() -> dict[str, bool]:
             continue
         if not isinstance(data, dict):
             continue
+        fname = os.path.basename(path)
+        digits = "".join(c for c in fname if c.isdigit())
+        rnd = int(digits) if digits else 0
         for key, v in data.items():
             if isinstance(v, dict):
-                latest[key] = bool(v.get("hash_match")) or (
+                green = bool(v.get("hash_match")) or (
                     v.get("err") == "no_oracle"
                     and v.get("spark_rows") is not None
                 )
+                latest[key] = (green, rnd)
     return latest
 
 
@@ -62,12 +67,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered so verification coverage rotates across driver rounds (the
     driver records verdicts for a prefix of this dict): keys whose last
     verdict failed come first, never-checked keys next (registration
-    order), already-green keys last. Pure reordering — the key set is
-    exactly ``registry.QUERIES``.
+    order), already-green keys last ORDERED BY VERDICT VINTAGE — the
+    keys whose latest verdict is oldest re-verify first, so no key's
+    verdict goes stale while the per-round budget keeps re-checking
+    recent ones. Pure reordering — the key set is exactly
+    ``registry.QUERIES``.
     """
     verdicts = _latest_verdicts()
     qs = registry.QUERIES
-    failed = {k: f for k, f in qs.items() if verdicts.get(k) is False}
+    failed = {k: f for k, f in qs.items() if k in verdicts and not verdicts[k][0]}
     # Within never-checked: oracle-backed keys (full hash check) before
     # rows-only keys (weaker check) — if the driver's per-round budget cuts
     # off mid-list, the stronger checks land first.
@@ -81,7 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for k, f in qs.items()
         if k not in verdicts and k not in registry.ORACLE
     }
-    green = {k: f for k, f in qs.items() if verdicts.get(k) is True}
+    green_keys = sorted(
+        (k for k in qs if k in verdicts and verdicts[k][0]),
+        key=lambda k: verdicts[k][1],  # oldest vintage first; stable
+    )
+    green = {k: qs[k] for k in green_keys}
     return {**failed, **unchecked_oracle, **unchecked_rows_only, **green}
 
 

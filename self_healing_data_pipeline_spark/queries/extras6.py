@@ -1,0 +1,324 @@
+"""Round-5 additions (SURVEY.md §2.9/§2.11): weight-proportional
+deterministic sampling, exact daily percentile bands, time-to-convert
+funnels, repeat-purchase cadence, and embedding int8 quantization —
+event/corpus analytics that round out the sampling + SLO + vector-prep
+surface.
+
+Scale discipline (same repo rules): every scalar that crosses engines
+is exact-integer or a single IEEE op on exact integers; percentile
+selection is rank-based within bounded (type, day) / per-customer
+partitions, never a global sort; the corpus-wide max for weighted
+sampling is a broadcast one-row aggregate (the repo's broadcast-scalar
+pattern), never a global window; embedding quantization runs entirely
+in JVM higher-order array functions — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) AS w FROM documents),
+    rated AS (
+      SELECT d.source, d.n_chars,
+             CAST(FLOOR(65536.0 * d.n_chars / m.w) AS BIGINT) AS keep_65536,
+             SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h4
+      FROM documents d CROSS JOIN mx m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE keep_65536 >= 65536 OR h4 < printf('%04x', keep_65536)
+           ) AS n_kept,
+           CAST(COALESCE(SUM(n_chars) FILTER (
+             WHERE keep_65536 >= 65536 OR h4 < printf('%04x', keep_65536)
+           ), 0) AS BIGINT) AS kept_chars
+    FROM rated GROUP BY source ORDER BY source
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weight-proportional deterministic sampling: keep each document
+    with probability n_chars / max(n_chars) — the length-weighted
+    Bernoulli draw a corpus recipe uses to bias toward substantive
+    documents WITHOUT an RNG. Like ``q_sample_hash``/``q_domain_mixture``
+    the draw is a pure function of doc_id: the keep rate quantizes to
+    k/65536 and applies as a 4-hex-digit md5-prefix threshold, so
+    membership is partition- and rerun-invariant, and the threshold
+    compare is string-lexicographic on both engines (no float
+    comparison anywhere near the decision).
+
+    Plan: one-row corpus max broadcast back (broadcast-scalar pattern —
+    a global window here would plan SinglePartition), then a narrow
+    map-side filter + per-source aggregate. Shuffle carries ≤ |sources|
+    partial rows."""
+    d = read_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("w"))
+    rated = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_chars",
+        F.floor(65536.0 * F.col("n_chars") / F.col("w"))
+        .cast("bigint")
+        .alias("keep_65536"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h4"),
+    )
+    kept = (F.col("keep_65536") >= 65536) | (
+        F.col("h4") < F.format_string("%04x", F.col("keep_65536"))
+    )
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_percentile_bands",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+      FROM events
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+    FROM ranked GROUP BY event_type, day, n
+    ORDER BY event_type, day
+    """,
+)
+def q_percentile_bands(spark, sf_dir):
+    """Exact daily p50/p95 bands per event type — the SLO dashboard
+    primitive, computed as EXACT discrete percentiles (the value whose
+    rank is ceil(p·n)) rather than a sketch: rank selection inside
+    (type, day) windows, so the ordered pass is bounded by one day's
+    volume per type and parallelizes across the calendar. Boundary
+    ranks in pure integer arithmetic — ceil(p·n) as (p·n + 99) // 100 —
+    so no float multiply can shift a rank across engines; the returned
+    percentile is a raw column value (bit-exact by construction).
+    The deterministic (value, event_id) tie-break makes rank selection
+    total on both engines."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("event_type", day).orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type", day)
+    ranked = e.select(
+        "event_type",
+        day.cast("string").alias("day"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", "day", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(95 * n + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p95"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            "p50",
+            "p95",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS v_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (p_us - v_us) // 60000000 AS minutes
+      FROM firsts WHERE v_us IS NOT NULL AND p_us > v_us
+    )
+    SELECT minutes // 60 AS hours_bucket,
+           COUNT(*) AS n_users,
+           CAST(MIN(minutes) AS BIGINT) AS min_minutes,
+           CAST(MAX(minutes) AS BIGINT) AS max_minutes,
+           CAST(SUM(minutes) AS BIGINT) AS total_minutes
+    FROM conv GROUP BY 1 ORDER BY hours_bucket
+    """,
+)
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: minutes from a user's FIRST view
+    to their first purchase after it, histogrammed by hour — the funnel
+    velocity metric behind "how long does acquisition take". One
+    conditional-min aggregate per user (no windows, no self-join), then
+    exact integer microsecond arithmetic throughout: delta → minutes →
+    hour bucket are all integer divisions, so no engine can disagree on
+    a bucket edge. Users who purchased before ever viewing (or never
+    did either) drop out by the same predicate on both engines."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "view",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("v_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("p_us"),
+    )
+    conv = firsts.filter(
+        F.col("v_us").isNotNull() & (F.col("p_us") > F.col("v_us"))
+    ).select(F.expr("(p_us - v_us) div 60000000").alias("minutes"))
+    return (
+        conv.groupBy(F.expr("minutes div 60").alias("hours_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("minutes").cast("bigint").alias("min_minutes"),
+            F.max("minutes").cast("bigint").alias("max_minutes"),
+            F.sum("minutes").cast("bigint").alias("total_minutes"),
+        )
+        .orderBy("hours_bucket")
+    )
+
+
+@query(
+    "q_order_cadence",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_date
+      FROM orders
+    ), gaps AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', prev_date, o_orderdate) AS gap_days
+      FROM seq WHERE prev_date IS NOT NULL
+    ), ranked AS (
+      SELECT o_custkey, gap_days,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY gap_days) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM gaps
+    ), med AS (
+      SELECT o_custkey, gap_days AS median_gap
+      FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT median_gap // 7 AS weeks_bucket,
+           COUNT(*) AS n_customers,
+           CAST(MIN(median_gap) AS BIGINT) AS min_days,
+           CAST(MAX(median_gap) AS BIGINT) AS max_days
+    FROM med GROUP BY 1 ORDER BY weeks_bucket
+    """,
+)
+def q_order_cadence(spark, sf_dir):
+    """Repeat-purchase cadence: each returning customer's MEDIAN days
+    between consecutive orders, histogrammed by week — the retention
+    rhythm behind replenishment and churn models. Gaps via one LAG
+    window per customer (deterministic (date, orderkey) order), the
+    median as exact lower-median rank selection inside the same
+    per-customer partition (groups are per-key bounded — the
+    ``q_dq_outlier_mad`` exact-median discipline), then a tiny bucket
+    rollup. All day arithmetic is integer; the week bucket is an
+    integer division, so bucket edges agree across engines exactly."""
+    o = read_table(spark, sf_dir, "orders")
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(wlag)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    wrank = Window.partitionBy("o_custkey").orderBy("gap_days")
+    wcnt = Window.partitionBy("o_custkey")
+    med = (
+        gaps.select(
+            "gap_days",
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("gap_days").alias("median_gap"))
+    )
+    return (
+        med.groupBy(F.expr("median_gap div 7").alias("weeks_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("median_gap").cast("bigint").alias("min_days"),
+            F.max("median_gap").cast("bigint").alias("max_days"),
+        )
+        .orderBy("weeks_bucket")
+    )
+
+
+@query("q_embedding_quantize")  # float witness thresholds: rows-only
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column — the
+    vector-store preparation step (4× memory cut before ANN indexing):
+    per vector, min/max → 255-step uniform grid → codes → dequantized
+    reconstruction, with an IN-ROW WITNESS that the reconstruction
+    error respects the quantizer's contract (|x - dq(q(x))| ≤ step/2,
+    checked at 0.5001·step + 1e-9 for float headroom; degenerate
+    constant vectors quantize to code 0 with zero error).
+
+    Everything runs in JVM higher-order array functions
+    (array_min/array_max, transform, zip_with, aggregate) — no UDF, no
+    Python, no explode: the whole quantize→verify pipeline is one
+    narrow map over the vectors, embarrassingly parallel at any table
+    size. Output keeps exact-integer code stats per vector (code_min /
+    code_max / n_dims) beside the boolean witness."""
+    e = read_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    mn, mx = F.array_min(x), F.array_max(x)
+    step = (mx - mn) / F.lit(255.0)
+    codes = F.when(step > 0, F.transform(x, lambda v: F.round((v - mn) / step).cast("int"))).otherwise(
+        F.transform(x, lambda v: F.lit(0))
+    )
+    dq = F.when(step > 0, F.transform(codes, lambda c: mn + c.cast("double") * step)).otherwise(
+        F.transform(x, lambda v: mn)
+    )
+    err = F.aggregate(
+        F.zip_with(x, dq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.array_min(codes).cast("int").alias("code_min"),
+            F.array_max(codes).cast("int").alias("code_max"),
+            (err <= step * 0.5001 + 1e-9).alias("witness_ok"),
+        )
+        .orderBy("vec_id")
+    )

@@ -61,4 +61,5 @@ def load_all() -> None:
         extras5,
         dq,
         analytics2,
+        extras6,
     )
