@@ -25,10 +25,17 @@ public algorithms implementable without codec libraries:
   coefficient in category ≤ 10, so baseline's symbol range suffices);
   4:2:0 additionally loses only what subsampling discards — exact-ish
   on luma and on any image whose chroma is constant per 2×2 block.
+- **Progressive JPEG** (T.81 Annex G, round 5): SOF2 multi-scan decode
+  with BOTH progressive axes — spectral selection (banded AC scans
+  with shared EOB runs) and successive approximation (point-transformed
+  first scans + per-coefficient correction-bit refinement scans) —
+  plus an encoder twin emitting a libjpeg-style scan script (DC first
+  Al=1 → per-component AC first → DC refine → AC refine), so the
+  refinement path is round-trip-witnessed, not just parsed.
 
-Decoders return ``None`` (never raise) for unsupported variants —
-progressive JPEG, restart intervals, sampling beyond 2×2 — so the
-Arrow-batched feature kernel degrades gracefully per row.
+Decoders return ``None`` (never raise) for the remaining unsupported
+variants — restart intervals, arithmetic coding, sampling beyond 2×2 —
+so the Arrow-batched feature kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
 per-executor memory is bounded by Arrow batch size regardless of table
@@ -519,6 +526,231 @@ def jpeg_bytes_with_pixels(
     return bytes(out)
 
 
+# Progressive AC table: the baseline symbols plus EOB1..EOB14 (r<<4 with
+# r<=14, trailed by r extension bits encoding the end-of-band run length
+# — T.81 G.1.2.2). 176 symbols, all length 8 (≤255, so the all-ones code
+# stays free as required).
+_AC_SYMBOLS_PROG = sorted(
+    {0xF0}
+    | {r << 4 for r in range(15)}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_AC_BITS_PROG = [0] * 7 + [len(_AC_SYMBOLS_PROG)] + [0] * 8
+_AC_ENC_PROG = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: v / 2^al rounded TOWARD ZERO (T.81 G.1.2.2 —
+    deliberately different from DC's arithmetic shift)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_eobrun(writer, ac_enc, eobrun: int, pending: list[int]) -> None:
+    """Write an EOBn symbol + run-length extension bits, then the
+    correction bits that accumulated while the run was open."""
+    if eobrun > 0:
+        n = eobrun.bit_length() - 1
+        code, ln = ac_enc[n << 4]
+        writer.put(code, ln)
+        if n:
+            writer.put(eobrun - (1 << n), n)
+    for bit in pending:
+        writer.put(bit, 1)
+    pending.clear()
+
+
+def _encode_ac_first(writer, blocks, ss: int, se: int, al: int, ac_enc) -> None:
+    """Progressive AC first scan (Ah=0): band run-length coding of the
+    point-transformed coefficients with shared EOB runs."""
+    eobrun = 0
+    for zz in blocks:
+        band = [_trunc_shift(int(zz[i]), al) for i in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_enc, eobrun, [])
+                eobrun = 0
+            continue
+        if eobrun:
+            _emit_eobrun(writer, ac_enc, eobrun, [])
+            eobrun = 0
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                writer.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_enc[(run << 4) | s]
+            writer.put(code, ln)
+            writer.put(_mag_bits(v, s), s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_enc, eobrun, [])
+                eobrun = 0
+    if eobrun:
+        _emit_eobrun(writer, ac_enc, eobrun, [])
+
+
+def _encode_ac_refine(writer, blocks, ss: int, se: int, al: int, ac_enc) -> None:
+    """Progressive AC refinement scan (Ah=Al+1 → Al): one correction bit
+    per already-significant coefficient, (run, 1)+sign for the newly
+    significant, runs counted over zero-HISTORY positions only, with
+    correction bits buffered behind the next emitted symbol / EOB run
+    (T.81 G.1.2.3)."""
+    eobrun = 0
+    pending: list[int] = []
+    for zz in blocks:
+        band = [int(zz[i]) for i in range(ss, se + 1)]
+        hist = [_trunc_shift(v, al + 1) for v in band]  # pre-scan history
+        newly = [i for i, v in enumerate(band) if hist[i] == 0 and v != 0]
+        corr = lambda i: (abs(band[i]) >> al) & 1  # noqa: E731
+        if not newly:
+            eobrun += 1
+            pending.extend(corr(i) for i in range(len(band)) if hist[i] != 0)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_enc, eobrun, pending)
+                eobrun = 0
+            continue
+        _emit_eobrun(writer, ac_enc, eobrun, pending)
+        eobrun = 0
+        # Emit by simulating the decoder's advance exactly: correction
+        # bits for already-significant coefficients interleave
+        # POSITIONALLY with the run consumption — a ZRL's trailing bits
+        # are those of the significants passed within ITS 16-zero span,
+        # not everything buffered so far.
+        i = 0
+        for p in newly:
+            while True:
+                zeros = sum(1 for j in range(i, p) if hist[j] == 0)
+                if zeros <= 15:
+                    break
+                code, ln = ac_enc[0xF0]  # ZRL: next 16 zero-history slots
+                writer.put(code, ln)
+                cnt = 0
+                j = i
+                while True:
+                    if hist[j] != 0:
+                        writer.put(corr(j), 1)
+                    else:
+                        cnt += 1
+                        if cnt == 16:
+                            j += 1
+                            break
+                    j += 1
+                i = j
+            code, ln = ac_enc[(zeros << 4) | 1]
+            writer.put(code, ln)
+            writer.put(1 if band[p] > 0 else 0, 1)
+            for j in range(i, p):
+                if hist[j] != 0:
+                    writer.put(corr(j), 1)
+            i = p + 1
+        if newly[-1] < len(band) - 1:
+            # a placement at the band's last slot consumes the whole
+            # band — the decoder exits without expecting an EOB
+            eobrun += 1
+            pending.extend(
+                corr(j) for j in range(i, len(band)) if hist[j] != 0
+            )
+    _emit_eobrun(writer, ac_enc, eobrun, pending)
+
+
+def jpeg_progressive_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
+    """PROGRESSIVE JPEG encoder (T.81 Annex G) for grayscale / RGB uint8
+    arrays, 4:4:4: SOF2 with a libjpeg-style scan script — interleaved
+    DC first (Al=1), per-component AC 1–63 first (Al=1), DC refinement,
+    per-component AC refinement — exercising spectral selection AND
+    successive approximation, the two axes real progressive files use.
+    Decode twin: :func:`decode_jpeg_pixels` (same entry as baseline)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    planes = (
+        [px.astype(np.float64)]
+        if gray
+        else [_rgb_to_ycbcr(px)[..., c] for c in range(3)]
+    )
+    ncomp = len(planes)
+    qtab = np.full(64, quant, dtype=np.int64)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    bh, bw = ph // 8, pw // 8
+    coeffs = []  # per comp: (bh*bw, 64) zigzag-domain quantized ints
+    for plane in planes:
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        fdct = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        q = np.round(fdct / qtab.reshape(8, 8)).astype(np.int64)
+        coeffs.append(q.reshape(bh * bw, 64)[:, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes(int(qtab[i]) for i in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for cls, bits, syms in (
+        (0x00, _DC_BITS, _DC_SYMBOLS),
+        (0x10, _AC_BITS_PROG, _AC_SYMBOLS_PROG),
+    ):
+        payload = bytes([cls]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_ids = list(range(1, ncomp + 1))
+    # scan 1: interleaved DC first, Al=1 (DC point transform is an
+    # arithmetic shift — T.81 G.1.2.1)
+    out += sos(all_ids, 0, 0, 0, 1)
+    writer = _BitWriterMSB()
+    dc_prev = [0] * ncomp
+    for bi in range(bh * bw):
+        for c in range(ncomp):
+            val = int(coeffs[c][bi][0]) >> 1
+            diff = val - dc_prev[c]
+            dc_prev[c] = val
+            s = _category(diff)
+            code, ln = _DC_ENC[s]
+            writer.put(code, ln)
+            if s:
+                writer.put(_mag_bits(diff, s), s)
+    out += writer.flush()
+    # scans 2..: per-component AC first, Al=1
+    for c in range(ncomp):
+        out += sos([c + 1], 1, 63, 0, 1)
+        writer = _BitWriterMSB()
+        _encode_ac_first(writer, coeffs[c], 1, 63, 1, _AC_ENC_PROG)
+        out += writer.flush()
+    # DC refinement: one raw bit per block per component, interleaved
+    out += sos(all_ids, 0, 0, 1, 0)
+    writer = _BitWriterMSB()
+    for bi in range(bh * bw):
+        for c in range(ncomp):
+            writer.put(int(coeffs[c][bi][0]) & 1, 1)
+    out += writer.flush()
+    # per-component AC refinement, Al=0
+    for c in range(ncomp):
+        out += sos([c + 1], 1, 63, 1, 0)
+        writer = _BitWriterMSB()
+        _encode_ac_refine(writer, coeffs[c], 1, 63, 0, _AC_ENC_PROG)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReaderMSB:
     """MSB-first bit reading with 0xFF-stuffing removal."""
 
@@ -586,6 +818,193 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_end(b: bytes, pos: int) -> int:
+    """First position of a real marker (0xFF + non-stuffing, non-RST
+    byte) at or after ``pos`` — the end of a scan's entropy data."""
+    n = len(b)
+    while pos + 1 < n:
+        if (
+            b[pos] == 0xFF
+            and b[pos + 1] != 0x00
+            and not (0xD0 <= b[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _prog_refine_one(coef, k: int, p1: int, reader) -> bool | None:
+    """Read one correction bit for an already-significant coefficient
+    (T.81 G.2): add ±2^Al when the bit says the dropped bit was set."""
+    bit = reader.read(1)
+    if bit is None:
+        return None
+    if bit and (abs(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+    return True
+
+
+def _jpeg_progressive_scan(
+    b: bytes,
+    start: int,
+    end: int,
+    scomps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff,
+    geom,
+    coefs,
+) -> bool:
+    """Decode one progressive scan (T.81 G.2) into the zigzag-domain
+    coefficient store. ``geom[cid] = (ch, cv, bw_mcu, bh_mcu, bw, bh)``
+    (MCU-padded vs ceil block dims); ``coefs[cid]`` is a flat list of
+    per-block 64-entry int lists with row stride ``bw_mcu``."""
+    reader = _BitReaderMSB(b[start:end])
+    if ss == 0:  # ---- DC scan
+        if se != 0:
+            return False
+        dc_pred = {cid: 0 for cid, _, _ in scomps}
+
+        def dc_block(cid: int, dct: int, block) -> bool:
+            if ah == 0:
+                entry = huff.get((0, dct))
+                if entry is None:
+                    return False
+                table, minlen = entry
+                s = _huff_decode(reader, table, minlen)
+                if s is None:
+                    return False
+                if s:
+                    v = reader.read(s)
+                    if v is None:
+                        return False
+                    dc_pred[cid] += _extend(v, s)
+                block[0] = dc_pred[cid] << al
+            else:
+                bit = reader.read(1)
+                if bit is None:
+                    return False
+                if bit:
+                    block[0] |= 1 << al
+            return True
+
+        if len(scomps) == 1:  # non-interleaved: the comp's ceil grid
+            cid, dct, _ = scomps[0]
+            _, _, bw_mcu, _, bw, bh = geom[cid]
+            for row in range(bh):
+                for col in range(bw):
+                    if not dc_block(cid, dct, coefs[cid][row * bw_mcu + col]):
+                        return False
+            return True
+        # interleaved: shared MCU grid, sampling-ordered blocks
+        any_cid = scomps[0][0]
+        ch0, cv0, bw_mcu0, bh_mcu0, _, _ = geom[any_cid]
+        mcux, mcuy = bw_mcu0 // ch0, bh_mcu0 // cv0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dct, _ in scomps:
+                    ch, cv, bw_mcu, _, _, _ = geom[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            idx = (my * cv + by) * bw_mcu + mx * ch + bx
+                            if not dc_block(cid, dct, coefs[cid][idx]):
+                                return False
+        return True
+    # ---- AC scan: spec requires exactly one component, non-interleaved
+    if len(scomps) != 1 or se > 63 or ss > se:
+        return False
+    cid, _, act = scomps[0]
+    entry = huff.get((1, act))
+    if entry is None:
+        return False
+    table, minlen = entry
+    _, _, bw_mcu, _, bw, bh = geom[cid]
+    eobrun = 0
+    p1 = 1 << al
+    for row in range(bh):
+        for col in range(bw):
+            coef = coefs[cid][row * bw_mcu + col]
+            if ah == 0:  # first scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_decode(reader, table, minlen)
+                    if sym is None:
+                        return False
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = 1 << r
+                        if r:
+                            bits = reader.read(r)
+                            if bits is None:
+                                return False
+                            eobrun += bits
+                        eobrun -= 1  # covers this block
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    v = reader.read(s)
+                    if v is None:
+                        return False
+                    coef[k] = _extend(v, s) * p1
+                    k += 1
+            else:  # refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_decode(reader, table, minlen)
+                        if sym is None:
+                            return False
+                        r, s = sym >> 4, sym & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    bits = reader.read(r)
+                                    if bits is None:
+                                        return False
+                                    eobrun += bits
+                                break
+                        elif s == 1:
+                            bit = reader.read(1)
+                            if bit is None:
+                                return False
+                            newval = p1 if bit else -p1
+                        else:
+                            return False
+                        # advance: refine passed significants, count the
+                        # run over zero-history slots, place newval
+                        while k <= se:
+                            if coef[k] != 0:
+                                if _prog_refine_one(coef, k, p1, reader) is None:
+                                    return False
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[k] != 0:
+                            if _prog_refine_one(coef, k, p1, reader) is None:
+                                return False
+                        k += 1
+                    eobrun -= 1
+    return True
+
+
 def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
     """Safe wrapper over :func:`_decode_jpeg_unchecked`: any structural
     truncation that escapes the explicit guards (short segments, bad
@@ -606,7 +1025,10 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     replication), level shift, and YCbCr→RGB for 3-component scans.
     Covers what :func:`jpeg_bytes_with_pixels` emits in both its 4:4:4
     and 4:2:0 modes — 4:2:0 being the layout real camera/tool output
-    actually uses; returns None for progressive/restart/16-bit-table
+    actually uses — and PROGRESSIVE (SOF2) files via the multi-scan
+    coefficient-domain path (:func:`_jpeg_progressive_scan`, T.81 G.2:
+    spectral selection + successive approximation, EOB runs, DC/AC
+    refinement); returns None for restart/arithmetic/16-bit-table
     variants."""
     if not payload or len(payload) < 4:
         return None
@@ -618,6 +1040,10 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (id, ch, cv, qtab)
     scan: list[tuple[int, int, int]] = []  # (id, dc_table, ac_table)
+    progressive = False
+    prog_geom: dict[int, tuple[int, int, int, int, int, int]] = {}
+    prog_coefs: dict[int, list[list[int]]] = {}
+    prog_scans = 0
     i, n = 2, len(b)
     data_start = None
     while i + 4 <= n:
@@ -652,9 +1078,10 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                 syms = list(seg[j + 17 : j + 17 + nsym])
                 huff[(cls, tid)] = _build_decode_table(bits, syms)
                 j += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 return None
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -665,19 +1092,93 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                     return None  # sampling beyond 2x2: unsupported
                 comps.append((cid, ch, cv, tq))
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive / other SOF: unsupported
+            return None  # arithmetic / hierarchical SOF: unsupported
         elif marker == 0xDD:  # DRI
             if int.from_bytes(seg[:2], "big") != 0:
                 return None  # restart intervals: unsupported
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            scomps = []
             for c in range(ns):
                 cid = seg[1 + 2 * c]
                 tabs = seg[2 + 2 * c]
-                scan.append((cid, tabs >> 4, tabs & 0x0F))
-            data_start = i + 2 + seglen
-            break
+                scomps.append((cid, tabs >> 4, tabs & 0x0F))
+            if not progressive:
+                scan = scomps
+                data_start = i + 2 + seglen
+                break
+            # progressive: decode this scan into the coefficient store
+            # and continue the segment walk after its entropy data
+            if h is None or not comps:
+                return None
+            if not prog_geom:
+                hmax = max(ch for _, ch, _, _ in comps)
+                vmax = max(cv for _, _, cv, _ in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for cid, ch, cv, _ in comps:
+                    cw = (w * ch + hmax - 1) // hmax
+                    chh = (h * cv + vmax - 1) // vmax
+                    bw_mcu, bh_mcu = mcux * ch, mcuy * cv
+                    bw, bh = (cw + 7) // 8, (chh + 7) // 8
+                    prog_geom[cid] = (ch, cv, bw_mcu, bh_mcu, bw, bh)
+                    prog_coefs[cid] = [
+                        [0] * 64 for _ in range(bw_mcu * bh_mcu)
+                    ]
+            if len(seg) < 4 + 2 * ns:
+                return None
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            start = i + 2 + seglen
+            end = _entropy_end(b, start)
+            if not _jpeg_progressive_scan(
+                b, start, end, scomps, ss_, se_, ahal >> 4, ahal & 0x0F,
+                huff, prog_geom, prog_coefs,
+            ):
+                return None
+            prog_scans += 1
+            i = end
+            continue
         i += 2 + seglen
+    if progressive:
+        if prog_scans == 0 or not comps:
+            return None
+        hmax = max(ch for _, ch, _, _ in comps)
+        vmax = max(cv for _, _, cv, _ in comps)
+        planes_p: dict[int, np.ndarray] = {}
+        for cid, ch, cv, tq in comps:
+            qt = qtabs.get(tq)
+            geom = prog_geom.get(cid)
+            if qt is None or geom is None:
+                return None
+            _, _, bw_mcu, bh_mcu, _, _ = geom
+            plane = np.zeros((bh_mcu * 8, bw_mcu * 8), dtype=np.float64)
+            for row in range(bh_mcu):
+                for col in range(bw_mcu):
+                    zz = np.array(
+                        prog_coefs[cid][row * bw_mcu + col], dtype=np.int64
+                    )
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = zz * qt
+                    block = block.reshape(8, 8)
+                    plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+                        _DCT.T @ block @ _DCT + 128.0
+                    )
+            planes_p[cid] = plane
+        planes = [
+            np.repeat(
+                np.repeat(planes_p[cid], vmax // cv, axis=0),
+                hmax // ch,
+                axis=1,
+            )[:h, :w]
+            for cid, ch, cv, _ in comps
+        ]
+        if len(comps) == 1:
+            return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        if len(comps) != 3:
+            return None
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     if data_start is None or h is None or not comps or len(scan) != len(comps):
         return None
     reader = _BitReaderMSB(b[data_start:])

@@ -72,10 +72,10 @@ def decode_pixels(payload: bytes | None):
     """REAL pixel decode across all four fixture formats, no codec
     library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
     (canonical Huffman + IDCT), uncompressed BMP (the latter three in
-    ``operators/codecs.py``; JPEG covers 4:4:4 and 4:2:0 subsampling,
-    PNG covers Adam7 interlacing). Returns an ``(h, w[, ch])`` uint8
-    array, or None for malformed payloads and the one documented
-    unsupported variant (progressive JPEG)."""
+    ``operators/codecs.py``; JPEG covers 4:4:4, 4:2:0 subsampling AND
+    progressive SOF2, PNG covers Adam7 interlacing). Returns an
+    ``(h, w[, ch])`` uint8 array, or None for malformed payloads and
+    exotic residuals (restart intervals, arithmetic coding)."""
     from self_healing_data_pipeline_spark.operators.codecs import (
         decode_bmp_pixels,
         decode_gif_pixels,
@@ -96,19 +96,19 @@ def decode_pixels(payload: bytes | None):
 
 def decode_image(payload: bytes):
     """Image pixel decode (raising form of :func:`decode_pixels`).
-    PNG/GIF/baseline-JPEG/BMP all decode for real (JPEG incl. 4:2:0
-    chroma subsampling, PNG incl. Adam7 interlacing); only unknown
-    formats and the one codec-requiring variant (progressive JPEG)
-    raise — that is the full remaining stub boundary."""
+    PNG/GIF/JPEG/BMP all decode for real — JPEG baseline AND
+    progressive, 4:4:4 and 4:2:0; PNG sequential and Adam7 — so the
+    round-4 "codec stub boundary" is closed: only unknown formats and
+    exotic residuals (restart intervals, arithmetic-coded JPEG) raise."""
     px = decode_pixels(payload)
     if px is not None:
         return px
     fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
-        f"{fmt or 'unknown'} payload did not decode: unknown format or an "
-        "unsupported variant (progressive JPEG) — wire a codec library "
-        "here; the Spark plumbing and the four real decode paths show "
-        "the full shape"
+        f"{fmt or 'unknown'} payload did not decode: unknown format, "
+        "malformed bytes, or an exotic residual (restart intervals / "
+        "arithmetic-coded JPEG) — wire a codec library here; the Spark "
+        "plumbing and the real decode paths show the full shape"
     )
 
 

@@ -188,10 +188,59 @@ def test_jpeg_420_odd_dims_and_bad_subsampling_arg(rng):
         pass
 
 
+def test_jpeg_progressive_round_trip(rng):
+    """Progressive SOF2 decode witness: the encoder's libjpeg-style scan
+    script exercises spectral selection AND successive approximation
+    (point-transformed first scans + correction-bit refinement), so a
+    pixel round trip within DCT rounding proves both progressive axes
+    decode — the last piece of the codec stub boundary."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_progressive_bytes_with_pixels,
+    )
+
+    for shape in ((24, 17), (8, 8), (1, 1), (5, 3)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg_pixels(jpeg_progressive_bytes_with_pixels(px))
+        assert got is not None and got.shape == px.shape, shape
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4, shape
+    for shape in ((19, 22, 3), (16, 16, 3), (17, 19, 3)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg_pixels(jpeg_progressive_bytes_with_pixels(px))
+        assert got is not None and got.shape == px.shape, shape
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 8, shape
+    # the progressive stream really is multi-scan: several SOS markers
+    blob = jpeg_progressive_bytes_with_pixels(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    )
+    assert blob.count(b"\xff\xda") >= 8 and b"\xff\xc2" in blob
+    # truncation degrades to None, never raises
+    assert decode_jpeg_pixels(blob[: len(blob) // 2]) is None
+
+
+def test_jpeg_progressive_coarse_quant_and_flat_blocks(rng):
+    """EOB-run coverage: coarse quantization zeroes most AC bands so
+    consecutive blocks share EOB runs (and their buffered correction
+    bits) across block boundaries — the hardest progressive path."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_progressive_bytes_with_pixels,
+    )
+
+    px = rng.integers(120, 136, (40, 40), dtype=np.uint8)  # near-flat
+    got = decode_jpeg_pixels(jpeg_progressive_bytes_with_pixels(px, quant=8))
+    assert got is not None
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 64
+    flat = np.full((32, 24, 3), 200, dtype=np.uint8)  # all-EOB AC scans
+    got = decode_jpeg_pixels(jpeg_progressive_bytes_with_pixels(flat))
+    assert got is not None
+    assert np.abs(got.astype(int) - flat.astype(int)).max() <= 8
+
+
 def test_jpeg_unsupported_variants_return_none(rng):
     px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     blob = jpeg_bytes_with_pixels(px)
     assert decode_jpeg_pixels(blob[: len(blob) // 2]) is None
+    # a baseline scan header (Ss=0, Se=63) is invalid under SOF2 rules:
+    # relabeling the frame marker must fail cleanly, not misdecode
     assert decode_jpeg_pixels(blob.replace(b"\xff\xc0", b"\xff\xc2")) is None
     assert decode_jpeg_pixels(None) is None
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
