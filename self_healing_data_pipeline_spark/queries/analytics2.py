@@ -212,6 +212,9 @@ def q_pareto_frontier(spark, sf_dir):
     per_spend = agg.groupBy("spend_cents").agg(
         F.max("n_orders").alias("mx_orders")
     )
+    # cache across the two small build jobs (min/max + per-bucket maxima);
+    # released before returning — the final plan recomputes it once
+    per_spend = per_spend.cache()
     mm = per_spend.agg(
         F.min("spend_cents").alias("lo"), F.max("spend_cents").alias("hi")
     ).collect()[0]
@@ -225,6 +228,7 @@ def q_pareto_frontier(spark, sf_dir):
         r["__b"]: r["m"]
         for r in spends.groupBy("__b").agg(F.max("mx_orders").alias("m")).collect()
     }
+    per_spend.unpersist(blocking=False)  # build jobs done
     suffix: dict[int, int | None] = {}
     run = None
     for b in sorted(bmax, reverse=True):
@@ -523,6 +527,11 @@ def q_customer_rfm(spark, sf_dir):
         .cast("long")
         .alias("monetary_cents"),
     )
+    # the three cut-point build jobs (stats, bucket counts, boundary
+    # extraction) each re-derive the per-customer aggregate; cache it
+    # for their duration and release before returning — the returned
+    # plan recomputes base once, holding no executor memory afterwards
+    base = base.cache()
     vals = {
         "r": F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date"))
         .cast("long"),
@@ -606,6 +615,7 @@ def q_customer_rfm(spark, sf_dir):
             while len(cuts[r["dim"]]) <= r["tile"]:
                 cuts[r["dim"]].append(None)
             cuts[r["dim"]][r["tile"]] = (r["v"], r["ck"])
+    base.unpersist(blocking=False)  # build jobs done; nothing lingers
 
     def score(dim):
         # 1 + Σ_t [composite rank > B_t]; a missing cut for edge e means
