@@ -23,6 +23,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 THRESHOLD = 1.5
 NOISE_FLOOR_SEC = 0.3  # sub-0.3s timings are JVM-scheduling noise
+# a regression must ALSO move this much wall time: shared-host runs
+# show ±0.4s run-to-run jitter on sub-second queries (GC/codegen/host
+# contention), so ratio alone false-flags untouched queries
+MIN_DELTA_SEC = 0.5
 
 
 def _load(path: str) -> dict[str, float]:
@@ -46,6 +50,7 @@ def test_no_per_query_bench_regression():
         if max(baseline[k], current[k]) >= NOISE_FLOOR_SEC
         and baseline[k] > 0
         and current[k] / baseline[k] >= THRESHOLD
+        and current[k] - baseline[k] >= MIN_DELTA_SEC
     }
     assert not regressed, (
         f"queries regressed >= {THRESHOLD}x vs tools/bench_baseline.json "
