@@ -402,6 +402,24 @@ def test_rfm_has_no_global_sort_or_window(spark, sf_dir):
     assert "Window" not in p
 
 
+def test_extras6_plans_have_no_global_stages(spark, sf_dir):
+    # round-5 batch: percentile bands window per (type, day); cadence
+    # windows per customer; time-to-convert is aggregate-only — none may
+    # plan a data-bearing global stage
+    for name in ("q_percentile_bands", "q_order_cadence", "q_time_to_convert"):
+        assert "SinglePartition" not in plan_of(spark, sf_dir, name), name
+    # weighted sampling: exactly one SinglePartition — the broadcast
+    # 1-row corpus-max aggregate (constant data), never a data stage
+    assert plan_of(spark, sf_dir, "q_sample_weighted").count("SinglePartition") <= 1
+
+
+def test_embedding_quantize_stays_jvm_side(spark, sf_dir):
+    # the whole quantize->verify pipeline is higher-order array exprs:
+    # no Python evaluation node may appear in the plan
+    p = plan_of(spark, sf_dir, "q_embedding_quantize")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_pack_context_prefix_sum_is_two_phase(spark, sf_dir):
     # the running token offset must never serialize a whole source
     # through one task: the doc-bearing window partitions by the
