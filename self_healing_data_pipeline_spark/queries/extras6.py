@@ -281,6 +281,65 @@ def q_order_cadence(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_registry",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS f
+      FROM documents
+    )
+    SELECT f AS fp, MIN(doc_id) AS first_id
+    FROM fp GROUP BY f ORDER BY fp
+    """,
+)
+def q_dedup_registry(spark, sf_dir):
+    """The streaming dedup REGISTRY's target state, oracle-checked —
+    the same run-the-machinery pattern as ``q_incremental_join_view``:
+    the query actually drives ``streaming.dedup_registry`` through
+    three id-ordered epochs (doc_id terciles, so arrival order equals
+    id order and keep-first is SQL-expressible as MIN(doc_id)), then
+    returns the final registry. The result must equal the oracle's
+    one-shot keep-first over normalized-content fingerprints — epoch
+    boundaries invisible in the final state, which is the correctness
+    contract of registry maintenance. Cross-epoch suppression is
+    exercised for real: any fixture duplicate whose copies land in
+    different terciles survives only by its first arrival."""
+    import os
+    import shutil
+
+    from self_healing_data_pipeline_spark.streaming.dedup_registry import (
+        apply_dedup_batch,
+        read_registry,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        f"dedupreg_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    rdir = os.path.join(scratch, "registry")
+    adir = os.path.join(scratch, "accepted")
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    c1, c2 = max_id // 3, 2 * max_id // 3
+    for epoch, pred in enumerate(
+        (
+            F.col("doc_id") <= c1,
+            (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+            F.col("doc_id") > c2,
+        )
+    ):
+        apply_dedup_batch(spark, d.filter(pred), rdir, adir, epoch)
+    return (
+        read_registry(spark, rdir)
+        .select("fp", F.col("first_id").cast("bigint").alias("first_id"))
+        .orderBy("fp")
+    )
+
+
 @query("q_embedding_quantize")  # float witness thresholds: rows-only
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column — the
