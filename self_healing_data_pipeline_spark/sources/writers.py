@@ -154,3 +154,74 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction (the plain-parquet twin of Delta/Iceberg
+    ``OPTIMIZE`` / ``rewrite_data_files``): rewrite a parquet directory
+    so files approach ``target_mb`` each. Streaming sinks and frequent
+    small batches leave thousands of tiny files; at 100 TB that breaks
+    driver file-listing, floods the scheduler with sub-second tasks,
+    and destroys scan throughput — compaction is the maintenance job
+    every ingestion pipeline schedules.
+
+    Hive-partitioned layouts compact each leaf partition directory
+    independently (pruning layout preserved); ``sort_within`` re-sorts
+    rows inside the rewritten files to restore clustering for min/max
+    file skipping. The rewrite is crash-safe: the new files land in a
+    sibling staging directory and swap in via two directory renames —
+    a crash before the swap leaves the original intact, a crash between
+    the renames leaves the ``.compact_bak`` recoverable by hand.
+
+    Driver cost is one directory walk (bounded by file count — the
+    thing being reduced); data cost is one read + one write of the
+    directory, embarrassingly parallel. Returns before/after stats."""
+    import math
+    import os
+    import shutil
+
+    def leaf_dirs(root: str) -> list[str]:
+        leaves = []
+        for cur, dirs, files in os.walk(root):
+            datadirs = [d for d in dirs if "=" in d]
+            if any(f.endswith(".parquet") for f in files) and not datadirs:
+                leaves.append(cur)
+        return leaves or [root]
+
+    stats = {"files_before": 0, "files_after": 0, "bytes": 0, "leaves": 0}
+    for leaf in leaf_dirs(path):
+        files = [
+            os.path.join(leaf, f)
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        nbytes = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(nbytes / (target_mb * 1024 * 1024)))
+        stats["leaves"] += 1
+        stats["files_before"] += len(files)
+        stats["bytes"] += nbytes
+        if len(files) <= n_target:
+            stats["files_after"] += len(files)
+            continue
+        df = spark.read.parquet(leaf)
+        out = df.repartition(n_target)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        staging = leaf + ".compact_tmp"
+        backup = leaf + ".compact_bak"
+        shutil.rmtree(staging, ignore_errors=True)
+        out.write.mode("overwrite").parquet(staging)
+        os.rename(leaf, backup)
+        os.rename(staging, leaf)
+        shutil.rmtree(backup)
+        stats["files_after"] += sum(
+            1 for f in os.listdir(leaf) if f.endswith(".parquet")
+        )
+    return stats

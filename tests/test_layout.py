@@ -94,3 +94,52 @@ def test_zorder_survives_null_and_constant_columns(spark, tmp_path):
     out = str(tmp_path / "z")
     zorder_write(df, out, ["x", "all_null", "const"], n_files=4)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
+    """Small-file compaction: a 40-file directory collapses toward the
+    target size, data survives byte-identically, and a hive-partitioned
+    layout keeps its pruning directories (compacted per leaf)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.sources.writers import (
+        compact_parquet_dir,
+    )
+
+    flat = str(tmp_path / "flat")
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 7).alias("v"), F.concat(F.lit("r"), "id").alias("s")
+    )
+    df.repartition(40).write.parquet(flat)
+    n_before = sum(1 for f in os.listdir(flat) if f.endswith(".parquet"))
+    assert n_before == 40
+    stats = compact_parquet_dir(spark, flat, target_mb=128, sort_within=["id"])
+    n_after = sum(1 for f in os.listdir(flat) if f.endswith(".parquet"))
+    assert stats["files_before"] == 40 and stats["files_after"] == n_after
+    assert n_after < n_before
+    back = spark.read.parquet(flat)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+    part = str(tmp_path / "part")
+    df.withColumn("p", (F.col("id") % 2).cast("int")).repartition(
+        20
+    ).write.partitionBy("p").parquet(part)
+    stats = compact_parquet_dir(spark, part, target_mb=128)
+    assert stats["leaves"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(part)
+    assert back.count() == 10_000
+    # partition layout intact: pruning filter still reaches the scan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(F.col("p") == 1).explain("formatted")
+    assert "PartitionFilters: [isnotnull(p" in buf.getvalue()
+    # idempotent: a second compaction is a no-op (already at target)
+    again = compact_parquet_dir(spark, part, target_mb=128)
+    assert again["files_after"] == again["files_before"]
