@@ -1,0 +1,227 @@
+"""Incremental NEAR-duplicate registry: continuous MinHash/LSH dedup of
+a document stream against all history — the streaming twin of
+``q_dedup_minhash``/``q_dedup_ngram_verify``, and the form a real
+training-corpus pipeline runs (documents arrive forever; a re-crawl
+with one sentence changed must still be suppressed by the copy already
+in the corpus).
+
+State = the registry of ACCEPTED documents' MinHash signatures
+(doc_id, 32×int64 — ~300 B/doc, orders of magnitude smaller than the
+corpus). Per batch:
+
+1. signature the batch (Arrow-batched numpy kernel, narrow map);
+2. band both the batch and the registry signatures (8 bands × 4 rows —
+   a pure projection of the signature store, nothing re-reads text) and
+   join on (band, bucket) → candidate (new, old) pairs, ONE shuffle;
+3. verify candidates by signature agreement — the MinHash estimate of
+   Jaccard is the fraction of equal components, deterministic given the
+   signatures — keeping matches ≥ ``threshold``;
+4. within-batch candidates resolve keep-first in id order with the
+   GREEDY SURVIVOR rule (a doc is suppressed only by an earlier doc
+   that itself survived): this is what makes batch boundaries invisible
+   — under a "suppressed docs also suppress" shortcut, a chain A~B~C
+   (A≁C) would drop C in one batch but keep it when cut in two. The
+   within-batch pair list is near-dup-rate-sized and capped, so the
+   greedy pass is a bounded driver loop, never a data-sized collect;
+5. append survivors' signatures to the registry and emit them to the
+   accepted output, both idempotent ``batch=<epoch>`` writes with
+   strictly-prior-epoch reads (``streaming.snapshots``) — replay-safe
+   exactly like ``streaming.dedup_registry``.
+
+Scale: the (band, bucket) join shuffles band keys + ids only;
+degenerate buckets are capped (``max_bucket``) like the batch LSH op.
+Registry growth is one signature per SURVIVING document.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.operators.dedup import (
+    minhash_signatures,
+)
+from self_healing_data_pipeline_spark.streaming.snapshots import (
+    read_latest_snapshot,
+)
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, band, bucket): the same band-key projection as
+    ``operators.dedup.minhash_lsh_pairs``."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("__sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.bucket")
+
+
+def _sig_agreement(l_col: str, r_col: str) -> F.Column:
+    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    return F.aggregate(
+        F.zip_with(F.col(l_col), F.col(r_col), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(F.col(l_col)).cast("double")
+
+
+def apply_neardup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    registry_dir: str,
+    accepted_dir: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_n: int = 5,
+    max_bucket: int = 10_000,
+) -> None:
+    """foreachBatch body: emit the batch's documents that near-match
+    nothing in history (nor an earlier batch survivor), and register
+    their signatures. Idempotent in ``epoch_id``."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, shingle_n
+    ).cache()
+    try:
+        new_b = _banded(sigs, num_hashes, bands)
+        registry = read_latest_snapshot(
+            spark, registry_dir, before_epoch=epoch_id
+        )
+        matched_hist = None
+        if registry is not None:
+            reg_sigs = registry.select(
+                F.col("doc_id").alias("__id"), F.col("sig").alias("__sig")
+            )
+            reg_b = _banded(reg_sigs, num_hashes, bands)
+            cand = (
+                new_b.join(
+                    reg_b.select(
+                        "band", "bucket", F.col("__id").alias("__rid")
+                    ),
+                    ["band", "bucket"],
+                )
+                .select("__id", "__rid")
+                .distinct()
+            )
+            verified = (
+                cand.join(sigs, "__id")
+                .join(
+                    reg_sigs.select(
+                        F.col("__id").alias("__rid"),
+                        F.col("__sig").alias("__rsig"),
+                    ),
+                    "__rid",
+                )
+                .filter(_sig_agreement("__sig", "__rsig") >= threshold)
+            )
+            matched_hist = verified.select("__id").distinct()
+        # within-batch candidates: in-bucket pairs, verified, then the
+        # greedy keep-first survivor pass (bounded driver loop)
+        pair_b = new_b.select(
+            "band", "bucket", F.col("__id").alias("__l")
+        ).join(new_b.select("band", "bucket", F.col("__id").alias("__r")),
+               ["band", "bucket"])
+        bucket_sizes = new_b.groupBy("band", "bucket").count().filter(
+            F.col("count") > max_bucket
+        )
+        pairs = (
+            pair_b.join(
+                F.broadcast(bucket_sizes.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            )
+            .filter(F.col("__l") < F.col("__r"))
+            .select("__l", "__r")
+            .distinct()
+            .join(sigs.select(F.col("__id").alias("__l"),
+                              F.col("__sig").alias("__lsig")), "__l")
+            .join(sigs.select(F.col("__id").alias("__r"),
+                              F.col("__sig").alias("__rsig")), "__r")
+            .filter(_sig_agreement("__lsig", "__rsig") >= threshold)
+            .select("__l", "__r")
+        )
+        # greedy survivor pass over the (near-dup-rate-sized, capped)
+        # in-batch pair list; only ids PARTICIPATING in pairs need
+        # driver-side history status — the full history-matched set
+        # stays distributed, so a 100%-duplicate batch never collects
+        pair_rows = pairs.collect()
+        edges: dict[int, list[int]] = {}
+        ids_in_pairs: set[int] = set()
+        for r in pair_rows:
+            edges.setdefault(r["__r"], []).append(r["__l"])
+            ids_in_pairs.add(r["__l"])
+            ids_in_pairs.add(r["__r"])
+        hist_in_pairs: set[int] = set()
+        if matched_hist is not None and ids_in_pairs:
+            hist_in_pairs = {
+                r["__id"]
+                for r in matched_hist.filter(
+                    F.col("__id").isin([int(i) for i in ids_in_pairs])
+                ).collect()
+            }
+        suppressed = set(hist_in_pairs)
+        batch_suppressed: list[int] = []
+        for rid in sorted(edges):
+            if rid in suppressed:
+                continue
+            if any(lid not in suppressed for lid in edges[rid]):
+                suppressed.add(rid)
+                batch_suppressed.append(rid)
+        survivors = sigs
+        if matched_hist is not None:
+            survivors = survivors.join(matched_hist, "__id", "left_anti")
+        if batch_suppressed:
+            dead = spark.createDataFrame(
+                [(int(i),) for i in batch_suppressed], "__id long"
+            )
+            survivors = survivors.join(F.broadcast(dead), "__id", "left_anti")
+        accepted = batch.join(
+            survivors.select(F.col("__id").alias(id_col)), id_col
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch={epoch_id}")
+        )
+        new_entries = survivors.select(
+            F.col("__id").alias("doc_id"),
+            F.col("__sig").alias("sig"),
+            F.lit(epoch_id).cast("long").alias("first_epoch"),
+        )
+        merged = (
+            registry.unionByName(new_entries)
+            if registry is not None
+            else new_entries
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(registry_dir, f"batch={epoch_id}")
+        )
+    finally:
+        sigs.unpersist(blocking=False)
+
+
+def read_neardup_registry(
+    spark: SparkSession, registry_dir: str
+) -> DataFrame | None:
+    """Latest committed registry snapshot (doc_id, sig, first_epoch)."""
+    return read_latest_snapshot(spark, registry_dir)

@@ -1,0 +1,150 @@
+"""Incremental near-dup registry (streaming.neardup_registry):
+cross-batch MinHash suppression, verification rejecting weak band
+collisions, greedy-survivor chain semantics, batch-cut invariance, and
+replay idempotence.
+
+Fixture texts are deterministically tuned (signatures are pure
+functions of text, so these values are stable): at threshold 0.8, A~B
+agrees 0.844 and B~C 0.875 (both match), while A~C agrees 0.719 —
+A and C still share 2 band buckets, so the A–C candidate IS generated
+and must be rejected by verification."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import types as T
+
+from self_healing_data_pipeline_spark.streaming.neardup_registry import (
+    apply_neardup_batch,
+    read_neardup_registry,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_POOL = (
+    "spark table query value line scan column order sort batch merge "
+    "index cache node plan stage task row page group"
+).split()
+
+
+THRESHOLD = 0.8
+
+
+def _chain_texts():
+    rng = random.Random(3)
+    words = [_POOL[rng.randrange(len(_POOL))] for _ in range(120)]
+    a = " ".join(words)
+    wb = list(words)
+    for f in (40, 63, 86):
+        wb[f] = f"bflip{f}"
+    b = " ".join(wb)
+    wc = list(wb)
+    for f in (25, 52, 114):
+        wc[f] = f"cflip{f}"
+    c = " ".join(wc)
+    return a, b, c
+
+
+def _distinct_text(seed: int):
+    rng = random.Random(seed)
+    return " ".join(
+        f"{_POOL[rng.randrange(len(_POOL))]}{rng.randrange(1000)}"
+        for _ in range(80)
+    )
+
+
+def _accepted_ids(spark, adir):
+    import os
+
+    from self_healing_data_pipeline_spark.streaming.snapshots import (
+        committed_epochs,
+    )
+
+    ids = []
+    for e in committed_epochs(adir):
+        df = spark.read.parquet(os.path.join(adir, f"batch={e}"))
+        ids.extend(r["doc_id"] for r in df.collect())
+    return sorted(ids)
+
+
+def test_cross_batch_near_dup_suppressed(spark, tmp_path):
+    a, b, _ = _chain_texts()
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    apply_neardup_batch(
+        spark,
+        spark.createDataFrame([(1, a), (2, _distinct_text(7))], SCHEMA),
+        rdir, adir, 0, threshold=THRESHOLD,
+    )
+    # near-copy of doc 1 and an exact copy arrive in a later batch
+    apply_neardup_batch(
+        spark,
+        spark.createDataFrame(
+            [(3, b), (4, a), (5, _distinct_text(11))], SCHEMA
+        ),
+        rdir, adir, 1, threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir) == [1, 2, 5]
+    reg = read_neardup_registry(spark, rdir)
+    assert sorted(r["doc_id"] for r in reg.collect()) == [1, 2, 5]
+
+
+def test_chain_resolution_and_weak_candidate_rejected(spark, tmp_path):
+    """A~B~C with A–C only banding-close: B suppressed by A, C must
+    SURVIVE — its only surviving candidate (A) fails verification, and
+    the suppressed B must not suppress on A's behalf."""
+    a, b, c = _chain_texts()
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    apply_neardup_batch(
+        spark,
+        spark.createDataFrame([(1, a), (2, b), (3, c)], SCHEMA),
+        rdir, adir, 0, threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir) == [1, 3]
+
+
+def test_batch_cuts_are_invisible(spark, tmp_path):
+    a, b, c = _chain_texts()
+    d = _distinct_text(5)
+    stream = [(1, a), (2, b), (3, c), (4, d)]
+    results = []
+    for case, cuts in enumerate(
+        [[stream], [stream[:2], stream[2:]], [stream[:1], stream[1:3], stream[3:]]]
+    ):
+        rdir = str(tmp_path / f"reg{case}")
+        adir = str(tmp_path / f"acc{case}")
+        for epoch, rows in enumerate(cuts):
+            apply_neardup_batch(
+                spark, spark.createDataFrame(rows, SCHEMA), rdir, adir,
+                epoch, threshold=THRESHOLD,
+            )
+        results.append(_accepted_ids(spark, adir))
+    assert all(r == results[0] for r in results), results
+    assert results[0] == [1, 3, 4]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    a, b, _ = _chain_texts()
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(1, a)], SCHEMA), rdir, adir, 0,
+        threshold=THRESHOLD,
+    )
+    batch1 = [(2, b), (3, _distinct_text(9))]
+    apply_neardup_batch(
+        spark, spark.createDataFrame(batch1, SCHEMA), rdir, adir, 1,
+        threshold=THRESHOLD,
+    )
+    once = _accepted_ids(spark, adir)
+    # crash-after-write: the same epoch replays
+    apply_neardup_batch(
+        spark, spark.createDataFrame(batch1, SCHEMA), rdir, adir, 1,
+        threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir) == once == [1, 3]
+    assert read_neardup_registry(spark, rdir).count() == 2
