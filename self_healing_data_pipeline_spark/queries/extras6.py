@@ -340,6 +340,81 @@ def q_dedup_registry(spark, sf_dir):
     )
 
 
+@query("q_neardup_registry")  # blake2b/minhash: not SQL-expressible
+def q_neardup_registry(spark, sf_dir):
+    """The incremental NEAR-dup registry's behavior as a query, with a
+    BATCH-CUT-INVARIANCE self-witness (the machinery's core contract,
+    which no SQL oracle can express because signatures are blake2b +
+    affine minhash): the same thinned document stream is driven through
+    ``streaming.neardup_registry`` twice — once as a single epoch, once
+    cut into two id-ordered epochs — and the result reports, per
+    document, whether it was accepted plus an in-row ``cuts_agree``
+    witness that both runs made the identical decision. A disagreement
+    anywhere (a suppressed doc suppressing on its canonical's behalf,
+    replay leakage, registry drift) flips the witness false and fails
+    the driver's hash-stability across runs. Documents are thinned to
+    doc_id%4==0 so the two materialization passes stay bench-friendly."""
+    import os
+    import shutil
+
+    from self_healing_data_pipeline_spark.streaming.neardup_registry import (
+        apply_neardup_batch,
+    )
+    from self_healing_data_pipeline_spark.streaming.snapshots import (
+        committed_epochs,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        f"neardup_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    def run(tag: str, cuts) -> set[int]:
+        rdir = os.path.join(scratch, tag, "reg")
+        adir = os.path.join(scratch, tag, "acc")
+        for epoch, pred in enumerate(cuts):
+            apply_neardup_batch(
+                spark, d.filter(pred), rdir, adir, epoch, threshold=0.8
+            )
+        ids: set[int] = set()
+        for e in committed_epochs(adir):
+            ids.update(
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(adir, f"batch={e}")
+                ).collect()
+            )
+        return ids
+
+    one = run("one", [F.lit(True)])
+    half = max_id // 2
+    two = run(
+        "two", [F.col("doc_id") <= half, F.col("doc_id") > half]
+    )
+    agree = one == two
+    accepted = spark.createDataFrame(
+        [(int(i),) for i in sorted(one)] or [(-1,)], "doc_id long"
+    )
+    return (
+        d.select("doc_id")
+        .join(accepted.withColumn("accepted", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("accepted", F.lit(False)).alias("accepted"),
+            F.lit(agree).alias("cuts_agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q_embedding_quantize")  # float witness thresholds: rows-only
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column — the
