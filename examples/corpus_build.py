@@ -11,6 +11,10 @@ query:
 3. quality   — repetition scoring + PII scan (q_text_repetition, q_pii_scan)
 4. chunks    — fixed-window segmentation (q_doc_chunks)
 5. decontam  — benchmark-overlap candidates (q_contamination)
+6. mixing    — length-weighted deterministic sampling (q_sample_weighted)
+7. packing   — 512-token context windows with provenance (q_pack_context)
+8. registry  — continuous keep-first dedup vs ALL history
+              (streaming/dedup_registry, the forever-running form of 2)
 """
 
 from __future__ import annotations
@@ -57,6 +61,32 @@ def main() -> None:
     QUERIES["q_contamination"](spark, sf_dir).orderBy(
         F.desc("n_shared_shingles")
     ).show(5)
+
+    print("== mixture sampling (length-weighted, deterministic) ==")
+    QUERIES["q_sample_weighted"](spark, sf_dir).show()
+
+    print("== context-window packing ==")
+    QUERIES["q_pack_context"](spark, sf_dir).limit(5).show()
+
+    print("== streaming dedup registry (two arriving batches) ==")
+    import tempfile
+
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+    from self_healing_data_pipeline_spark.streaming.dedup_registry import (
+        apply_dedup_batch,
+        read_registry,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    with tempfile.TemporaryDirectory() as d:
+        rdir, adir = os.path.join(d, "reg"), os.path.join(d, "acc")
+        apply_dedup_batch(spark, docs.filter(F.col("doc_id") <= mid), rdir, adir, 0)
+        apply_dedup_batch(spark, docs.filter(F.col("doc_id") > mid), rdir, adir, 1)
+        reg = read_registry(spark, rdir)
+        print(
+            f"registry: {reg.count()} unique contents from {docs.count()} docs"
+        )
 
     spark.stop()
 
