@@ -33,9 +33,13 @@ public algorithms implementable without codec libraries:
   Al=1 → per-component AC first → DC refine → AC refine), so the
   refinement path is round-trip-witnessed, not just parsed.
 
-Decoders return ``None`` (never raise) for the remaining unsupported
-variants — restart intervals, arithmetic coding, sampling beyond 2×2 —
-so the Arrow-batched feature kernel degrades gracefully per row.
+Baseline scans also honor RESTART INTERVALS (DRI + RST0–7: byte
+alignment, marker consumption, DC-predictor reset — the error-
+resilience feature camera firmware emits), with an encoder knob so the
+path is round-trip-tested. Decoders return ``None`` (never raise) for
+the remaining unsupported variants — arithmetic coding, sampling
+beyond 2×2, progressive-with-restarts — so the Arrow-batched feature
+kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
 per-executor memory is bounded by Arrow batch size regardless of table
@@ -368,6 +372,13 @@ class _BitWriterMSB:
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffing applies) and emit RSTm."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -437,15 +448,20 @@ def _emit_block(writer: _BitWriterMSB, zz: np.ndarray, dc_prev: int) -> int:
 
 
 def jpeg_bytes_with_pixels(
-    pixels, quant: int = 1, subsampling: str = "444"
+    pixels,
+    quant: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG encoder for ``(h, w)`` grayscale or ``(h, w, 3)``
     RGB uint8 arrays: 4:4:4 or 4:2:0 (``subsampling="420"`` — luma at
     2×2 sampling, chroma box-filtered to half resolution, the layout
     real-world camera/tool JPEGs actually use), uniform ``quant``
     quantization (1 = near-lossless on luma), canonical Huffman tables
-    embedded in DHT, MCU-interleaved entropy coding per T.81 A.2.3.
-    Decode twin: :func:`decode_jpeg_pixels`."""
+    embedded in DHT, MCU-interleaved entropy coding per T.81 A.2.3,
+    optional restart markers every ``restart_interval`` MCUs (DRI +
+    RST0–7 cycling, DC predictors reset — what camera firmware emits
+    for error resilience). Decode twin: :func:`decode_jpeg_pixels`."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -486,6 +502,8 @@ def jpeg_bytes_with_pixels(
     ):
         payload = bytes([cls]) + bytes(bits) + bytes(syms)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for c in range(ncomp):
@@ -511,16 +529,26 @@ def jpeg_bytes_with_pixels(
 
     writer = _BitWriterMSB()
     dc_prev = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c, (_, ch, cv) in enumerate(comps):
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = (
-                            coeffs[c][my * cv + by, mx * ch + bx]
-                            .reshape(-1)[_ZIGZAG]
-                        )
-                        dc_prev[c] = _emit_block(writer, zz, dc_prev[c])
+    rst_m = 0
+    n_mcus = mcuy * mcux
+    for idx in range(n_mcus):
+        my, mx = divmod(idx, mcux)
+        for c, (_, ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = (
+                        coeffs[c][my * cv + by, mx * ch + bx]
+                        .reshape(-1)[_ZIGZAG]
+                    )
+                    dc_prev[c] = _emit_block(writer, zz, dc_prev[c])
+        if (
+            restart_interval
+            and idx + 1 < n_mcus
+            and (idx + 1) % restart_interval == 0
+        ):
+            writer.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            dc_prev = [0] * ncomp
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -781,6 +809,19 @@ class _BitReaderMSB:
         self.acc &= (1 << self.nbits) - 1
         return val
 
+    def sync_restart(self) -> bool:
+        """Drop padding bits, consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
 
 def _build_decode_table(
     bits: list[int], symbols: list[int]
@@ -1028,8 +1069,9 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     actually uses — and PROGRESSIVE (SOF2) files via the multi-scan
     coefficient-domain path (:func:`_jpeg_progressive_scan`, T.81 G.2:
     spectral selection + successive approximation, EOB runs, DC/AC
-    refinement); returns None for restart/arithmetic/16-bit-table
-    variants."""
+    refinement), and baseline restart intervals (DRI/RSTn with DC
+    reset); returns None for arithmetic-coded / 16-bit-table /
+    progressive-with-restart variants."""
     if not payload or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -1044,6 +1086,7 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     prog_geom: dict[int, tuple[int, int, int, int, int, int]] = {}
     prog_coefs: dict[int, list[list[int]]] = {}
     prog_scans = 0
+    dri = 0
     i, n = 2, len(b)
     data_start = None
     while i + 4 <= n:
@@ -1094,8 +1137,7 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # arithmetic / hierarchical SOF: unsupported
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(seg[:2], "big") != 0:
-                return None  # restart intervals: unsupported
+            dri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scomps = []
@@ -1111,6 +1153,8 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             # and continue the segment walk after its entropy data
             if h is None or not comps:
                 return None
+            if dri:
+                return None  # progressive + restarts: unsupported
             if not prog_geom:
                 hmax = max(ch for _, ch, _, _ in comps)
                 vmax = max(cv for _, _, cv, _ in comps)
@@ -1198,8 +1242,15 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
         for cid, ch, cv, _ in comps
     }
     dc_prev = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
+    n_mcus = mcuy * mcux
+    for mcu_idx in range(n_mcus):
+        if dri and mcu_idx and mcu_idx % dri == 0:
+            # byte-aligned RSTn between restart intervals; DC resets
+            if not reader.sync_restart():
+                return None
+            dc_prev = [0] * ncomp
+        my, mx = divmod(mcu_idx, mcux)
+        if True:
             for c, (cid, dct, act) in enumerate(scan):
                 dc_entry = huff.get((0, dct))
                 ac_entry = huff.get((1, act))

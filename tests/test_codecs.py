@@ -188,6 +188,25 @@ def test_jpeg_420_odd_dims_and_bad_subsampling_arg(rng):
         pass
 
 
+def test_jpeg_restart_intervals_round_trip(rng):
+    """DRI/RSTn support: every interval byte-aligns, cycles RST0-7 and
+    resets DC prediction — round trips must stay within the baseline
+    error bounds for gray and color, and a stripped restart marker must
+    fail cleanly (predictor desync is detected, not misdecoded)."""
+    px = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    for ri in (1, 2, 3, 7):
+        got = decode_jpeg_pixels(jpeg_bytes_with_pixels(px, restart_interval=ri))
+        assert got is not None
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4, ri
+    rgb = rng.integers(0, 256, (33, 50, 3), dtype=np.uint8)
+    got = decode_jpeg_pixels(jpeg_bytes_with_pixels(rgb, restart_interval=2))
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 8
+    blob = jpeg_bytes_with_pixels(px, restart_interval=2)
+    assert b"\xff\xd0" in blob and b"\xff\xdd" in blob
+    i = blob.find(b"\xff\xd0")
+    assert decode_jpeg_pixels(blob[:i] + blob[i + 2 :]) is None
+
+
 def test_jpeg_progressive_round_trip(rng):
     """Progressive SOF2 decode witness: the encoder's libjpeg-style scan
     script exercises spectral selection AND successive approximation
