@@ -183,6 +183,13 @@ def main() -> None:
         default="",
         help="comma-separated probe names; skips steady-state probes",
     )
+    ap.add_argument(
+        "--steady",
+        type=str,
+        default="",
+        help="comma-separated steady-state probe names to run (overrides"
+        " the --only skip)",
+    )
     args = ap.parse_args()
     only = {q for q in args.only.split(",") if q}
 
@@ -190,11 +197,16 @@ def main() -> None:
     root = os.path.join(here, ".scratch", "scaleprobe")
     shutil.rmtree(root, ignore_errors=True)
 
-    sizes = {
-        "small": args.small,
-        "mid": args.small * 3,
-        "large": args.small * 10,
-    }
+    steady_only = bool(args.steady) and args.only == "none"
+    sizes = (
+        {}
+        if steady_only  # steady probes build their own state
+        else {
+            "small": args.small,
+            "mid": args.small * 3,
+            "large": args.small * 10,
+        }
+    )
     dirs: dict[str, str] = {}
     for name, n in sizes.items():
         d = os.path.join(root, name)
@@ -215,10 +227,13 @@ def main() -> None:
 
     load_all()
     spark = get_spark("scale_probe")
-    # Warm: JVM codegen + Python UDF workers (per-process, not per-query).
-    QUERIES["q_sim_join"](spark, dirs["small"]).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    if dirs:
+        # Warm: JVM codegen + Python UDF workers (per-process cost).
+        QUERIES["q_sim_join"](spark, dirs["small"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    else:
+        spark.range(100).count()
 
     def timed(q: str, name: str) -> float:
         t0 = time.perf_counter()
@@ -401,6 +416,91 @@ def main() -> None:
         apply_fact_dim_delta_batch(spark, batch, sd, epoch_id=1, **kw)
         return round(time.perf_counter() - t0, 2)
 
+    from self_healing_data_pipeline_spark.streaming.dedup_registry import (
+        apply_dedup_batch,
+    )
+    from self_healing_data_pipeline_spark.streaming.neardup_registry import (
+        apply_neardup_batch,
+    )
+
+    def dedup_registry_steady(n_state: int, tag: str) -> float:
+        """Fixed 1k-doc batch against a 1x/10x fingerprint registry:
+        steady-state batch cost is the anti-join + registry rewrite,
+        both ∝ |registry|. The registry is SEEDED directly (signature
+        table written as batch=0) — the probe measures the steady batch
+        apply, not first-time ingestion."""
+        from self_healing_data_pipeline_spark.streaming.dedup_registry import (
+            fingerprint,
+        )
+
+        sd = os.path.join(root, f"dreg_{tag}")
+        _sh.rmtree(sd, ignore_errors=True)
+        rdir, adir = os.path.join(sd, "reg"), os.path.join(sd, "acc")
+        spark.range(n_state).select(
+            SF.col("id").alias("doc_id"),
+            SF.concat(SF.lit("seed text body number "), SF.col("id")).alias(
+                "text"
+            ),
+        ).select(
+            fingerprint("text").alias("fp"),
+            SF.col("doc_id").alias("first_id"),
+            SF.lit(0).cast("long").alias("first_epoch"),
+        ).write.mode("overwrite").parquet(os.path.join(rdir, "batch=0"))
+        batch = spark.range(1000).select(
+            (SF.col("id") + n_state).alias("doc_id"),
+            SF.when(
+                SF.col("id") % 10 == 0,
+                SF.concat(SF.lit("seed text body number "), SF.col("id")),
+            )
+            .otherwise(
+                SF.concat(SF.lit("novel content item "), SF.col("id"))
+            )
+            .alias("text"),
+        )
+        t0 = time.perf_counter()
+        apply_dedup_batch(spark, batch, rdir, adir, 1)
+        return round(time.perf_counter() - t0, 2)
+
+    def neardup_registry_steady(n_state: int, tag: str) -> float:
+        """Fixed 300-doc batch against a 1x/10x signature registry: the
+        (band, bucket) join + registry rewrite dominate, ∝ |registry|.
+        The registry is SEEDED directly (signatures written as batch=0)
+        so the probe measures the steady batch apply."""
+        from self_healing_data_pipeline_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        sd = os.path.join(root, f"nreg_{tag}")
+        _sh.rmtree(sd, ignore_errors=True)
+        rdir, adir = os.path.join(sd, "reg"), os.path.join(sd, "acc")
+        words = WORDS
+        mk_text = SF.concat_ws(
+            " ",
+            *[
+                SF.element_at(
+                    SF.array(*[SF.lit(w) for w in words]),
+                    ((SF.col("id") * (i + 7) + i * i) % len(words) + 1).cast(
+                        "int"
+                    ),
+                )
+                for i in range(40)
+            ],
+        )
+        init = spark.range(n_state).select(
+            SF.col("id").alias("doc_id"), mk_text.alias("text")
+        )
+        minhash_signatures(init, "doc_id", "text").select(
+            SF.col("__id").alias("doc_id"),
+            SF.col("__sig").alias("sig"),
+            SF.lit(0).cast("long").alias("first_epoch"),
+        ).write.mode("overwrite").parquet(os.path.join(rdir, "batch=0"))
+        batch = spark.range(300).select(
+            (SF.col("id") + n_state).alias("doc_id"), mk_text.alias("text")
+        )
+        t0 = time.perf_counter()
+        apply_neardup_batch(spark, batch, rdir, adir, 1)
+        return round(time.perf_counter() - t0, 2)
+
     steady = (
         []
         if only
@@ -408,8 +508,24 @@ def main() -> None:
             ("cdc_apply_changes_steady_state", cdc_steady, args.small * 4),
             ("rollup_merge_steady_state", rollup_steady, args.small * 2),
             ("join_view_steady_state", join_view_steady, args.small * 4),
+            ("dedup_registry_steady_state", dedup_registry_steady,
+             args.small * 4),
+            ("neardup_registry_steady_state", neardup_registry_steady,
+             args.small),
         ]
     )
+    if args.steady:
+        wanted = {s for s in args.steady.split(",") if s}
+        steady = [
+            ("cdc_apply_changes_steady_state", cdc_steady, args.small * 4),
+            ("rollup_merge_steady_state", rollup_steady, args.small * 2),
+            ("join_view_steady_state", join_view_steady, args.small * 4),
+            ("dedup_registry_steady_state", dedup_registry_steady,
+             args.small * 4),
+            ("neardup_registry_steady_state", neardup_registry_steady,
+             args.small),
+        ]
+        steady = [s for s in steady if s[0] in wanted]
     for name_, fn, base in steady:
         times = {
             "small": fn(base, "small"),
@@ -426,7 +542,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale_probe",
-                "small_docs": sizes["small"],
+                "small_docs": sizes.get("small", args.small),
                 "results": result,
             }
         )
