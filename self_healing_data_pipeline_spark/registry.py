@@ -62,4 +62,5 @@ def load_all() -> None:
         dq,
         analytics2,
         extras6,
+        extras7,
     )

@@ -413,6 +413,20 @@ def test_extras6_plans_have_no_global_stages(spark, sf_dir):
     assert plan_of(spark, sf_dir, "q_sample_weighted").count("SinglePartition") <= 1
 
 
+def test_extras7_plans_have_no_global_stages(spark, sf_dir):
+    # stickiness works on the (user, day) grain with a bounded calendar
+    # projection; readability is one narrow map — neither may serialize
+    for name in ("q_events_stickiness", "q_text_readability"):
+        assert "SinglePartition" not in plan_of(spark, sf_dir, name), name
+    # leakage audit's only single-partition stage is the 1-row final
+    # rollup fed by map-side partials (constant output, like the tfidf
+    # corpus-size scalar); the fingerprint-grain aggregate distributes
+    assert plan_of(spark, sf_dir, "q_split_leakage").count("SinglePartition") <= 1
+    # backlog's running balance windows over per-MONTH rows: exactly the
+    # one calendar-bounded ordered pass (q_period_growth discipline)
+    assert plan_of(spark, sf_dir, "q_orders_backlog").count("SinglePartition") <= 1
+
+
 def test_embedding_quantize_stays_jvm_side(spark, sf_dir):
     # the whole quantize->verify pipeline is higher-order array exprs:
     # no Python evaluation node may appear in the plan
