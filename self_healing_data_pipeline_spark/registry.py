@@ -63,4 +63,5 @@ def load_all() -> None:
         analytics2,
         extras6,
         extras7,
+        extras8,
     )

@@ -441,3 +441,42 @@ def test_pack_context_prefix_sum_is_two_phase(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_pack_context")
     assert "SinglePartition" not in p
     assert "__pfx_bucket" in p
+
+
+def test_extras8_plans_have_no_global_stages(spark, sf_dir):
+    # round-5 batch 3: the inverted index ranks WITHIN term, the prefix
+    # join ranks WITHIN doc, triangles join on vertex keys — none may
+    # plan a data-bearing global window or sort before the final
+    # (bounded-output) presentation orderBy
+    for name in ("q_inverted_index", "q_dedup_jaccard_prefix"):
+        p = plan_of(spark, sf_dir, name)
+        # rank windows must be hash-partitioned, never global
+        assert "SinglePartition, Window" not in p.replace("\n", " "), name
+
+
+def test_triangles_use_degree_orientation_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_part_triangles")
+    # wedge enumeration and edge closing are equi-joins; the only cross
+    # joins are the 1-row broadcast scalar assemblies
+    assert "CartesianProduct" not in p
+    # the final stats row assembles via broadcast nested loop of 1-row
+    # aggregates — the established broadcast-scalar pattern (each node
+    # prints twice in formatted output: tree line + detail section)
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_source_coverage_broadcasts_head_vocab(spark, sf_dir):
+    # the top-100 head vocabulary must come back as a broadcast, and the
+    # global top-k itself must be a bounded TakeOrdered, not a full sort
+    p = plan_of(spark, sf_dir, "q_source_coverage")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_gate_filters_before_signatures(spark, sf_dir):
+    # the sketch kernel must run on the fixed gate docs only: the id
+    # filter pushes into every documents scan feeding the Arrow UDF
+    p = plan_of(spark, sf_dir, "q_minhash_accuracy")
+    scans = p.count("Scan parquet") // 2  # tree line + detail section
+    filtered = p.count("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,")
+    assert scans >= 3 and filtered == scans  # every scan id-pruned
