@@ -76,13 +76,23 @@ LINEAR_PROBES = [
     "q_pack_context",
     "q_dedup_substring",
     "q_text_bigram_coherence",
+    # round-5 batch-3 additions: posting-list build and head-vocab
+    # coverage are counted-grain aggregates (~linear); the prefix-
+    # filtered Jaccard join is candidate-bounded and the probe corpus
+    # keeps the dup rate fixed, so candidates — and wall — stay ∝ n
+    "q_inverted_index",
+    "q_source_coverage",
+    "q_dedup_jaccard_prefix",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
 # (a true 10× of the same generator). Covers the round-5 de-serialized
 # plans (RFM cut points, bucketed Pareto envelope) and the FK-orphan
 # audit's broadcast-parent joins.
-FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier"]
+FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
+                  # degree-oriented triangle join over the support-
+                  # filtered co-order graph (edge count ~ orders)
+                  "q_part_triangles"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
