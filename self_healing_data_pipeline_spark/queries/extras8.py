@@ -402,6 +402,107 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
 
 
 @query(
+    "q_stream_heavy_hitters",
+    oracle="""
+    WITH it AS (
+      SELECT CASE WHEN value >= 20.0 THEN 'bulk' ELSE event_type END AS item
+      FROM events
+    ), f AS (
+      SELECT item, COUNT(*) AS exact_cnt FROM it GROUP BY item
+    ), t AS (
+      SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n FROM f
+    )
+    SELECT f.item AS item,
+           CAST(f.exact_cnt AS BIGINT) AS exact_cnt,
+           (SELECT n FROM t) AS stream_n,
+           TRUE AS in_summary,
+           TRUE AS bound_ok
+    FROM f WHERE f.exact_cnt * 5 > (SELECT n FROM t)
+    ORDER BY f.item
+    """,
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    """The continuous heavy-hitters summary's GUARANTEES, oracle-checked
+    — the run-the-machinery pattern of ``q_dedup_registry`` applied to
+    ``streaming.heavy_hitters``: the query drives three event_id-tercile
+    epochs of a routing-key stream (the hot-key scenario: a 'bulk'
+    class carrying ~2/3 of the events next to five ~7% cold classes)
+    through the Misra-Gries maintenance with k=4 — six distinct items,
+    so COMPRESSION REALLY FIRES at every merge — then reports the
+    phi > 1/(k+1) heavy set from an exact re-count with three
+    machinery witnesses the oracle expects TRUE: the heavy item is in
+    the summary (guaranteed-superset), its summary count is a valid
+    lower bound within n/(k+1) (mergeable-summaries error bound), and
+    the summary's accumulated stream length equals the exact event
+    count (every event folded exactly once across epochs)."""
+    import os
+    import shutil
+
+    from self_healing_data_pipeline_spark.streaming.heavy_hitters import (
+        apply_heavy_hitters_batch,
+        read_summary,
+    )
+
+    k = 4
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        f"hh_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    sdir = os.path.join(scratch, "state")
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") >= 20.0, F.lit("bulk"))
+        .otherwise(F.col("event_type"))
+        .alias("item"),
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    c1, c2 = max_id // 3, 2 * max_id // 3
+    for epoch, pred in enumerate(
+        (
+            F.col("event_id") <= c1,
+            (F.col("event_id") > c1) & (F.col("event_id") <= c2),
+            F.col("event_id") > c2,
+        )
+    ):
+        apply_heavy_hitters_batch(
+            spark, ev.filter(pred), sdir, epoch, k=k, item_col="item"
+        )
+    summary, n_total = read_summary(spark, sdir)
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n = exact.select(F.sum("exact_cnt").alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(n))
+        .where(F.col("exact_cnt") * (k + 1) > F.col("n"))
+    )
+    return (
+        heavy.join(
+            F.broadcast(summary.withColumnRenamed("cnt", "mg_cnt")),
+            "item",
+            "left",
+        )
+        .select(
+            "item",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("n").cast("bigint").alias("stream_n"),
+            F.col("mg_cnt").isNotNull().alias("in_summary"),
+            (
+                F.col("mg_cnt").isNotNull()
+                & (F.col("mg_cnt") <= F.col("exact_cnt"))
+                & (
+                    (F.col("exact_cnt") - F.col("mg_cnt")) * (k + 1)
+                    <= F.col("n")
+                )
+                & (F.lit(n_total) == F.col("n"))
+            ).alias("bound_ok"),
+        )
+        .orderBy("item")
+    )
+
+
+@query(
     "q_minhash_accuracy",
     oracle=f"""
     WITH sh AS ({_SHINGLE5_SQL}),
