@@ -64,4 +64,5 @@ def load_all() -> None:
         extras6,
         extras7,
         extras8,
+        extras9,
     )

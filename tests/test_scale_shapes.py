@@ -480,3 +480,17 @@ def test_minhash_gate_filters_before_signatures(spark, sf_dir):
     scans = p.count("Scan parquet") // 2  # tree line + detail section
     filtered = p.count("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,")
     assert scans >= 3 and filtered == scans  # every scan id-pruned
+
+
+def test_extras9_plans_have_bounded_global_stages(spark, sf_dir):
+    # interpolation's one SinglePartition is the ordered pass over the
+    # CALENDAR grid (<= span hours, q_orders_backlog discipline), fed by
+    # the broadcast min/max bounds — never the event stream
+    assert plan_of(spark, sf_dir, "q_interpolate_hourly").count("SinglePartition") <= 1
+    # k-hop reach: the only global stages are the three 1-row reach
+    # rollups; frontier joins and dedups are hash-partitioned
+    assert plan_of(spark, sf_dir, "q_khop_reach").count("SinglePartition") <= 3
+    # forward as-of: the LOCF window partitions by user — nothing global
+    p = plan_of(spark, sf_dir, "q_join_asof_fwd")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
