@@ -83,6 +83,11 @@ LINEAR_PROBES = [
     "q_inverted_index",
     "q_source_coverage",
     "q_dedup_jaccard_prefix",
+    # round-5 batch-4 additions: interpolation's ordered pass is over
+    # the bounded calendar (constant), the forward as-of is one
+    # user-partitioned window — both expected ~flat-to-linear
+    "q_interpolate_hourly",
+    "q_join_asof_fwd",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
@@ -92,7 +97,9 @@ LINEAR_PROBES = [
 FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # degree-oriented triangle join over the support-
                   # filtered co-order graph (edge count ~ orders)
-                  "q_part_triangles"]
+                  "q_part_triangles",
+                  # frontier joins bounded by |V| via per-hop dedup
+                  "q_khop_reach"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
