@@ -13,9 +13,21 @@ from pyspark.sql import functions as F
 from self_healing_data_pipeline_spark.operators.dedup import normalize_text
 
 # A compact stopword list for quality heuristics (language-agnostic core).
+# Module-level (like LANG_MARKERS) so the DuckDB oracle twins build their
+# regex from the SAME lists — no drift between engine and oracle.
 _STOPWORDS = (
     "the a an and or of to in is it for on with as at by from that this be are was".split()
 )
+
+# Stopword-family markers for heuristic language ID; dict order is the
+# tie-break precedence (earlier wins on equal scores).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+    "it": ["il", "che", "di", "non", "per"],
+}
 
 # BPE-ish token regex: words, numbers, or single punctuation marks —
 # a deterministic proxy for subword token counting.
@@ -85,13 +97,7 @@ def lang_id(text_col) -> Column:
     pipeline would swap in a model; the Spark shape (per-row map, no
     shuffle) is identical.
     """
-    markers = {
-        "en": ["the", "and", "of", "to", "is"],
-        "de": ["der", "die", "und", "ist", "nicht"],
-        "fr": ["le", "la", "et", "est", "les"],
-        "es": ["el", "la", "que", "de", "es"],
-        "it": ["il", "che", "di", "non", "per"],
-    }
+    markers = LANG_MARKERS
     norm = normalize_text(text_col)
     scores = [(lang, _word_hits(norm, words)) for lang, words in markers.items()]
     best = F.greatest(*[s for _, s in scores])

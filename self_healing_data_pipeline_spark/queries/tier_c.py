@@ -338,19 +338,104 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint64("text").alias("fingerprint"))
 
 
-@query("q_text_langid")  # heuristic marker sets → rows-only
+def _marker_counts_sql() -> str:
+    from self_healing_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    cols = ",\n           ".join(
+        "LEN(REGEXP_EXTRACT_ALL(norm, '\\b(" + "|".join(ws) + ")\\b'))"
+        f" AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return cols
+
+
+def _langid_case_sql() -> str:
+    from self_healing_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = "\n           ".join(
+        f"WHEN s_{l} = {best} AND s_{l} > 0 THEN '{l}'" for l in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_NORM_SQL.format(c='text')} AS norm FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+           {{marker_cols}}
+      FROM base
+    )
+    SELECT doc_id, lang, {{case_expr}} AS lang_pred FROM scored
+    """.format(marker_cols=_marker_counts_sql(), case_expr=_langid_case_sql()),
+)
 def q_text_langid(spark, sf_dir):
-    """Heuristic language ID (stopword-family argmax) vs the labeled lang."""
+    """Heuristic language ID (stopword-family argmax) vs the labeled
+    lang. Oracle-backed as of round 5: the marker hit counts are exact
+    integers (one RE2/Java regex count per family — \\b-anchored whole-
+    word alternations agree across leftmost-first vs leftmost-longest
+    engines) and the argmax tie-break is the same CASE precedence, so
+    the prediction is deterministic cross-engine. The oracle's regex
+    and precedence are BUILT FROM the same ``LANG_MARKERS`` dict the
+    Spark operator uses."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
 
-@query("q_text_quality")  # heuristic composite → rows-only
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, n_chars,
+             TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        CAST(n_chars AS DOUBLE) AS n,
+        CAST(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 AS DOUBLE)
+          AS n_toks,
+        CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          AS alpha,
+        CAST(LENGTH(text) AS DOUBLE) AS lc,
+        CAST(LEN(REGEXP_EXTRACT_ALL(norm, '{stop_pat}')) AS DOUBLE)
+          AS stop_hits
+      FROM base
+    )
+    SELECT doc_id,
+      (CASE WHEN n >= 100 AND n <= 20000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN (n / n_toks) >= 3.0 AND (n / n_toks) <= 12.0
+              THEN 0.25 ELSE 0.0 END
+       + (CASE WHEN lc > 0 THEN alpha / lc ELSE 0.0 END) * 0.25
+       + LEAST((CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END)
+               * 2.5, 1.0) * 0.25
+      ) AS quality
+    FROM c
+    """.format(
+        stop_pat=r"\b("
+        + "|".join(
+            __import__(
+                "self_healing_data_pipeline_spark.operators.text",
+                fromlist=["_STOPWORDS"],
+            )._STOPWORDS
+        )
+        + r")\b"
+    ),
+)
 def q_text_quality(spark, sf_dir):
-    """Deterministic quality scores (length/alpha/stopword/word-len bands)."""
+    """Deterministic quality scores (length/alpha/stopword/word-len
+    bands). Oracle-backed as of round 5: every component is a regex
+    count or length ratio of exact integers, and the oracle mirrors the
+    Spark operator's IEEE operand order term by term (band constants
+    first, then alpha ratio, then the capped stopword ratio) — raw
+    doubles are bit-identical cross-engine, so the former round(4) is
+    dropped rather than risking engine-specific tie rounding."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.round(quality_score("text", "n_chars"), 4).alias("quality")
+        "doc_id", quality_score("text", "n_chars").alias("quality")
     )
 
 
