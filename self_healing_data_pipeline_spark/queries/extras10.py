@@ -1,0 +1,276 @@
+"""Round-5 batch 5 (SURVEY.md §2.9/§2.11): statistical analytics —
+OLS trend fitting over daily revenue, market-basket association rules
+(support / confidence / lift), and a contingency table with chi-square
+cell contributions (categorical drift detection).
+
+Scale discipline: every statistic reduces to EXACT integer moment sums
+via map-side partial aggregation (x centered on the broadcast min day
+so Σxy fits int64 even at 100 TB daily volumes), with the named IEEE
+divisions applied in oracle-identical operand order at the very end —
+never a float accumulated across rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), based AS (
+      SELECT event_type,
+             CAST(d - (SELECT MIN(d) FROM daily) AS BIGINT) AS x,
+             cents AS y
+      FROM daily
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM based GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m ORDER BY event_type
+    """,
+)
+def q_revenue_trend(spark, sf_dir):
+    """Per-type OLS linear trend of daily revenue — is each event
+    type's revenue growing or shrinking, as a fitted slope in
+    cents/day (the trend-detection analytic behind every KPI dashboard).
+
+    Plan: daily exact-cents aggregate → moment sums (n, Σx, Σy, Σxy,
+    Σx²) in ONE map-side-partial aggregate per type — the closed-form
+    least-squares normal equations need nothing else. x is the day
+    offset from the broadcast global min day, so Σxy stays far inside
+    int64 at any corpus scale (raw epoch-days × 100 TB daily cents
+    would overflow). slope and intercept are the only IEEE operations,
+    in oracle-identical operand order."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    min_d = daily.agg(F.min("d").alias("d0"))
+    based = daily.crossJoin(F.broadcast(min_d)).select(
+        "event_type",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    m = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        slope.alias("slope_cents_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM pp
+    ), item AS (
+      SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS np
+      FROM pp GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS nab
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), rules AS (
+      SELECT pa AS antecedent, pb AS consequent, nab FROM pair
+      UNION ALL
+      SELECT pb, pa, nab FROM pair
+    )
+    SELECT r.antecedent, r.consequent, r.nab AS n_both,
+           ia.np AS n_ante, ic.np AS n_cons,
+           CAST(r.nab AS DOUBLE) / CAST(ia.np AS DOUBLE) AS confidence,
+           CAST(r.nab * (SELECT nb FROM n_orders) AS DOUBLE)
+             / CAST(ia.np * ic.np AS DOUBLE) AS lift
+    FROM rules r
+    JOIN item ia ON r.antecedent = ia.p
+    JOIN item ic ON r.consequent = ic.p
+    ORDER BY confidence DESC, lift DESC, r.antecedent, r.consequent
+    LIMIT 100
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Market-basket ASSOCIATION RULES over co-ordered parts: for each
+    directed rule A→B with pair support >= 2 orders, confidence
+    P(B|A) and lift P(AB)/(P(A)P(B)) — the Apriori output one level up
+    from the existing ``q_basket_pairs`` co-occurrence counts.
+
+    Plan: the (order, part) grain self-joins within order (Σ|basket|²
+    bounded, as q_basket_pairs), pair counts collapse map-side, the
+    per-item counts join back on the item keys, and the basket total
+    is a broadcast 1-row scalar. All masses exact integers; confidence
+    and lift are one IEEE division each (integer cross-products as
+    numerator/denominator). Top-100 with a full deterministic
+    tie-break chain -> TakeOrdered, no global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    nb = pp.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("nb")
+    )
+    item = pp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("np")
+    )
+    rhs = pp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pair = (
+        pp.join(rhs, (pp.l_orderkey == rhs.ok) & (pp.l_partkey < rhs.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .where(F.col("nab") >= 2)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "nab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "nab"
+        )
+    )
+    out = (
+        rules.join(
+            item.select(F.col("p").alias("antecedent"), F.col("np").alias("n_ante")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("p").alias("consequent"), F.col("np").alias("n_cons")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        out.select(
+            "antecedent",
+            "consequent",
+            F.col("nab").alias("n_both"),
+            "n_ante",
+            "n_cons",
+            (F.col("nab").cast("double") / F.col("n_ante").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("nab") * F.col("nb")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("confidence").desc(),
+            F.col("lift").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_type_weekday_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(DAYOFWEEK(CAST(ts AS DATE)) + 1 AS BIGINT) AS wd,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+    ), rowt AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1
+    ), colt AS (
+      SELECT wd, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1
+    )
+    SELECT obs.event_type, obs.wd, obs.o, rowt.r AS row_total,
+           colt.c AS col_total,
+           CAST(rowt.r * colt.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+             AS expected,
+           CAST((obs.o * tot.n - rowt.r * colt.c)
+                * (obs.o * tot.n - rowt.r * colt.c) AS DOUBLE)
+             / CAST(tot.n * rowt.r * colt.c AS DOUBLE) AS chi_contrib
+    FROM obs JOIN rowt USING (event_type) JOIN colt USING (wd), tot
+    ORDER BY obs.event_type, obs.wd
+    """,
+)
+def q_type_weekday_chisq(spark, sf_dir):
+    """Contingency table event_type × weekday with per-cell chi-square
+    contributions — the categorical-independence drift check ("did the
+    weekly mix shift?") next to the numeric drift tests in the DQ
+    suite. Per-cell statistic: (O·N − R·C)² / (N·R·C), all masses
+    exact integers, one IEEE division per cell; the bounded cell grid
+    (types × 7) is emitted instead of the order-sensitive float total,
+    so the output is deterministic and the caller sums or thresholds
+    as needed.
+
+    Plan: one counted grain + two marginal rollups joined back (row
+    marginal broadcast on type, column marginal broadcast on weekday),
+    grand total as a broadcast 1-row scalar — the token stream shuffles
+    once."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).cast("bigint").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    rowt = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("row_total")
+    )
+    colt = obs.groupBy("wd").agg(F.sum("o").cast("bigint").alias("col_total"))
+    j = (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "wd")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("o") * F.col("n") - F.col("row_total") * F.col("col_total")
+    return j.select(
+        "event_type",
+        "wd",
+        "o",
+        "row_total",
+        "col_total",
+        (
+            (F.col("row_total") * F.col("col_total")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("expected"),
+        (
+            (dev * dev).cast("double")
+            / (F.col("n") * F.col("row_total") * F.col("col_total")).cast(
+                "double"
+            )
+        ).alias("chi_contrib"),
+    ).orderBy("event_type", "wd")

@@ -65,4 +65,5 @@ def load_all() -> None:
         extras7,
         extras8,
         extras9,
+        extras10,
     )

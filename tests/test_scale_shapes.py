@@ -494,3 +494,16 @@ def test_extras9_plans_have_bounded_global_stages(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_join_asof_fwd")
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_extras10_plans_use_broadcast_marginals(spark, sf_dir):
+    # chi-square marginals and the grand total must broadcast back into
+    # the counted grain — the token stream shuffles once, nothing global
+    p = plan_of(spark, sf_dir, "q_type_weekday_chisq")
+    assert p.count("BroadcastHashJoin") >= 2
+    # trend fitting: moment sums are one partial-aggregated pass; the
+    # only SinglePartition is the 1-row min-day scalar
+    assert plan_of(spark, sf_dir, "q_revenue_trend").count("SinglePartition") <= 1
+    # association rules: bounded top-100 via TakeOrdered, no global sort
+    pr = plan_of(spark, sf_dir, "q_basket_rules")
+    assert "TakeOrderedAndProject" in pr
