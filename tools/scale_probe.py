@@ -88,6 +88,10 @@ LINEAR_PROBES = [
     # user-partitioned window — both expected ~flat-to-linear
     "q_interpolate_hourly",
     "q_join_asof_fwd",
+    # round-5 batch-5 additions: both are counted-grain aggregates with
+    # broadcast scalars/marginals — expected ~flat-to-linear
+    "q_revenue_trend",
+    "q_type_weekday_chisq",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
@@ -99,7 +103,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # filtered co-order graph (edge count ~ orders)
                   "q_part_triangles",
                   # frontier joins bounded by |V| via per-hop dedup
-                  "q_khop_reach"]
+                  "q_khop_reach",
+                  # basket self-join bounded by per-order line counts
+                  "q_basket_rules"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
