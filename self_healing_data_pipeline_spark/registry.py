@@ -66,4 +66,5 @@ def load_all() -> None:
         extras8,
         extras9,
         extras10,
+        extras11,
     )

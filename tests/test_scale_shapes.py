@@ -507,3 +507,22 @@ def test_extras10_plans_use_broadcast_marginals(spark, sf_dir):
     # association rules: bounded top-100 via TakeOrdered, no global sort
     pr = plan_of(spark, sf_dir, "q_basket_rules")
     assert "TakeOrderedAndProject" in pr
+
+
+def test_phrase_search_filters_postings_before_join(spark, sf_dir):
+    # the phrase plan must broadcast the 1-row probe phrase and
+    # intersect only the two filtered posting lists — the full
+    # positional grain never reaches the (doc, pos) join unfiltered
+    p = plan_of(spark, sf_dir, "q_phrase_search")
+    assert "TakeOrderedAndProject" in p  # bounded top-1 phrase resolve
+    # the posting intersection is an equi-join on (doc, pos+1)
+    assert "CartesianProduct" not in p
+    # Catalyst rewrites each term filter as a broadcast hash join
+    # keyed on the phrase term — the posting grain is pruned by the
+    # broadcast before the positional intersection
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_posting_gaps_window_partitions_by_term(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_posting_gaps")
+    assert "SinglePartition" not in p
