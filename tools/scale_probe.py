@@ -92,6 +92,10 @@ LINEAR_PROBES = [
     # broadcast scalars/marginals — expected ~flat-to-linear
     "q_revenue_trend",
     "q_type_weekday_chisq",
+    # round-5 batch-6 additions: phrase search prunes postings to the
+    # two phrase terms; posting gaps are one term-partitioned window
+    "q_phrase_search",
+    "q_posting_gaps",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
