@@ -67,4 +67,5 @@ def load_all() -> None:
         extras9,
         extras10,
         extras11,
+        extras12,
     )

@@ -526,3 +526,13 @@ def test_phrase_search_filters_postings_before_join(spark, sf_dir):
 def test_posting_gaps_window_partitions_by_term(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_posting_gaps")
     assert "SinglePartition" not in p
+
+
+def test_survival_km_stages_are_calendar_bounded(spark, sf_dir):
+    # the only global stages operate on the <= span-days timeline (the
+    # suffix-sum window, the factor-array rollup) — the per-user grain
+    # aggregates hash-partitioned first
+    p = plan_of(spark, sf_dir, "q_survival_km")
+    assert "CartesianProduct" not in p
+    # per-user aggregate must show map-side partials before the shuffle
+    assert "partial_min" in p or "partial_" in p
