@@ -33,12 +33,12 @@ public algorithms implementable without codec libraries:
   Al=1 → per-component AC first → DC refine → AC refine), so the
   refinement path is round-trip-witnessed, not just parsed.
 
-Baseline scans also honor RESTART INTERVALS (DRI + RST0–7: byte
-alignment, marker consumption, DC-predictor reset — the error-
-resilience feature camera firmware emits), with an encoder knob so the
-path is round-trip-tested. Decoders return ``None`` (never raise) for
-the remaining unsupported variants — arithmetic coding, sampling
-beyond 2×2, progressive-with-restarts — so the Arrow-batched feature
+Baseline AND progressive scans honor RESTART INTERVALS (DRI + RST0–7:
+byte alignment, marker consumption, DC-predictor reset, EOB-run clear
+— the error-resilience feature camera firmware emits), each with an
+encoder knob so both paths are round-trip-tested. Decoders return
+``None`` (never raise) for the remaining unsupported variants —
+arithmetic coding, sampling beyond 2×2 — so the Arrow-batched feature
 kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
@@ -691,12 +691,19 @@ def _encode_ac_refine(writer, blocks, ss: int, se: int, al: int, ac_enc) -> None
     _emit_eobrun(writer, ac_enc, eobrun, pending)
 
 
-def jpeg_progressive_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
+def jpeg_progressive_bytes_with_pixels(
+    pixels, quant: int = 1, restart_interval: int = 0
+) -> bytes:
     """PROGRESSIVE JPEG encoder (T.81 Annex G) for grayscale / RGB uint8
     arrays, 4:4:4: SOF2 with a libjpeg-style scan script — interleaved
     DC first (Al=1), per-component AC 1–63 first (Al=1), DC refinement,
     per-component AC refinement — exercising spectral selection AND
     successive approximation, the two axes real progressive files use.
+    ``restart_interval`` adds DRI + RST0–7 markers every that many MCUs
+    (one block per component here — 4:4:4 non-interleaved AC scans use
+    single-block MCUs per T.81 A.2.3): each boundary flushes the open
+    EOB run and buffered correction bits, byte-aligns, and resets the
+    DC predictors — exactly what the decoder's restart resync assumes.
     Decode twin: :func:`decode_jpeg_pixels` (same entry as baseline)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
@@ -725,6 +732,8 @@ def jpeg_progressive_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for cls, bits, syms in (
         (0x00, _DC_BITS, _DC_SYMBOLS),
         (0x10, _AC_BITS_PROG, _AC_SYMBOLS_PROG),
@@ -740,12 +749,18 @@ def jpeg_progressive_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
     all_ids = list(range(1, ncomp + 1))
+    ri = restart_interval
     # scan 1: interleaved DC first, Al=1 (DC point transform is an
     # arithmetic shift — T.81 G.1.2.1)
     out += sos(all_ids, 0, 0, 0, 1)
     writer = _BitWriterMSB()
     dc_prev = [0] * ncomp
+    rst = 0
     for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
+            dc_prev = [0] * ncomp
         for c in range(ncomp):
             val = int(coeffs[c][bi][0]) >> 1
             diff = val - dc_prev[c]
@@ -756,24 +771,51 @@ def jpeg_progressive_bytes_with_pixels(pixels, quant: int = 1) -> bytes:
             if s:
                 writer.put(_mag_bits(diff, s), s)
     out += writer.flush()
-    # scans 2..: per-component AC first, Al=1
+    # scans 2..: per-component AC first, Al=1. With restarts the block
+    # stream chunks per interval — _encode_ac_first flushes its EOB run
+    # at each chunk end, which is exactly the restart contract.
     for c in range(ncomp):
         out += sos([c + 1], 1, 63, 0, 1)
         writer = _BitWriterMSB()
-        _encode_ac_first(writer, coeffs[c], 1, 63, 1, _AC_ENC_PROG)
+        if ri:
+            rst = 0
+            for j in range(0, bh * bw, ri):
+                if j:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                _encode_ac_first(
+                    writer, coeffs[c][j : j + ri], 1, 63, 1, _AC_ENC_PROG
+                )
+        else:
+            _encode_ac_first(writer, coeffs[c], 1, 63, 1, _AC_ENC_PROG)
         out += writer.flush()
     # DC refinement: one raw bit per block per component, interleaved
     out += sos(all_ids, 0, 0, 1, 0)
     writer = _BitWriterMSB()
+    rst = 0
     for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
         for c in range(ncomp):
             writer.put(int(coeffs[c][bi][0]) & 1, 1)
     out += writer.flush()
-    # per-component AC refinement, Al=0
+    # per-component AC refinement, Al=0 (chunked like AC first — the
+    # helper flushes eobrun + buffered correction bits per chunk)
     for c in range(ncomp):
         out += sos([c + 1], 1, 63, 1, 0)
         writer = _BitWriterMSB()
-        _encode_ac_refine(writer, coeffs[c], 1, 63, 0, _AC_ENC_PROG)
+        if ri:
+            rst = 0
+            for j in range(0, bh * bw, ri):
+                if j:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                _encode_ac_refine(
+                    writer, coeffs[c][j : j + ri], 1, 63, 0, _AC_ENC_PROG
+                )
+        else:
+            _encode_ac_refine(writer, coeffs[c], 1, 63, 0, _AC_ENC_PROG)
         out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -897,11 +939,16 @@ def _jpeg_progressive_scan(
     huff,
     geom,
     coefs,
+    dri: int = 0,
 ) -> bool:
     """Decode one progressive scan (T.81 G.2) into the zigzag-domain
     coefficient store. ``geom[cid] = (ch, cv, bw_mcu, bh_mcu, bw, bh)``
     (MCU-padded vs ceil block dims); ``coefs[cid]`` is a flat list of
-    per-block 64-entry int lists with row stride ``bw_mcu``."""
+    per-block 64-entry int lists with row stride ``bw_mcu``. With
+    ``dri`` active, every ``dri`` MCUs (one block for non-interleaved
+    scans) the reader byte-aligns onto an RSTn marker, DC predictors
+    reset, and the EOB run clears — T.81 F.2.1.3.1 applied to the
+    progressive paths."""
     reader = _BitReaderMSB(b[start:end])
     if ss == 0:  # ---- DC scan
         if se != 0:
@@ -931,11 +978,23 @@ def _jpeg_progressive_scan(
                     block[0] |= 1 << al
             return True
 
+        def dc_restart(unit: int) -> bool:
+            if dri and unit and unit % dri == 0:
+                if not reader.sync_restart():
+                    return False
+                for k in dc_pred:
+                    dc_pred[k] = 0
+            return True
+
         if len(scomps) == 1:  # non-interleaved: the comp's ceil grid
             cid, dct, _ = scomps[0]
             _, _, bw_mcu, _, bw, bh = geom[cid]
+            unit = 0
             for row in range(bh):
                 for col in range(bw):
+                    if not dc_restart(unit):
+                        return False
+                    unit += 1
                     if not dc_block(cid, dct, coefs[cid][row * bw_mcu + col]):
                         return False
             return True
@@ -943,8 +1002,12 @@ def _jpeg_progressive_scan(
         any_cid = scomps[0][0]
         ch0, cv0, bw_mcu0, bh_mcu0, _, _ = geom[any_cid]
         mcux, mcuy = bw_mcu0 // ch0, bh_mcu0 // cv0
+        unit = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if not dc_restart(unit):
+                    return False
+                unit += 1
                 for cid, dct, _ in scomps:
                     ch, cv, bw_mcu, _, _, _ = geom[cid]
                     for by in range(cv):
@@ -964,8 +1027,14 @@ def _jpeg_progressive_scan(
     _, _, bw_mcu, _, bw, bh = geom[cid]
     eobrun = 0
     p1 = 1 << al
+    unit = 0
     for row in range(bh):
         for col in range(bw):
+            if dri and unit and unit % dri == 0:
+                if not reader.sync_restart():
+                    return False
+                eobrun = 0
+            unit += 1
             coef = coefs[cid][row * bw_mcu + col]
             if ah == 0:  # first scan for this band
                 if eobrun > 0:
@@ -1069,9 +1138,9 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     actually uses — and PROGRESSIVE (SOF2) files via the multi-scan
     coefficient-domain path (:func:`_jpeg_progressive_scan`, T.81 G.2:
     spectral selection + successive approximation, EOB runs, DC/AC
-    refinement), and baseline restart intervals (DRI/RSTn with DC
-    reset); returns None for arithmetic-coded / 16-bit-table /
-    progressive-with-restart variants."""
+    refinement), and restart intervals in BOTH scan kinds (DRI/RSTn
+    with DC reset and EOB-run clear); returns None for
+    arithmetic-coded / 16-bit-table variants."""
     if not payload or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -1153,8 +1222,6 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             # and continue the segment walk after its entropy data
             if h is None or not comps:
                 return None
-            if dri:
-                return None  # progressive + restarts: unsupported
             if not prog_geom:
                 hmax = max(ch for _, ch, _, _ in comps)
                 vmax = max(cv for _, _, cv, _ in comps)
@@ -1177,7 +1244,7 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             end = _entropy_end(b, start)
             if not _jpeg_progressive_scan(
                 b, start, end, scomps, ss_, se_, ahal >> 4, ahal & 0x0F,
-                huff, prog_geom, prog_coefs,
+                huff, prog_geom, prog_coefs, dri,
             ):
                 return None
             prog_scans += 1

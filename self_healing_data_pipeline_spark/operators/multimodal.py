@@ -73,10 +73,10 @@ def decode_pixels(payload: bytes | None):
     library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
     (canonical Huffman + IDCT), uncompressed BMP (the latter three in
     ``operators/codecs.py``; JPEG covers 4:4:4, 4:2:0 subsampling AND
-    progressive SOF2 and baseline restart intervals, PNG covers Adam7
-    interlacing). Returns an ``(h, w[, ch])`` uint8 array, or None for
-    malformed payloads and exotic residuals (arithmetic-coded JPEG,
-    progressive-with-restarts)."""
+    progressive SOF2 and restart intervals in both scan kinds, PNG
+    covers Adam7 interlacing). Returns an ``(h, w[, ch])`` uint8
+    array, or None for malformed payloads and the one exotic residual
+    (arithmetic-coded JPEG)."""
     from self_healing_data_pipeline_spark.operators.codecs import (
         decode_bmp_pixels,
         decode_gif_pixels,
@@ -98,18 +98,18 @@ def decode_pixels(payload: bytes | None):
 def decode_image(payload: bytes):
     """Image pixel decode (raising form of :func:`decode_pixels`).
     PNG/GIF/JPEG/BMP all decode for real — JPEG baseline AND
-    progressive, 4:4:4 and 4:2:0, restart intervals; PNG sequential and
-    Adam7 — so the round-4 "codec stub boundary" is closed: only
-    unknown formats and exotic residuals (arithmetic-coded JPEG,
-    progressive-with-restarts) raise."""
+    progressive, 4:4:4 and 4:2:0, restart intervals in both scan
+    kinds; PNG sequential and Adam7 — so the round-4 "codec stub
+    boundary" is closed: only unknown formats and the one exotic
+    residual (arithmetic-coded JPEG) raise."""
     px = decode_pixels(payload)
     if px is not None:
         return px
     fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
         f"{fmt or 'unknown'} payload did not decode: unknown format, "
-        "malformed bytes, or an exotic residual (arithmetic-coded JPEG "
-        "/ progressive-with-restarts) — wire a codec library here; the "
+        "malformed bytes, or the arithmetic-coded JPEG residual — wire a "
+        "codec library here; the "
         "Spark plumbing and the real decode paths show the full shape"
     )
 

@@ -357,3 +357,37 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_jpeg_progressive_restart_intervals_round_trip(rng):
+    """Progressive + DRI/RSTn (the last Huffman-JPEG variant): every
+    interval byte-aligns onto a cycling RST marker, DC predictors
+    reset, and the open EOB run / buffered correction bits flush — so
+    round trips must stay within the progressive error bounds, and a
+    stripped restart marker must fail cleanly."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_progressive_bytes_with_pixels,
+    )
+
+    px = rng.integers(0, 256, (29, 37), dtype=np.uint8)
+    for ri in (1, 2, 3, 8):
+        blob = jpeg_progressive_bytes_with_pixels(px, restart_interval=ri)
+        got = decode_jpeg_pixels(blob)
+        assert got is not None, ri
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4, ri
+    rgb = rng.integers(0, 256, (21, 18, 3), dtype=np.uint8)
+    blob = jpeg_progressive_bytes_with_pixels(rgb, restart_interval=2)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    got = decode_jpeg_pixels(blob)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 8
+    # coarse quant keeps EOB runs open across restart boundaries in the
+    # encoder's input — the flush-at-boundary contract is what's tested
+    flat = decode_jpeg_pixels(
+        jpeg_progressive_bytes_with_pixels(
+            (np.ones((40, 24), dtype=np.uint8) * 128), quant=16,
+            restart_interval=3,
+        )
+    )
+    assert flat is not None
+    i = blob.find(b"\xff\xd0")
+    assert decode_jpeg_pixels(blob[:i] + blob[i + 2 :]) is None
