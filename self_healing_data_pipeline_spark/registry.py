@@ -68,4 +68,5 @@ def load_all() -> None:
         extras10,
         extras11,
         extras12,
+        extras13,
     )

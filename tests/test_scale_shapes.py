@@ -536,3 +536,13 @@ def test_survival_km_stages_are_calendar_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     # per-user aggregate must show map-side partials before the shuffle
     assert "partial_min" in p or "partial_" in p
+
+
+def test_table_diff_is_one_fullouter_join(spark, sf_dir):
+    # exact reconciliation = one full-outer shuffle on the key, then a
+    # per-verdict rollup with map-side partials — nothing global, no
+    # second scan pass per class
+    p = plan_of(spark, sf_dir, "q_table_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_" in p
