@@ -15,6 +15,12 @@ query:
 7. packing   — 512-token context windows with provenance (q_pack_context)
 8. registry  — continuous keep-first dedup vs ALL history
               (streaming/dedup_registry, the forever-running form of 2)
+9. indexing  — inverted-index posting lists + phrase query over the
+              corpus (q_inverted_index, q_phrase_search) — the serving
+              side a curated corpus feeds
+10. audit    — exact-Jaccard near-dup pairs the MinHash path must not
+              miss (q_dedup_jaccard_prefix) and the split-leakage
+              check (q_split_leakage)
 """
 
 from __future__ import annotations
@@ -87,6 +93,16 @@ def main() -> None:
         print(
             f"registry: {reg.count()} unique contents from {docs.count()} docs"
         )
+
+    print("== search index + phrase query ==")
+    QUERIES["q_inverted_index"](spark, sf_dir).orderBy(
+        F.desc("df")
+    ).limit(5).show(truncate=24)
+    QUERIES["q_phrase_search"](spark, sf_dir).limit(5).show()
+
+    print("== exactness audit (prefix-filtered Jaccard + leakage) ==")
+    QUERIES["q_dedup_jaccard_prefix"](spark, sf_dir).limit(5).show()
+    QUERIES["q_split_leakage"](spark, sf_dir).show()
 
     spark.stop()
 
