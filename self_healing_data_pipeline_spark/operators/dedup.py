@@ -31,9 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+#: DuckDB twin of :func:`normalize_text` — THE oracle-side copy of the
+#: normalization contract; query modules import this instead of
+#: re-declaring it so engine and oracle can never drift.
+NORMALIZE_TEXT_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
 def normalize_text(col) -> F.Column:
     """Deterministic normalization: lowercase, collapse non-alphanumerics
-    to single spaces, trim."""
+    to single spaces, trim. SQL twin: :data:`NORMALIZE_TEXT_SQL`."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 

@@ -826,19 +826,15 @@ def q_incremental_join_view(spark, sf_dir):
     touched-key anti-join, never a recompute (tested in
     tests/test_incremental_join.py)."""
     import os
-    import shutil
 
     from self_healing_data_pipeline_spark.streaming.incremental_join import (
         apply_fact_dim_delta_batch,
         read_fact_dim_view,
     )
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-        f"incjoin_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
+    from self_healing_data_pipeline_spark.session import scratch_dir
+
+    scratch = scratch_dir("incjoin", sf_dir)
 
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 8 == 0

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from self_healing_data_pipeline_spark.operators.graph import (
+    CO_PAIR_CTE_SQL as _CO_PAIR_CTE,
+    co_order_pairs,
+    order_part_grain,
+)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -99,24 +104,16 @@ def q_revenue_trend(spark, sf_dir):
 
 @query(
     "q_basket_rules",
-    oracle="""
-    WITH pp AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), n_orders AS (
+    oracle=f"""
+    WITH {_CO_PAIR_CTE}, n_orders AS (
       SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM pp
     ), item AS (
       SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS np
       FROM pp GROUP BY 1
-    ), pair AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-             CAST(COUNT(*) AS BIGINT) AS nab
-      FROM pp a JOIN pp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ), rules AS (
-      SELECT pa AS antecedent, pb AS consequent, nab FROM pair
+      SELECT p1 AS antecedent, p2 AS consequent, w AS nab FROM cop
       UNION ALL
-      SELECT pb, pa, nab FROM pair
+      SELECT p2, p1, w FROM cop
     )
     SELECT r.antecedent, r.consequent, r.nab AS n_both,
            ia.np AS n_ante, ic.np AS n_cons,
@@ -144,25 +141,21 @@ def q_basket_rules(spark, sf_dir):
     numerator/denominator). Top-100 with a full deterministic
     tie-break chain -> TakeOrdered, no global sort."""
     li = read_table(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
+    pp = order_part_grain(li)
     nb = pp.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("nb")
     )
     item = pp.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("bigint").alias("np")
     )
-    rhs = pp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pair = (
-        pp.join(rhs, (pp.l_orderkey == rhs.ok) & (pp.l_partkey < rhs.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
-        .where(F.col("nab") >= 2)
-    )
+    pair = co_order_pairs(li)
     rules = pair.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "nab"
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"),
+        F.col("w").alias("nab"),
     ).unionAll(
         pair.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "nab"
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"),
+            F.col("w").alias("nab"),
         )
     )
     out = (

@@ -13,11 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from self_healing_data_pipeline_spark.operators.dedup import normalize_text
+from self_healing_data_pipeline_spark.operators.dedup import (
+    NORMALIZE_TEXT_SQL as _NORM,
+    normalize_text,
+)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
-
-_NORM = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 # Corpus bigram counts (token stream pairs), shared by the phrase CTEs.
 _BIGRAMS_SQL = f"""

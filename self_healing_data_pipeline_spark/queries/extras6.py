@@ -306,19 +306,15 @@ def q_dedup_registry(spark, sf_dir):
     exercised for real: any fixture duplicate whose copies land in
     different terciles survives only by its first arrival."""
     import os
-    import shutil
 
     from self_healing_data_pipeline_spark.streaming.dedup_registry import (
         apply_dedup_batch,
         read_registry,
     )
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-        f"dedupreg_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
+    from self_healing_data_pipeline_spark.session import scratch_dir
+
+    scratch = scratch_dir("dedupreg", sf_dir)
     rdir = os.path.join(scratch, "registry")
     adir = os.path.join(scratch, "accepted")
 
@@ -355,7 +351,6 @@ def q_neardup_registry(spark, sf_dir):
     the driver's hash-stability across runs. Documents are thinned to
     doc_id%4==0 so the two materialization passes stay bench-friendly."""
     import os
-    import shutil
 
     from self_healing_data_pipeline_spark.streaming.neardup_registry import (
         apply_neardup_batch,
@@ -370,12 +365,9 @@ def q_neardup_registry(spark, sf_dir):
         .select("doc_id", "text")
     )
     max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-        f"neardup_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
+    from self_healing_data_pipeline_spark.session import scratch_dir
+
+    scratch = scratch_dir("neardup", sf_dir)
 
     def run(tag: str, cuts) -> set[int]:
         rdir = os.path.join(scratch, tag, "reg")

@@ -18,15 +18,17 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.operators.dedup import (
+    NORMALIZE_TEXT_SQL as _NORM,
     minhash_signatures,
     normalize_text,
     shingles,
 )
+from self_healing_data_pipeline_spark.operators.graph import (
+    CO_PAIR_CTE_SQL as _CO_PAIR_CTE,
+    co_order_edges,
+)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
-
-# DuckDB twin of operators.dedup.normalize_text.
-_NORM = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 # DuckDB twin of operators.dedup.shingles(col, 5): distinct word 5-grams,
 # degenerating to the whole (short) doc exactly like the Spark side.
@@ -122,14 +124,9 @@ def q_inverted_index(spark, sf_dir):
 
 @query(
     "q_part_triangles",
-    oracle="""
-    WITH pp AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM pp a JOIN pp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    oracle=f"""
+    WITH {_CO_PAIR_CTE}, e AS (
+      SELECT p1, p2 FROM cop
     ), deg AS (
       SELECT p, COUNT(*) AS d FROM (
         SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e
@@ -169,15 +166,7 @@ def q_part_triangles(spark, sf_dir):
     a<b<c formulation. Wedge mass and the 3T/W clustering ratio are
     exact integers with one final IEEE division."""
     li = read_table(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    rhs = pp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    e = (
-        pp.join(rhs, (pp.l_orderkey == rhs.ok) & (pp.l_partkey < rhs.pb))
-        .groupBy(F.col("l_partkey").alias("p1"), F.col("pb").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
+    e = co_order_edges(li)
     # e's aggregate exchange recurs identically below — Spark's
     # ReuseExchange computes it once (no cache, nothing lingers).
     deg = (
@@ -436,21 +425,15 @@ def q_stream_heavy_hitters(spark, sf_dir):
     the summary's accumulated stream length equals the exact event
     count (every event folded exactly once across epochs)."""
     import os
-    import shutil
 
+    from self_healing_data_pipeline_spark.session import scratch_dir
     from self_healing_data_pipeline_spark.streaming.heavy_hitters import (
         apply_heavy_hitters_batch,
         read_summary,
     )
 
     k = 4
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-        f"hh_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
-    sdir = os.path.join(scratch, "state")
+    sdir = os.path.join(scratch_dir("hh", sf_dir), "state")
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_id",

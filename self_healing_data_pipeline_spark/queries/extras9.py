@@ -16,6 +16,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.functions.scalar import ts_str
+from self_healing_data_pipeline_spark.operators.graph import (
+    CO_PAIR_CTE_SQL as _CO_PAIR_CTE,
+    co_order_edges,
+)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -131,14 +135,9 @@ def q_interpolate_hourly(spark, sf_dir):
 
 @query(
     "q_khop_reach",
-    oracle="""
-    WITH pp AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM pp a JOIN pp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    oracle=f"""
+    WITH {_CO_PAIR_CTE}, e AS (
+      SELECT p1, p2 FROM cop
     ), adj AS (
       SELECT p1 AS s, p2 AS d FROM e UNION ALL SELECT p2, p1 FROM e
     ), seeds AS (
@@ -178,15 +177,7 @@ def q_khop_reach(spark, sf_dir):
     Visited sets only ever carry node ids. The oracle unrolls the same
     three hops as chained CTEs."""
     li = read_table(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    rhs = pp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    e = (
-        pp.join(rhs, (pp.l_orderkey == rhs.ok) & (pp.l_partkey < rhs.pb))
-        .groupBy(F.col("l_partkey").alias("p1"), F.col("pb").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
+    e = co_order_edges(li)
     adj = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
         e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
     )

@@ -28,7 +28,9 @@ from self_healing_data_pipeline_spark.operators.dedup import normalize_text
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
-_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '[^a-z0-9]+', ' ', 'g'))"
+from self_healing_data_pipeline_spark.operators.dedup import (
+    NORMALIZE_TEXT_SQL as _NORM_SQL,
+)
 
 
 @query(

@@ -66,3 +66,24 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def scratch_dir(tag: str, sf_dir: str) -> str:
+    """Fresh per-invocation scratch directory for run-the-machinery
+    queries: ``.scratch/<tag>_<sf-basename>_pid<pid>``, wiped at call
+    time. The PID suffix keys the path to the calling PROCESS, so
+    concurrent drivers (bench + checker, or two SF dirs sharing a
+    basename) can never rmtree each other's committed epoch snapshots
+    mid-fold; within one process, re-invocation wipes and rebuilds —
+    exactly the bounded-accumulation behavior the old basename-only
+    keys had."""
+    import os
+    import shutil
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_pid{os.getpid()}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return d

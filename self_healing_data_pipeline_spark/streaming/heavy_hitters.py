@@ -93,35 +93,43 @@ def apply_heavy_hitters_batch(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    batch_n = batch_counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    batch_summary = mg_compress(batch_counts, k)
+    # The counted grain feeds four jobs this epoch (stream length, the
+    # batch compression's top-(k+1), the merged compression, the
+    # snapshot write) — persist so the raw batch is scanned ONCE, not
+    # re-derived per job.
+    batch_counts.persist()
+    try:
+        batch_n = batch_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        batch_summary = mg_compress(batch_counts, k)
 
-    from self_healing_data_pipeline_spark.streaming.snapshots import (
-        read_latest_snapshot,
-    )
-
-    prior = read_latest_snapshot(spark, state_dir, before_epoch=epoch_id)
-    if prior is None:
-        prior_total = 0
-        merged = batch_summary
-    else:
-        prior_total = prior.agg(F.max("n_total")).collect()[0][0] or 0
-        merged = mg_compress(
-            prior.where(F.col("item").isNotNull())
-            .select("item", "cnt")
-            .unionByName(batch_summary)
-            .groupBy("item")
-            .agg(F.sum("cnt").alias("cnt")),
-            k,
+        from self_healing_data_pipeline_spark.streaming.snapshots import (
+            read_latest_snapshot,
         )
-    n_total = int(prior_total) + int(batch_n)
-    sentinel = spark.createDataFrame([(None, 0, n_total)], _SCHEMA)
-    out = merged.select(
-        "item", "cnt", F.lit(n_total).cast("long").alias("n_total")
-    ).unionByName(sentinel)
-    out.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch={epoch_id}")
-    )
+
+        prior = read_latest_snapshot(spark, state_dir, before_epoch=epoch_id)
+        if prior is None:
+            prior_total = 0
+            merged = batch_summary
+        else:
+            prior_total = prior.agg(F.max("n_total")).collect()[0][0] or 0
+            merged = mg_compress(
+                prior.where(F.col("item").isNotNull())
+                .select("item", "cnt")
+                .unionByName(batch_summary)
+                .groupBy("item")
+                .agg(F.sum("cnt").alias("cnt")),
+                k,
+            )
+        n_total = int(prior_total) + int(batch_n)
+        sentinel = spark.createDataFrame([(None, 0, n_total)], _SCHEMA)
+        out = merged.select(
+            "item", "cnt", F.lit(n_total).cast("long").alias("n_total")
+        ).unionByName(sentinel)
+        out.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={epoch_id}")
+        )
+    finally:
+        batch_counts.unpersist(blocking=False)
 
 
 def read_summary(spark: SparkSession, state_dir: str):
@@ -168,4 +176,7 @@ def maintain_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    finished = q.awaitTermination(await_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"heavy-hitters drain exceeded {await_seconds}s")
