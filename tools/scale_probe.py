@@ -96,6 +96,8 @@ LINEAR_PROBES = [
     # two phrase terms; posting gaps are one term-partitioned window
     "q_phrase_search",
     "q_posting_gaps",
+    # round-5 batch-7 addition: per-user aggregate + bounded timeline
+    "q_survival_km",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
@@ -109,7 +111,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # frontier joins bounded by |V| via per-hop dedup
                   "q_khop_reach",
                   # basket self-join bounded by per-order line counts
-                  "q_basket_rules"]
+                  "q_basket_rules",
+                  # one full-outer key shuffle + per-verdict rollup
+                  "q_table_diff"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
