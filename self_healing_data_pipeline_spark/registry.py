@@ -69,4 +69,5 @@ def load_all() -> None:
         extras11,
         extras12,
         extras13,
+        extras14,
     )

@@ -546,3 +546,20 @@ def test_table_diff_is_one_fullouter_join(spark, sf_dir):
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial_" in p
+
+
+def test_pit_join_is_keyed_range_join(spark, sf_dir):
+    # the validity-range predicate must ride as a residual on the
+    # custkey equi-join — a cross product per customer would be the
+    # classic PIT-join blow-up
+    p = plan_of(spark, sf_dir, "q_join_pit")
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+
+
+def test_feature_scale_is_one_stats_pass(spark, sf_dir):
+    # moments broadcast back over the rows: one scan feeding the
+    # aggregate, one scan for the row side, no global sort
+    p = plan_of(spark, sf_dir, "q_feature_scale")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row stats broadcast
+    assert p.count("SinglePartition") <= 1  # the 1-row moments rollup
