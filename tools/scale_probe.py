@@ -113,7 +113,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # basket self-join bounded by per-order line counts
                   "q_basket_rules",
                   # one full-outer key shuffle + per-verdict rollup
-                  "q_table_diff"]
+                  "q_table_diff",
+                  # keyed range join against SCD2 validity ranges
+                  "q_join_pit",
+                  # one moment pass broadcast over rows
+                  "q_feature_scale"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
