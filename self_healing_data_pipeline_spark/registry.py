@@ -70,4 +70,5 @@ def load_all() -> None:
         extras12,
         extras13,
         extras14,
+        extras15,
     )

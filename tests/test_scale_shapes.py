@@ -563,3 +563,11 @@ def test_feature_scale_is_one_stats_pass(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_feature_scale")
     assert "BroadcastNestedLoopJoin" in p  # 1-row stats broadcast
     assert p.count("SinglePartition") <= 1  # the 1-row moments rollup
+
+
+def test_extras15_plans_have_no_global_data_stages(spark, sf_dir):
+    # sessionization: both windows partition by user — nothing global
+    assert "SinglePartition" not in plan_of(spark, sf_dir, "q_sessionize")
+    # A/B readout: the only single-partition stages are the bounded
+    # 2-row cohort rollup and 1-row assemblies
+    assert plan_of(spark, sf_dir, "q_ab_test").count("SinglePartition") <= 3
