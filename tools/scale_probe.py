@@ -98,6 +98,9 @@ LINEAR_PROBES = [
     "q_posting_gaps",
     # round-5 batch-7 addition: per-user aggregate + bounded timeline
     "q_survival_km",
+    # round-5 batch-10 additions: per-user windows/aggregates only
+    "q_ab_test",
+    "q_sessionize",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
