@@ -169,3 +169,81 @@ def q_posting_gaps(spark, sf_dir):
         .where(F.col("df") >= 2)
         .orderBy("term")
     )
+
+
+@query(
+    "q_term_collocations",
+    oracle=f"""
+    WITH bi AS ({_BIGRAMS_SQL}),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n1 FROM (
+        SELECT UNNEST(STRING_SPLIT({_NORM.format(c='text')}, ' ')) AS term
+        FROM documents
+      ) WHERE LENGTH(term) > 0 GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS n FROM uni
+    )
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS n_pair,
+           u1.n1 AS n_w1, u2.n1 AS n_w2,
+           CAST(b.c * (SELECT n FROM tot) AS DOUBLE)
+             / CAST(u1.n1 * u2.n1 AS DOUBLE) AS lift
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.term
+    JOIN uni u2 ON b.w2 = u2.term
+    WHERE b.c >= 5
+    ORDER BY lift DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 50
+    """,
+)
+def q_term_collocations(spark, sf_dir):
+    """COLLOCATION mining: the corpus's most associated adjacent word
+    pairs by LIFT — P(w1 w2) / (P(w1)·P(w2)), the exact-ratio form of
+    pointwise mutual information (the log is monotone in the ratio, and
+    natural-log last-ulp behavior is engine-specific, so the ratio IS
+    the cross-engine-safe statistic). Minimum pair count 5 suppresses
+    the unstable tail, exactly as collocation extractors do.
+
+    Plan: one tokenize pass feeds BOTH the bigram grain (LEAD window
+    per doc) and the unigram rollup; the unigram table joins back on
+    each side of the pair key, the corpus total rides as a broadcast
+    1-row scalar, and top-50 with the lift/w1/w2 tie-break chain is a
+    bounded TakeOrdered. All masses exact integers; lift is one IEEE
+    division of integer cross-products."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "term"),
+    )
+    bi = (
+        toks.withColumn(
+            "w2", F.lead("term").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("term").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    uni = (
+        toks.where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    )
+    tot = uni.agg(F.sum("n1").cast("bigint").alias("n"))
+    return (
+        bi.join(uni.select(F.col("term").alias("w1"), F.col("n1").alias("n_w1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("n1").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_pair") * F.col("n")).cast("double")
+                / (F.col("n_w1") * F.col("n_w2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
