@@ -101,6 +101,8 @@ LINEAR_PROBES = [
     # round-5 batch-10 additions: per-user windows/aggregates only
     "q_ab_test",
     "q_sessionize",
+    # collocations: one tokenize pass, counted grains, bounded top-k
+    "q_term_collocations",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
