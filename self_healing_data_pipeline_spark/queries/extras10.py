@@ -73,8 +73,12 @@ def q_revenue_trend(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
-    min_d = daily.agg(F.min("d").alias("d0"))
-    based = daily.crossJoin(F.broadcast(min_d)).select(
+    # global min day as a WINDOW OVER THE AGGREGATE (the one-scan
+    # report policy, SCALE.md): the ordered stage touches only the
+    # bounded types x days rollup, and events scan once
+    from pyspark.sql import Window as _W
+
+    based = daily.withColumn("d0", F.min("d").over(_W.partitionBy())).select(
         "event_type",
         F.datediff("d", "d0").cast("bigint").alias("x"),
         F.col("cents").alias("y"),
@@ -230,24 +234,25 @@ def q_type_weekday_chisq(spark, sf_dir):
     so the output is deterministic and the caller sums or thresholds
     as needed.
 
-    Plan: one counted grain + two marginal rollups joined back (row
-    marginal broadcast on type, column marginal broadcast on weekday),
-    grand total as a broadcast 1-row scalar — the token stream shuffles
-    once."""
+    Plan: ONE counted grain; marginals and the grand total attach as
+    windows over the bounded cell grid (types x 7 rows — the
+    window-over-aggregate policy), so the event stream is scanned and
+    shuffled exactly once and no join appears at all."""
     ev = read_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "event_type",
         F.dayofweek(F.to_date("ts")).cast("bigint").alias("wd"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
-    rowt = obs.groupBy("event_type").agg(
-        F.sum("o").cast("bigint").alias("row_total")
-    )
-    colt = obs.groupBy("wd").agg(F.sum("o").cast("bigint").alias("col_total"))
-    j = (
-        obs.join(F.broadcast(rowt), "event_type")
-        .join(F.broadcast(colt), "wd")
-        .crossJoin(F.broadcast(tot))
+    # marginals + grand total as WINDOWS OVER THE AGGREGATE (one-scan
+    # report policy): three window passes over the bounded types x 7
+    # cell grid replace three re-aggregation branches of the event scan
+    from pyspark.sql import Window as _W
+
+    j = obs.select(
+        "*",
+        F.sum("o").over(_W.partitionBy("event_type")).cast("bigint").alias("row_total"),
+        F.sum("o").over(_W.partitionBy("wd")).cast("bigint").alias("col_total"),
+        F.sum("o").over(_W.partitionBy()).cast("bigint").alias("n"),
     )
     dev = F.col("o") * F.col("n") - F.col("row_total") * F.col("col_total")
     return j.select(

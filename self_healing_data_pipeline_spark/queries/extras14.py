@@ -123,8 +123,8 @@ def q_feature_scale(spark, sf_dir):
     """Feature standardization (the preprocessing step before model
     training): per-order z-score and min-max scaling of the price
     feature from ONE moment-sum pass (n, Σx, Σx², min, max over exact
-    cents) broadcast back over the rows — never a second scan, never a
-    global sort.
+    cents) broadcast back over the row scan — two column-pruned scans
+    total (stats + rows), never a global sort or per-row re-aggregation.
 
     Cross-engine exactness: population sigma = sqrt(n·Σx² − (Σx)²)/n
     with the SECOND MOMENT carried in exact DECIMAL(38) (cents² sums

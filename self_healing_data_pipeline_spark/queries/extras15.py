@@ -92,13 +92,14 @@ def q_ab_test(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
     )
-    a = g.where(F.col("cohort") == "A").select(
-        F.col("n_users").alias("n_users_a"), F.col("n_converted").alias("n_conv_a")
+    # pivot the 2-row rollup to one row via conditional aggregation —
+    # branch-and-join would re-derive the per-user aggregate twice
+    wide = g.agg(
+        F.max(F.when(F.col("cohort") == "A", F.col("n_users"))).alias("n_users_a"),
+        F.max(F.when(F.col("cohort") == "A", F.col("n_converted"))).alias("n_conv_a"),
+        F.max(F.when(F.col("cohort") == "B", F.col("n_users"))).alias("n_users_b"),
+        F.max(F.when(F.col("cohort") == "B", F.col("n_converted"))).alias("n_conv_b"),
     )
-    b = g.where(F.col("cohort") == "B").select(
-        F.col("n_users").alias("n_users_b"), F.col("n_converted").alias("n_conv_b")
-    )
-    wide = a.crossJoin(F.broadcast(b))
     ra = F.col("n_conv_a").cast("double") / F.col("n_users_a").cast("double")
     rb = F.col("n_conv_b").cast("double") / F.col("n_users_b").cast("double")
     pooled = (F.col("n_conv_a") + F.col("n_conv_b")).cast("double") / (

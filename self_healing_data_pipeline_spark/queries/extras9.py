@@ -93,13 +93,18 @@ def q_interpolate_hourly(spark, sf_dir):
             .alias("cents")
         )
     )
-    bounds = present.agg(
-        F.min("hr").alias("lo"), F.max("hr").alias("hi")
-    )
-    cal = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hr")
+    # bounds via a window over the (bounded) present-hours aggregate +
+    # limit(1): the calendar derives from the same exchange instead of
+    # re-aggregating the event scan in a second branch
+    wall = Window.partitionBy()
+    cal = (
+        present.select(
+            F.min("hr").over(wall).alias("lo"), F.max("hr").over(wall).alias("hi")
+        )
+        .limit(1)
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+        )
     )
     marked = cal.join(present, "hr", "left").withColumn(
         "eh", (F.unix_timestamp("hr") / 3600).cast("bigint")

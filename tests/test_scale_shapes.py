@@ -496,14 +496,16 @@ def test_extras9_plans_have_bounded_global_stages(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_extras10_plans_use_broadcast_marginals(spark, sf_dir):
-    # chi-square marginals and the grand total must broadcast back into
-    # the counted grain — the token stream shuffles once, nothing global
+def test_extras10_plans_are_one_scan_reports(spark, sf_dir):
+    # chi-square: marginals + grand total attach as windows over the
+    # bounded cell grid (one-scan report policy) — no join, one scan
     p = plan_of(spark, sf_dir, "q_type_weekday_chisq")
-    assert p.count("BroadcastHashJoin") >= 2
-    # trend fitting: moment sums are one partial-aggregated pass; the
-    # only SinglePartition is the 1-row min-day scalar
-    assert plan_of(spark, sf_dir, "q_revenue_trend").count("SinglePartition") <= 1
+    assert "Join" not in p
+    assert p.count("Scan parquet  (") == 1
+    # trend fitting: min-day window over the bounded daily rollup —
+    # one scan, and the only global stage is over aggregate rows
+    pt = plan_of(spark, sf_dir, "q_revenue_trend")
+    assert pt.count("Scan parquet  (") == 1
     # association rules: bounded top-100 via TakeOrdered, no global sort
     pr = plan_of(spark, sf_dir, "q_basket_rules")
     assert "TakeOrderedAndProject" in pr
@@ -568,6 +570,8 @@ def test_feature_scale_is_one_stats_pass(spark, sf_dir):
 def test_extras15_plans_have_no_global_data_stages(spark, sf_dir):
     # sessionization: both windows partition by user — nothing global
     assert "SinglePartition" not in plan_of(spark, sf_dir, "q_sessionize")
-    # A/B readout: the only single-partition stages are the bounded
-    # 2-row cohort rollup and 1-row assemblies
-    assert plan_of(spark, sf_dir, "q_ab_test").count("SinglePartition") <= 3
+    # A/B readout: one scan (conditional-aggregation pivot, no
+    # branch-and-join), bounded global stages only
+    pa = plan_of(spark, sf_dir, "q_ab_test")
+    assert pa.count("Scan parquet  (") == 1
+    assert pa.count("SinglePartition") <= 3
