@@ -71,4 +71,5 @@ def load_all() -> None:
         extras13,
         extras14,
         extras15,
+        extras16,
     )

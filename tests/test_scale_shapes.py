@@ -575,3 +575,11 @@ def test_extras15_plans_have_no_global_data_stages(spark, sf_dir):
     pa = plan_of(spark, sf_dir, "q_ab_test")
     assert pa.count("Scan parquet  (") == 1
     assert pa.count("SinglePartition") <= 3
+
+
+def test_stream_quantiles_exact_side_never_sorts_globally(spark, sf_dir):
+    # the gate's exact percentile comes from rank selection WITHIN the
+    # sketch-located buckets (partitioned window over the semi-filtered
+    # slice) — never a full-stream global sort
+    p = plan_of(spark, sf_dir, "q_stream_quantiles")
+    assert "SinglePartition, Window" not in p.replace("\n", " ")
