@@ -103,6 +103,8 @@ LINEAR_PROBES = [
     "q_sessionize",
     # collocations: one tokenize pass, counted grains, bounded top-k
     "q_term_collocations",
+    # continuous quantiles: rollup partials over domain-bounded buckets
+    "q_stream_quantiles",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
