@@ -215,11 +215,14 @@ def q_basket_rules(spark, sf_dir):
     )
     SELECT obs.event_type, obs.wd, obs.o, rowt.r AS row_total,
            colt.c AS col_total,
-           CAST(rowt.r * colt.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
-             AS expected,
-           CAST((obs.o * tot.n - rowt.r * colt.c)
-                * (obs.o * tot.n - rowt.r * colt.c) AS DOUBLE)
-             / CAST(tot.n * rowt.r * colt.c AS DOUBLE) AS chi_contrib
+           CAST(CAST(rowt.r AS DECIMAL(38,0)) * colt.c AS DOUBLE)
+             / CAST(tot.n AS DOUBLE) AS expected,
+           CAST((CAST(obs.o AS DECIMAL(38,0)) * tot.n
+                 - CAST(rowt.r AS DECIMAL(38,0)) * colt.c)
+                * (CAST(obs.o AS DECIMAL(38,0)) * tot.n
+                   - CAST(rowt.r AS DECIMAL(38,0)) * colt.c) AS DOUBLE)
+             / CAST(CAST(tot.n AS DECIMAL(38,0)) * rowt.r * colt.c AS DOUBLE)
+             AS chi_contrib
     FROM obs JOIN rowt USING (event_type) JOIN colt USING (wd), tot
     ORDER BY obs.event_type, obs.wd
     """,
@@ -254,7 +257,11 @@ def q_type_weekday_chisq(spark, sf_dir):
         F.sum("o").over(_W.partitionBy("wd")).cast("bigint").alias("col_total"),
         F.sum("o").over(_W.partitionBy()).cast("bigint").alias("n"),
     )
-    dev = F.col("o") * F.col("n") - F.col("row_total") * F.col("col_total")
+    # cross-products in DECIMAL(38): o*n and n*r*c are ~n^2 and ~n^3
+    # masses that overflow int64 beyond ~1e7 events (dsum discipline)
+    dev = F.col("o").cast("decimal(38,0)") * F.col("n") - F.col(
+        "row_total"
+    ).cast("decimal(38,0)") * F.col("col_total")
     return j.select(
         "event_type",
         "wd",
@@ -262,13 +269,16 @@ def q_type_weekday_chisq(spark, sf_dir):
         "row_total",
         "col_total",
         (
-            (F.col("row_total") * F.col("col_total")).cast("double")
+            (F.col("row_total").cast("decimal(38,0)") * F.col("col_total"))
+            .cast("double")
             / F.col("n").cast("double")
         ).alias("expected"),
         (
             (dev * dev).cast("double")
-            / (F.col("n") * F.col("row_total") * F.col("col_total")).cast(
-                "double"
-            )
+            / (
+                F.col("n").cast("decimal(38,0)")
+                * F.col("row_total")
+                * F.col("col_total")
+            ).cast("double")
         ).alias("chi_contrib"),
     ).orderBy("event_type", "wd")

@@ -185,8 +185,8 @@ def q_posting_gaps(spark, sf_dir):
     )
     SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS n_pair,
            u1.n1 AS n_w1, u2.n1 AS n_w2,
-           CAST(b.c * (SELECT n FROM tot) AS DOUBLE)
-             / CAST(u1.n1 * u2.n1 AS DOUBLE) AS lift
+           CAST(CAST(b.c AS DECIMAL(38,0)) * (SELECT n FROM tot) AS DOUBLE)
+             / CAST(CAST(u1.n1 AS DECIMAL(38,0)) * u2.n1 AS DOUBLE) AS lift
     FROM bi b
     JOIN uni u1 ON b.w1 = u1.term
     JOIN uni u2 ON b.w2 = u2.term
@@ -208,7 +208,9 @@ def q_term_collocations(spark, sf_dir):
     each side of the pair key, the corpus total rides as a broadcast
     1-row scalar, and top-50 with the lift/w1/w2 tie-break chain is a
     bounded TakeOrdered. All masses exact integers; lift is one IEEE
-    division of integer cross-products."""
+    division of integer cross-products — carried in DECIMAL(38), since
+    n_pair*N and head-word count products overflow int64 at web-corpus
+    token counts (the q_feature_scale dsum discipline)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -240,8 +242,10 @@ def q_term_collocations(spark, sf_dir):
             "n_w1",
             "n_w2",
             (
-                (F.col("n_pair") * F.col("n")).cast("double")
-                / (F.col("n_w1") * F.col("n_w2")).cast("double")
+                (F.col("n_pair").cast("decimal(38,0)") * F.col("n")).cast("double")
+                / (F.col("n_w1").cast("decimal(38,0)") * F.col("n_w2")).cast(
+                    "double"
+                )
             ).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())

@@ -36,7 +36,7 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
            v.version_key, v.feature_cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN v ON v.o_custkey = o.o_custkey
+    LEFT JOIN v ON v.o_custkey = o.o_custkey
           AND l.l_shipdate >= v.eff_from
           AND (v.eff_to IS NULL OR l.l_shipdate < v.eff_to)
     ORDER BY l.l_orderkey, l.l_linenumber
@@ -50,15 +50,19 @@ def q_join_pit(spark, sf_dir):
     feature values onto historical facts leaks the future into
     training data. Versions derive from the customer's own order
     history (feature = the version-defining order's exact cents), facts
-    are the customer's shipped lines; ship dates lag order dates, so
-    lines genuinely land in LATER versions than their own order's.
+    are the customer's shipped lines; this generator ships many lines
+    BEFORE their order date, so ~9% of facts predate the customer's
+    first version — those keep NULL features via the LEFT join, which
+    is the point-in-time-CORRECT answer (no feature existed yet; an
+    inner join would silently drop training facts, a NULL row is an
+    explicit "feature unavailable" the training pipeline can impute).
 
     Plan: facts reach their customer key via a broadcast-eligible
-    equi-join, then ONE equi-join on o_custkey carries the validity
-    predicate as a residual — range selection inside the matched
-    key group, never a cross product. Each fact matches exactly one
-    version (ranges partition the timeline), so output cardinality =
-    fact cardinality."""
+    equi-join, then ONE LEFT equi-join on o_custkey carries the
+    validity predicate as a residual — range selection inside the
+    matched key group, never a cross product. At most one version
+    matches (ranges partition the timeline from the first version on),
+    so output cardinality = fact cardinality exactly."""
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -79,6 +83,7 @@ def q_join_pit(spark, sf_dir):
             (v.v_custkey == facts.o_custkey)
             & (facts.l_shipdate >= v.eff_from)
             & (v.eff_to.isNull() | (facts.l_shipdate < v.eff_to)),
+            "left",
         )
         .select(
             "l_orderkey",

@@ -131,7 +131,7 @@ def q_ab_test(spark, sf_dir):
     "q_sessionize",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id))
                   > 1800000000 OR LAG(ts) OVER
@@ -141,7 +141,7 @@ def q_ab_test(spark, sf_dir):
     ), sess AS (
       SELECT user_id, ts, event_type,
              SUM(is_start) OVER
-               (PARTITION BY user_id ORDER BY ts
+               (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM ordered
@@ -182,14 +182,17 @@ def q_sessionize(spark, sf_dir):
     ordered = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(prev.isNull() | (gap_us > 1_800_000_000), F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_start"),
     )
+    # same (ts, event_id) total order as the gap window — ts alone
+    # would make session numbering nondeterministic on timestamp ties
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = ordered.withColumn("session_no", F.sum("is_start").over(wrun))

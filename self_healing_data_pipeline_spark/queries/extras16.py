@@ -127,14 +127,23 @@ def q_stream_quantiles(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
         merge_rollup(spark, partials, sdir, [], epoch)
-    state = read_rollup(spark, sdir).select(
-        F.col("bucket").alias("key"), F.col("n").alias("cnt")
+    snap = read_rollup(spark, sdir)
+    out_schema = (
+        "p bigint, exact_cents bigint, bucket_lo bigint, "
+        "bucket_hi bigint, bounds_ok boolean"
     )
+    if snap is None:
+        return spark.createDataFrame([], out_schema)
+    state = snap.select(F.col("bucket").alias("key"), F.col("n").alias("cnt"))
     # bounded state: resolve the probe quantile buckets driver-side
     rows = sorted(
         (r["key"], r["cnt"]) for r in state.collect()
     )
     total = sum(cnt for _, cnt in rows)
+    if total == 0:
+        # empty stream: no quantiles to certify — empty result, never a
+        # driver exception (matches the other registry queries)
+        return spark.createDataFrame([], out_schema)
 
     def bucket_for(rank: int) -> tuple[int, int]:
         cum = 0
