@@ -72,4 +72,5 @@ def load_all() -> None:
         extras14,
         extras15,
         extras16,
+        extras17,
     )

@@ -583,3 +583,13 @@ def test_stream_quantiles_exact_side_never_sorts_globally(spark, sf_dir):
     # slice) — never a full-stream global sort
     p = plan_of(spark, sf_dir, "q_stream_quantiles")
     assert "SinglePartition, Window" not in p.replace("\n", " ")
+
+
+def test_extras17_plans_are_narrow(spark, sf_dir):
+    # redaction is a pure per-row map: no exchange before the output
+    p = plan_of(spark, sf_dir, "q_pii_redact")
+    assert "Exchange" not in p
+    # confusion matrix: one scan, one counted-grain aggregate
+    pc = plan_of(spark, sf_dir, "q_langid_confusion")
+    assert pc.count("Scan parquet  (") == 1
+    assert "partial_" in pc
