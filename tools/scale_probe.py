@@ -105,6 +105,9 @@ LINEAR_PROBES = [
     "q_term_collocations",
     # continuous quantiles: rollup partials over domain-bounded buckets
     "q_stream_quantiles",
+    # hygiene closers: narrow per-row regex map / one counted grain
+    "q_pii_redact",
+    "q_langid_confusion",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
