@@ -73,4 +73,5 @@ def load_all() -> None:
         extras15,
         extras16,
         extras17,
+        extras18,
     )
