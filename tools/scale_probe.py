@@ -108,6 +108,8 @@ LINEAR_PROBES = [
     # hygiene closers: narrow per-row regex map / one counted grain
     "q_pii_redact",
     "q_langid_confusion",
+    # cluster-size histogram: fingerprint grain + bounded rollup
+    "q_dedup_cluster_sizes",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
@@ -127,7 +129,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # keyed range join against SCD2 validity ranges
                   "q_join_pit",
                   # one moment pass broadcast over rows
-                  "q_feature_scale"]
+                  "q_feature_scale",
+                  # broadcast cutoff + 4-bucket rollup
+                  "q_orders_aging"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
