@@ -593,3 +593,13 @@ def test_extras17_plans_are_narrow(spark, sf_dir):
     pc = plan_of(spark, sf_dir, "q_langid_confusion")
     assert pc.count("Scan parquet  (") == 1
     assert "partial_" in pc
+
+
+def test_extras18_plans_are_bounded_rollups(spark, sf_dir):
+    # aging: broadcast cutoff scalar + partial-aggregated 4-bucket grid
+    p = plan_of(spark, sf_dir, "q_orders_aging")
+    assert "partial_" in p and "CartesianProduct" not in p
+    # cluster sizes: fingerprint-grain shuffle carries md5 keys only
+    pc = plan_of(spark, sf_dir, "q_dedup_cluster_sizes")
+    assert pc.count("Scan parquet  (") == 1
+    assert "partial_" in pc
