@@ -74,16 +74,41 @@ def scratch_dir(tag: str, sf_dir: str) -> str:
     time. The PID suffix keys the path to the calling PROCESS, so
     concurrent drivers (bench + checker, or two SF dirs sharing a
     basename) can never rmtree each other's committed epoch snapshots
-    mid-fold; within one process, re-invocation wipes and rebuilds —
-    exactly the bounded-accumulation behavior the old basename-only
-    keys had."""
+    mid-fold; within one process, re-invocation wipes and rebuilds.
+
+    Dead-owner sweep: every call also removes sibling ``*_pid<N>``
+    directories whose owning process no longer exists (``kill(pid, 0)``
+    raising ``ProcessLookupError``), so finished drivers can't leak an
+    unbounded pile of scratch snapshots across bench/checker rounds —
+    live concurrent drivers are untouched (their pids probe alive, or
+    probe ``PermissionError`` for other-user processes, which counts
+    as alive)."""
     import os
+    import re
     import shutil
 
-    d = os.path.join(
+    root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_pid{os.getpid()}",
+    )
+    me = os.getpid()
+    try:
+        siblings = os.listdir(root)
+    except OSError:
+        siblings = []
+    for name in siblings:
+        m = re.search(r"_pid(\d+)$", name)
+        if not m or int(m.group(1)) == me:
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by someone else
+    d = os.path.join(
+        root,
+        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_pid{me}",
     )
     shutil.rmtree(d, ignore_errors=True)
     return d

@@ -176,7 +176,17 @@ def compact_parquet_dir(
     file skipping. The rewrite is crash-safe: the new files land in a
     sibling staging directory and swap in via two directory renames —
     a crash before the swap leaves the original intact, a crash between
-    the renames leaves the ``.compact_bak`` recoverable by hand.
+    the renames leaves the backup recoverable by hand. Staging and
+    backup basenames start with ``.`` (``.<leaf>.compact_tmp`` /
+    ``.<leaf>.compact_bak``): Spark's file index excludes dot-prefixed
+    paths UNCONDITIONALLY, so a crash-orphaned directory in a hive
+    layout is never parsed as a partition directory. (An underscore
+    prefix would NOT work here: ``shouldFilterOutPathName`` keeps
+    ``_``-prefixed names that contain ``=`` — partition dirs — so
+    ``_p=1.compact_bak`` would still be scanned and double-read, and a
+    bare ``<leaf>.tmp`` sibling likewise.)
+    A stale backup from a prior crash is cleared before the swap, so
+    the rename can never fail with ENOTEMPTY.
 
     Driver cost is one directory walk (bounded by file count — the
     thing being reduced); data cost is one read + one write of the
@@ -188,6 +198,10 @@ def compact_parquet_dir(
     def leaf_dirs(root: str) -> list[str]:
         leaves = []
         for cur, dirs, files in os.walk(root):
+            # never descend into hidden/temporary dirs (our own
+            # staging/backup residue, _spark_metadata, ...) — they are
+            # invisible to Spark's file index and must not be compacted
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             datadirs = [d for d in dirs if "=" in d]
             if any(f.endswith(".parquet") for f in files) and not datadirs:
                 leaves.append(cur)
@@ -214,9 +228,11 @@ def compact_parquet_dir(
         out = df.repartition(n_target)
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
-        staging = leaf + ".compact_tmp"
-        backup = leaf + ".compact_bak"
+        parent, base = os.path.dirname(leaf) or ".", os.path.basename(leaf)
+        staging = os.path.join(parent, f".{base}.compact_tmp")
+        backup = os.path.join(parent, f".{base}.compact_bak")
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
         out.write.mode("overwrite").parquet(staging)
         os.rename(leaf, backup)
         os.rename(staging, leaf)

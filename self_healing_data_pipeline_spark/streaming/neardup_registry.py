@@ -29,8 +29,11 @@ corpus). Per batch:
    exactly like ``streaming.dedup_registry``.
 
 Scale: the (band, bucket) join shuffles band keys + ids only;
-degenerate buckets are capped (``max_bucket``) like the batch LSH op.
-Registry growth is one signature per SURVIVING document.
+degenerate buckets are capped (``max_bucket``) on BOTH sides — the
+within-batch pair join and the registry side of the history join — so
+one hot bucket accumulating in state can't make per-batch candidate
+counts grow with history. Registry growth is one signature per
+SURVIVING document.
 """
 
 from __future__ import annotations
@@ -115,6 +118,23 @@ def apply_neardup_batch(
                 F.col("doc_id").alias("__id"), F.col("sig").alias("__sig")
             )
             reg_b = _banded(reg_sigs, num_hashes, bands)
+            # Degenerate-bucket cap on the REGISTRY side too: a hot
+            # (band, bucket) accumulating in history (boilerplate docs)
+            # would otherwise make per-batch candidates grow with
+            # history even when each batch is small. Oversized buckets
+            # are dropped from the candidate join exactly like the
+            # within-batch pair_b filter below; the aggregated
+            # oversized-bucket list is tiny (count > max_bucket can
+            # hold for at most |registry|*bands/max_bucket keys), so
+            # the anti-join broadcasts.
+            reg_hot = reg_b.groupBy("band", "bucket").count().filter(
+                F.col("count") > max_bucket
+            )
+            reg_b = reg_b.join(
+                F.broadcast(reg_hot.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            )
             cand = (
                 new_b.join(
                     reg_b.select(
@@ -167,22 +187,39 @@ def apply_neardup_batch(
         # driver-side history status — the full history-matched set
         # stays distributed, so a 100%-duplicate batch never collects
         pair_rows = pairs.collect()
-        edges: dict[int, list[int]] = {}
-        ids_in_pairs: set[int] = set()
+        edges: dict = {}
+        ids_in_pairs: set = set()
         for r in pair_rows:
             edges.setdefault(r["__r"], []).append(r["__l"])
             ids_in_pairs.add(r["__l"])
             ids_in_pairs.add(r["__r"])
-        hist_in_pairs: set[int] = set()
+        # id-typed single-column frame builder: keeps the greedy pass
+        # agnostic to the id column's type (long, string, ...) and
+        # avoids an unbounded Catalyst IN-list on dup-heavy batches —
+        # membership is a broadcast semi-join on a literal frame sized
+        # by the pair list, never an expression tree sized by it
+        id_type = sigs.schema["__id"].dataType
+
+        def _id_frame(ids) -> DataFrame:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame(
+                [(i,) for i in ids],
+                T.StructType([T.StructField("__id", id_type)]),
+            )
+
+        hist_in_pairs: set = set()
         if matched_hist is not None and ids_in_pairs:
             hist_in_pairs = {
                 r["__id"]
-                for r in matched_hist.filter(
-                    F.col("__id").isin([int(i) for i in ids_in_pairs])
+                for r in matched_hist.join(
+                    F.broadcast(_id_frame(sorted(ids_in_pairs))),
+                    "__id",
+                    "left_semi",
                 ).collect()
             }
         suppressed = set(hist_in_pairs)
-        batch_suppressed: list[int] = []
+        batch_suppressed: list = []
         for rid in sorted(edges):
             if rid in suppressed:
                 continue
@@ -193,10 +230,9 @@ def apply_neardup_batch(
         if matched_hist is not None:
             survivors = survivors.join(matched_hist, "__id", "left_anti")
         if batch_suppressed:
-            dead = spark.createDataFrame(
-                [(int(i),) for i in batch_suppressed], "__id long"
+            survivors = survivors.join(
+                F.broadcast(_id_frame(batch_suppressed)), "__id", "left_anti"
             )
-            survivors = survivors.join(F.broadcast(dead), "__id", "left_anti")
         accepted = batch.join(
             survivors.select(F.col("__id").alias(id_col)), id_col
         )

@@ -143,3 +143,48 @@ def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
     # idempotent: a second compaction is a no-op (already at target)
     again = compact_parquet_dir(spark, part, target_mb=128)
     assert again["files_after"] == again["files_before"]
+
+
+def test_compact_orphans_invisible_and_stale_backup_cleared(spark, tmp_path):
+    """Advice r5: in a hive layout the old '<leaf>.compact_tmp' sibling
+    names contained '=', so a crash-orphaned staging/backup dir was
+    parsed as a partition directory and double-read. Staging/backup now
+    carry a leading '.' (Spark's file index excludes dot-prefixed paths
+    unconditionally — an underscore prefix would NOT suffice, since
+    '_'-names containing '=' are kept as partition dirs), and a stale
+    backup from a prior crash is cleared before the swap instead of
+    making os.rename fail with ENOTEMPTY."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.sources.writers import (
+        compact_parquet_dir,
+    )
+
+    part = str(tmp_path / "part")
+    df = spark.range(4_000).select(
+        "id", F.concat(F.lit("r"), "id").alias("s"),
+        (F.col("id") % 2).cast("int").alias("p"),
+    )
+    df.repartition(20).write.partitionBy("p").parquet(part)
+
+    # simulate a prior crash: a stale backup (with data!) AND a stale
+    # staging dir already exist beside leaf p=1
+    leaf = os.path.join(part, "p=1")
+    for stale in (".p=1.compact_bak", ".p=1.compact_tmp"):
+        spark.read.parquet(leaf).limit(5).write.parquet(
+            os.path.join(part, stale)
+        )
+    # orphaned underscore-dirs are invisible to the reader (no
+    # double-read), unlike the old '='-bearing sibling names
+    assert spark.read.parquet(part).count() == 4_000
+
+    stats = compact_parquet_dir(spark, part, target_mb=128)
+    assert stats["leaves"] == 2  # stale dirs not treated as leaves
+    back = spark.read.parquet(part)
+    assert back.count() == 4_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 4_000 * 3_999 // 2
+    # swap completed: no staging/backup residue remains
+    residue = [d for d in os.listdir(part) if "compact" in d]
+    assert residue == []

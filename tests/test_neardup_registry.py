@@ -148,3 +148,60 @@ def test_replay_is_idempotent(spark, tmp_path):
     )
     assert _accepted_ids(spark, adir) == once == [1, 3]
     assert read_neardup_registry(spark, rdir).count() == 2
+
+
+def test_string_doc_ids(spark, tmp_path):
+    """Advice r5: the greedy pass built an int()-cast IN-list, crashing
+    on non-numeric id columns. Membership is now a broadcast semi/anti
+    join on an id-typed literal frame — string ids must work end to
+    end, including cross-batch suppression."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    a, b, _ = _chain_texts()
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    apply_neardup_batch(
+        spark,
+        spark.createDataFrame([("doc-a", a), ("doc-x", _distinct_text(7))], schema),
+        rdir, adir, 0, threshold=THRESHOLD,
+    )
+    apply_neardup_batch(
+        spark,
+        spark.createDataFrame([("doc-b", b), ("doc-a2", a)], schema),
+        rdir, adir, 1, threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir) == ["doc-a", "doc-x"]
+    reg = read_neardup_registry(spark, rdir)
+    assert sorted(r["doc_id"] for r in reg.collect()) == ["doc-a", "doc-x"]
+
+
+def test_registry_side_degenerate_bucket_cap(spark, tmp_path):
+    """Advice r5: the batch-vs-registry candidate join is capped like
+    the within-batch join. With max_bucket=0 every registry bucket is
+    degenerate, so an exact copy of a registered doc generates NO
+    history candidate and must be accepted (old code suppressed it)."""
+    a, _, _ = _chain_texts()
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(1, a)], SCHEMA), rdir, adir, 0,
+        threshold=THRESHOLD, max_bucket=0,
+    )
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(2, a)], SCHEMA), rdir, adir, 1,
+        threshold=THRESHOLD, max_bucket=0,
+    )
+    assert _accepted_ids(spark, adir) == [1, 2]
+    # sanity: with the default cap the same replay suppresses doc 2
+    rdir2, adir2 = str(tmp_path / "reg2"), str(tmp_path / "acc2")
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(1, a)], SCHEMA), rdir2, adir2, 0,
+        threshold=THRESHOLD,
+    )
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(2, a)], SCHEMA), rdir2, adir2, 1,
+        threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir2) == [1]

@@ -99,3 +99,42 @@ def test_check_oracle_compare_is_dtype_strict():
     # unsigned vs signed ints and str-vs-object are NOT driver-visible
     u = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="uint64")})
     assert mod.compare(ints, u) == "OK"
+
+
+def test_scratch_dir_sweeps_dead_owner_siblings(tmp_path, monkeypatch):
+    """Advice r5: scratch paths are PID-keyed, so a finished driver used
+    to leak its directory forever. scratch_dir must sweep siblings whose
+    owning pid is dead, and leave live owners (our own pid) alone."""
+    import os
+    import subprocess
+
+    from self_healing_data_pipeline_spark import session as S
+
+    root = tmp_path / ".scratch"
+    root.mkdir()
+    # a genuinely dead pid: fork a trivial child and wait for it
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = root / f"old_sf0.01_pid{child.pid}"
+    dead.mkdir()
+    (dead / "stale.parquet").write_text("x")
+    live = root / f"other_sf0.01_pid{os.getpid()}"
+    live.mkdir()
+    unsuffixed = root / "not_pid_keyed"
+    unsuffixed.mkdir()
+
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        # scratch_dir derives root as dirname(dirname(session.__file__));
+        # redirect only that outermost call to tmp_path
+        if p == real_dirname(os.path.abspath(S.__file__)):
+            return str(tmp_path)
+        return real_dirname(p)
+
+    monkeypatch.setattr(S.os.path, "dirname", fake_dirname)
+    d = S.scratch_dir("fresh", "/data/sf0.01")
+    assert d == str(root / f"fresh_sf0.01_pid{os.getpid()}")
+    assert not dead.exists(), "dead-owner scratch dir must be swept"
+    assert live.exists(), "live-owner scratch dir must survive"
+    assert unsuffixed.exists(), "non-pid-keyed dirs are not ours to touch"
