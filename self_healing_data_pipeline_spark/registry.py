@@ -74,4 +74,5 @@ def load_all() -> None:
         extras16,
         extras17,
         extras18,
+        extras19,
     )

@@ -603,3 +603,41 @@ def test_extras18_plans_are_bounded_rollups(spark, sf_dir):
     pc = plan_of(spark, sf_dir, "q_dedup_cluster_sizes")
     assert pc.count("Scan parquet  (") == 1
     assert "partial_" in pc
+
+
+def test_pagerank_iterations_are_keyed_joins(spark, sf_dir):
+    # Pregel-as-joins: no SinglePartition anywhere (ranks and
+    # contributions shuffle on node id), top-20 via TakeOrderedAndProject
+    # (no global sort), adjacency checkpointed once (no re-planned
+    # basket-pair subtree: zero parquet scans in the final plan)
+    p = plan_of(spark, sf_dir, "q_pagerank")
+    assert "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet  (") == 0
+
+
+def test_extras19_reports_are_bounded(spark, sf_dir):
+    # FD discovery: per-candidate verdicts reduce to 1-row frames before
+    # the union — its SinglePartition stages are exactly those scalars
+    p = plan_of(spark, sf_dir, "q_fd_discovery")
+    assert p.count("SinglePartition") <= len(
+        __import__(
+            "self_healing_data_pipeline_spark.queries.extras19",
+            fromlist=["_FD_CANDIDATES"],
+        )._FD_CANDIDATES
+    )
+    assert "partial_" in p and "CartesianProduct" not in p
+    # CUSUM: raw scan collapses to day grain map-side before the one
+    # bounded-calendar ordered window; stats frame broadcasts
+    pc = plan_of(spark, sf_dir, "q_changepoint_cusum")
+    assert pc.count("SinglePartition") <= 2
+    assert "partial_" in pc and "BroadcastExchange" in pc
+    assert "TakeOrderedAndProject" in pc
+    # seasonality / skew report: one data-bearing aggregate each, the
+    # only SinglePartition is the broadcast 1-row stats frame
+    for name in ("q_dow_seasonality", "q_skew_report"):
+        ps = plan_of(spark, sf_dir, name)
+        assert ps.count("SinglePartition") <= 1, name
+        assert "partial_" in ps and "CartesianProduct" not in ps, name
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_skew_report")

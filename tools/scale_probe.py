@@ -131,7 +131,17 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one moment pass broadcast over rows
                   "q_feature_scale",
                   # broadcast cutoff + 4-bucket rollup
-                  "q_orders_aging"]
+                  "q_orders_aging",
+                  # 3 Pregel iterations over a checkpointed adjacency
+                  "q_pagerank",
+                  # per-candidate det-key groupBys reduced to scalars
+                  "q_fd_discovery",
+                  # day-grain collapse then bounded-calendar window
+                  "q_changepoint_cusum",
+                  # 7-row grid + broadcast total
+                  "q_dow_seasonality",
+                  # key-grain counts + broadcast stats + top-10
+                  "q_skew_report"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
