@@ -373,3 +373,169 @@ def lsh_ann_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the codebook-compression companion to IVF.
+# A 64-dim float32 vector (256 B) compresses to m=8 one-byte codes: 32×
+# smaller, which is what makes billion-vector ANN indexes fit in memory
+# at 100 TB corpus scale (IVF prunes WHICH vectors to score; PQ shrinks
+# WHAT is stored and scored). Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public method.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks, shape ``(m, k, dim/m)``.
+
+    Spark-native Lloyd over ALL subspaces in one pass per iteration:
+    assign (Arrow kernel, narrow) → per-(subspace, code, dim) mean via
+    one hash aggregate — shuffle rows = m·k·(dim/m) = dim·k partials,
+    never the vectors. Codebooks (m·k·sub floats) round-trip through
+    the driver per iteration — the tiny state Lloyd needs at any scale.
+    Deterministic: seeded from the k lowest-id vectors; ``np.argmin``
+    takes the lowest code on ties."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    x0 = np.array([r[1] for r in rows], dtype="float64")
+    dim = x0.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = np.ascontiguousarray(x0.reshape(k, m, sub).transpose(1, 0, 2))
+    for _ in range(iters):
+        codes = pq_assign(embeddings, books, id_col, vec_col)
+        joined = embeddings.select(id_col, vec_col).join(codes, id_col)
+        stats = (
+            joined.select(
+                F.posexplode(F.col(vec_col)).alias("dim", "val"),
+                F.col("__codes"),
+            )
+            .select(
+                (F.col("dim") / sub).cast("int").alias("sp"),
+                (F.col("dim") % sub).cast("int").alias("sd"),
+                F.element_at(
+                    "__codes", ((F.col("dim") / sub).cast("int") + 1)
+                ).alias("code"),
+                F.col("val").cast("double").alias("v"),
+            )
+            .groupBy("sp", "code", "sd")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        for r in stats:
+            if r["n"] > 0:
+                new[r["sp"], r["code"], r["sd"]] = r["s"] / r["n"]
+        books = new
+    return books
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __codes array<int>): per-subspace nearest codeword (L2),
+    one narrow Arrow-batched kernel — no shuffle."""
+    m, k, sub = books.shape
+    b = books.copy()
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype="float64").reshape(m, sub)
+            # (m, k) squared distances: per-subspace ||x_s - c||^2
+            d2 = ((b - x[:, None, :]) ** 2).sum(axis=2)
+            out.append(d2.argmin(axis=1).astype("int32"))
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("__codes")
+    )
+
+
+def pq_encode_with_error(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __codes, __recon_mse): codes plus the per-vector
+    reconstruction MSE — the quality witness PQ carries alongside the
+    32× compression. mapInPandas so codes and error come from ONE
+    decode of each Arrow batch."""
+    m, k, sub = books.shape
+    b = books.copy()
+    schema = f"{id_col} long, __codes array<int>, __recon_mse double"
+
+    def batches(it):
+        for pdf in it:
+            codes_col, err_col = [], []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64").reshape(m, sub)
+                d2 = ((b - x[:, None, :]) ** 2).sum(axis=2)
+                c = d2.argmin(axis=1)
+                codes_col.append(c.astype("int32"))
+                err_col.append(float(d2[np.arange(m), c].sum() / (m * sub)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__codes": codes_col,
+                    "__recon_mse": err_col,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    k_top: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, fully JVM-side: the
+    query builds an (m × k) inner-product lookup table driver-side
+    (tiny), broadcast as a literal array-of-arrays; each row's score is
+    a zip_with/element_at fold over its m codes — whole-stage codegen,
+    no Python in the query path, TakeOrderedAndProject for the top-k.
+    This is the shape that scans a billion codes cheaply: 8 bytes per
+    row and an 8-term add."""
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype="float64").reshape(m, sub)
+    lut = np.einsum("ms,mks->mk", q, books)  # IP of each codeword w/ query
+    lut_col = F.array(
+        *[
+            F.array(*[F.lit(float(lut[i, j])) for j in range(k)])
+            for i in range(m)
+        ]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            lut_col,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_score"), "__recon_mse")
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k_top)
+    )

@@ -75,4 +75,5 @@ def load_all() -> None:
         extras17,
         extras18,
         extras19,
+        extras20,
     )

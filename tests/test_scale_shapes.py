@@ -641,3 +641,25 @@ def test_extras19_reports_are_bounded(spark, sf_dir):
         assert ps.count("SinglePartition") <= 1, name
         assert "partial_" in ps and "CartesianProduct" not in ps, name
     assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_skew_report")
+
+
+def test_extras20_plans_are_bounded(spark, sf_dir):
+    # PQ: ADC scan is JVM-side (no SinglePartition anywhere, no
+    # Python beyond the encode kernel), shortlist via TakeOrderedAndProject
+    p = plan_of(spark, sf_dir, "q_embedding_pq")
+    assert "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    # dHash: banded self-join (pigeonhole), no SinglePartition, no cartesian
+    pd_ = plan_of(spark, sf_dir, "q_image_dhash")
+    assert "SinglePartition" not in pd_
+    assert "CartesianProduct" not in pd_
+    # erasure: membership tests are semi/anti joins; SinglePartition
+    # stages are only the nine 1-row report counters
+    pe = plan_of(spark, sf_dir, "q_gdpr_erasure")
+    assert pe.count("LeftSemi") + pe.count("LeftAnti") >= 6
+    assert pe.count("SinglePartition") <= 9
+    assert "CartesianProduct" not in pe
+    # temporal split: broadcast bounds + partial-aggregated tag counts
+    ps = plan_of(spark, sf_dir, "q_split_temporal")
+    assert "partial_" in ps and "CartesianProduct" not in ps
+    assert ps.count("SinglePartition") <= 4

@@ -110,6 +110,11 @@ LINEAR_PROBES = [
     "q_langid_confusion",
     # cluster-size histogram: fingerprint grain + bounded rollup
     "q_dedup_cluster_sizes",
+    # round-6 batch-2 additions: PQ's codes scan + bounded codebook
+    # state; dHash's banded pigeonhole self-join (candidates ∝ planted
+    # dup rate, constant bucket collision odds) — both expected ~linear
+    "q_embedding_pq",
+    "q_image_dhash",
 ]
 
 # TPC-H-table probes: timed on the driver fixtures at sf0.01 vs sf0.1
@@ -141,7 +146,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # 7-row grid + broadcast total
                   "q_dow_seasonality",
                   # key-grain counts + broadcast stats + top-10
-                  "q_skew_report"]
+                  "q_skew_report",
+                  # broadcast key-set semi/anti cascade + scalar reports
+                  "q_gdpr_erasure",
+                  # broadcast bounds + partial-aggregated split counts
+                  "q_split_temporal"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
