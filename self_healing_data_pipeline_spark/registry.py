@@ -76,4 +76,5 @@ def load_all() -> None:
         extras18,
         extras19,
         extras20,
+        extras21,
     )

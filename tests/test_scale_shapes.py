@@ -663,3 +663,21 @@ def test_extras20_plans_are_bounded(spark, sf_dir):
     ps = plan_of(spark, sf_dir, "q_split_temporal")
     assert "partial_" in ps and "CartesianProduct" not in ps
     assert ps.count("SinglePartition") <= 4
+
+
+def test_extras21_plans_are_bounded(spark, sf_dir):
+    # scorecard: fact-fact key join collapses to supplier grain BEFORE
+    # the broadcast dim join; top-10 via TakeOrderedAndProject
+    p = plan_of(spark, sf_dir, "q_supplier_scorecard")
+    assert "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "partial_" in p
+    # seasonal anomaly: day-grain collapse + broadcast 7-row profile
+    ps = plan_of(spark, sf_dir, "q_seasonal_anomaly")
+    assert "SinglePartition" not in ps
+    assert "partial_" in ps and "CartesianProduct" not in ps
+    # revenue bridge: ONE scan, pushed timestamp range, one key shuffle
+    pb = plan_of(spark, sf_dir, "q_revenue_bridge")
+    assert pb.count("Scan parquet  (") == 1
+    assert "GreaterThanOrEqual(o_orderdate" in pb  # range reached the scan
+    assert "SinglePartition" not in pb

@@ -150,7 +150,13 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast key-set semi/anti cascade + scalar reports
                   "q_gdpr_erasure",
                   # broadcast bounds + partial-aggregated split counts
-                  "q_split_temporal"]
+                  "q_split_temporal",
+                  # fact-fact key join collapsed to supplier grain
+                  "q_supplier_scorecard",
+                  # day-grain collapse + broadcast weekday profile
+                  "q_seasonal_anomaly",
+                  # one pushed-range scan + one customer-grain shuffle
+                  "q_revenue_bridge"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
