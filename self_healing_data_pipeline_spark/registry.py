@@ -77,4 +77,5 @@ def load_all() -> None:
         extras19,
         extras20,
         extras21,
+        extras22,
     )

@@ -681,3 +681,15 @@ def test_extras21_plans_are_bounded(spark, sf_dir):
     assert pb.count("Scan parquet  (") == 1
     assert "GreaterThanOrEqual(o_orderdate" in pb  # range reached the scan
     assert "SinglePartition" not in pb
+
+
+def test_connector_scans_have_no_global_stages(spark, sf_dir):
+    # custom DataSource: one BatchScan, no SinglePartition (the orderBy
+    # is a range exchange); binaryFile: per-file parallel scan + narrow
+    # Arrow decode
+    p = plan_of(spark, sf_dir, "q_scan_api_source")
+    assert "BatchScan synth_api" in p
+    assert "SinglePartition" not in p
+    pb = plan_of(spark, sf_dir, "q_scan_binaryfile")
+    assert "Scan binaryFile" in pb
+    assert "SinglePartition" not in pb
