@@ -1,7 +1,8 @@
 """Custom CONNECTOR via the PySpark 4 Python DataSource API: a
 paginated REST-API-style source with parallel page fetch, page-range
-FILTER PUSHDOWN, and a true structured-streaming reader with
-offset-tracked exactly-once paging.
+FILTER PUSHDOWN, a true structured-streaming reader with
+offset-tracked exactly-once paging, and a WRITE path (batch +
+streaming API sink) with a real two-phase commit protocol.
 
 This is the reference's API-source vision
 (`automated-data-catalog-&-etl/README.md:2` — data arriving from an
@@ -108,6 +109,12 @@ class SyntheticApiDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return _ApiStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return _ApiBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _ApiStreamWriter(self.options)
+
 
 class _ApiBatchReader(DataSourceReader):
     def __init__(self, options):
@@ -172,3 +179,111 @@ def register_api_source(spark) -> None:
     together."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticApiDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: the API SINK with a real two-phase commit protocol.
+# Tasks "POST" their partition as a staged request file and return a
+# commit message; only the DRIVER's commit() publishes the batch — an
+# atomic manifest rename — so a failed job leaves nothing half-visible
+# (the FileCommitProtocol shape, applied to an API/webhook sink).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _ApiCommit(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+def _stage_rows(path: str, iterator) -> _ApiCommit:
+    """Task-side: serialize this partition's rows as ONE staged request
+    (newline-delimited JSON) under .staging/ — unique name per task
+    attempt, so speculative/retried attempts never collide; losers are
+    simply never committed."""
+    from pyspark import TaskContext
+
+    staging = _os.path.join(path, ".staging")
+    _os.makedirs(staging, exist_ok=True)
+    tc = TaskContext.get()
+    name = f"req_{tc.partitionId()}_{_uuid.uuid4().hex}.jsonl"
+    staged = _os.path.join(staging, name)
+    n = 0
+    with open(staged, "w") as f:
+        for row in iterator:
+            f.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _ApiCommit(staged=staged, n_rows=n)
+
+
+def _publish(path: str, messages, manifest_name: str) -> None:
+    """Driver-side atomic publish: move staged files into the spool and
+    write the manifest LAST (rename-committed) — readers trust only
+    manifested files, so a crash anywhere before the final rename
+    publishes nothing."""
+    final_names, total = [], 0
+    for m in messages:
+        if m is None:
+            continue
+        dst = _os.path.join(path, _os.path.basename(m.staged))
+        _os.replace(m.staged, dst)
+        final_names.append(_os.path.basename(dst))
+        total += m.n_rows
+    tmp = _os.path.join(path, f"._manifest_{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        _json.dump({"files": sorted(final_names), "rows": total}, f)
+    _os.replace(tmp, _os.path.join(path, manifest_name))
+
+
+def _discard(messages) -> None:
+    for m in messages:
+        if m is not None:
+            try:
+                _os.remove(m.staged)
+            except OSError:
+                pass
+
+
+class _ApiBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages):
+        _publish(self.path, messages, "_MANIFEST.json")
+
+    def abort(self, messages):
+        _discard(messages)
+
+
+class _ApiStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: per-epoch manifests (``_MANIFEST_<batchId>``)
+    make replayed epochs idempotent at the READER — a re-run epoch
+    re-publishes the same manifest name, and manifest-trusting readers
+    take the latest write (the epoch-snapshot convention
+    `streaming/snapshots.py` uses)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId: int):
+        _publish(self.path, messages, f"_MANIFEST_{batchId}.json")
+
+    def abort(self, messages, batchId: int):
+        _discard(messages)

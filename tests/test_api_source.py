@@ -85,3 +85,82 @@ def test_stream_reads_exactly_once_and_resumes(spark, tmp_path):
     assert got2.groupBy("page").count().filter("count != 10").count() == 0
     ids = sorted(r["id"] for r in got2.select("id").collect())
     assert ids == list(range(50))
+
+
+def test_write_two_phase_commit_publishes_manifest(spark, tmp_path):
+    register_api_source(spark)
+    import json
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    df = spark.range(100).selectExpr(
+        "id", "cast(id % 4 as int) as page", "'view' as event_type",
+        "id * 2 as amount_cents", "cast(id as string) as token"
+    ).repartition(4)
+    df.write.format("synth_api").option("path", spool).mode("append").save()
+    man = json.load(open(os.path.join(spool, "_MANIFEST.json")))
+    assert man["rows"] == 100
+    assert len(man["files"]) == 4  # one staged request per task
+    # manifest lists exactly the published files; staging is empty
+    published = sorted(
+        f for f in os.listdir(spool) if f.startswith("req_")
+    )
+    assert published == man["files"]
+    assert os.listdir(os.path.join(spool, ".staging")) == []
+    # rows round-trip through the spool
+    back = [
+        json.loads(line)
+        for f in man["files"]
+        for line in open(os.path.join(spool, f))
+    ]
+    assert sorted(r["id"] for r in back) == list(range(100))
+
+
+def test_write_abort_publishes_nothing(spark, tmp_path):
+    register_api_source(spark)
+    import pytest as _pytest
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    bad = spark.range(10).selectExpr(
+        "id", "cast(id as int) as page", "'view' as event_type",
+        "cast(assert_true(id < 5, 'poison') as bigint) as amount_cents",
+        "'t' as token",
+    ).repartition(2)
+    with _pytest.raises(Exception):
+        bad.write.format("synth_api").option("path", spool).mode(
+            "append"
+        ).save()
+    # no manifest, nothing published — the half-written batch is invisible
+    assert not os.path.exists(os.path.join(spool, "_MANIFEST.json"))
+    assert [f for f in os.listdir(spool) if f.startswith("req_")] == []
+
+
+def test_stream_write_per_epoch_manifests(spark, tmp_path):
+    register_api_source(spark)
+    import json
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("synth_api")
+        .option("page_size", "10")
+        .option("max_pages", "3")
+        .load()
+        .writeStream.format("synth_api")
+        .option("path", spool)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    manifests = sorted(
+        f for f in os.listdir(spool) if f.startswith("_MANIFEST_")
+    )
+    assert manifests, "at least one epoch manifest published"
+    total = sum(
+        json.load(open(os.path.join(spool, m)))["rows"] for m in manifests
+    )
+    assert total == 30
