@@ -78,4 +78,5 @@ def load_all() -> None:
         extras20,
         extras21,
         extras22,
+        extras23,
     )

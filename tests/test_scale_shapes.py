@@ -693,3 +693,15 @@ def test_connector_scans_have_no_global_stages(spark, sf_dir):
     pb = plan_of(spark, sf_dir, "q_scan_binaryfile")
     assert "Scan binaryFile" in pb
     assert "SinglePartition" not in pb
+
+
+def test_extras23_plans_are_bounded(spark, sf_dir):
+    # time travel: full-outer-free keyed diff (left join of two
+    # snapshots) collapsing to a 3-row rollup; no SinglePartition
+    p = plan_of(spark, sf_dir, "q_time_travel")
+    assert "SinglePartition" not in p
+    assert "partial_" in p and "CartesianProduct" not in p
+    # forecast: the only SinglePartition is the broadcast 1-row max-day
+    pf = plan_of(spark, sf_dir, "q_forecast_backtest")
+    assert pf.count("SinglePartition") <= 1
+    assert "partial_" in pf and "CartesianProduct" not in pf

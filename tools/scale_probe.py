@@ -156,7 +156,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # day-grain collapse + broadcast weekday profile
                   "q_seasonal_anomaly",
                   # one pushed-range scan + one customer-grain shuffle
-                  "q_revenue_bridge"]
+                  "q_revenue_bridge",
+                  # 3 CDC epoch merges (|state|+|batch| each) + keyed diff
+                  "q_time_travel",
+                  # calendar-bounded day grain + one day-key self-join
+                  "q_forecast_backtest"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
