@@ -79,4 +79,5 @@ def load_all() -> None:
         extras21,
         extras22,
         extras23,
+        extras24,
     )

@@ -705,3 +705,25 @@ def test_extras23_plans_are_bounded(spark, sf_dir):
     pf = plan_of(spark, sf_dir, "q_forecast_backtest")
     assert pf.count("SinglePartition") <= 1
     assert "partial_" in pf and "CartesianProduct" not in pf
+
+
+def test_extras24_plans_are_bounded(spark, sf_dir):
+    # bloom join: both position probes are broadcast LEFT SEMI hash
+    # joins (the fact is never shuffled before them), the dim join is
+    # broadcast, and the rollup partial-aggregates
+    p = plan_of(spark, sf_dir, "q_bloom_join")
+    assert p.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # fact side never shuffled for a join
+    assert "partial_" in p and "SinglePartition" not in p
+    # weighted median: ordered pass runs on the value grain (a
+    # partial-aggregated collapse feeds the window), partitioned by flag
+    pm = plan_of(spark, sf_dir, "q_weighted_median")
+    assert "partial_" in pm
+    assert "SinglePartition" not in pm
+    # item CF: frequency join-backs broadcast; per-part rank window
+    # (no global sort); pair grain shuffles on keys only
+    pc = plan_of(spark, sf_dir, "q_item_cf")
+    assert pc.count("BroadcastHashJoin") >= 2
+    assert "SinglePartition" not in pc
+    assert "CartesianProduct" not in pc

@@ -160,7 +160,13 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # 3 CDC epoch merges (|state|+|batch| each) + keyed diff
                   "q_time_travel",
                   # calendar-bounded day grain + one day-key self-join
-                  "q_forecast_backtest"]
+                  "q_forecast_backtest",
+                  # 2 broadcast-semi bloom probes + broadcast dim join
+                  "q_bloom_join",
+                  # value-grain collapse then per-flag ordered pass
+                  "q_weighted_median",
+                  # basket-bounded pair grain + broadcast freq join-backs
+                  "q_item_cf"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
