@@ -80,4 +80,5 @@ def load_all() -> None:
         extras22,
         extras23,
         extras24,
+        extras25,
     )

@@ -727,3 +727,18 @@ def test_extras24_plans_are_bounded(spark, sf_dir):
     assert pc.count("BroadcastHashJoin") >= 2
     assert "SinglePartition" not in pc
     assert "CartesianProduct" not in pc
+
+
+def test_extras25_plans_are_bounded(spark, sf_dir):
+    # linear attribution: path resolution is windowed (no self-join of
+    # the event stream with itself on time), the purchase⋈touch join is
+    # keyed, the rollup partial-aggregates; no SinglePartition
+    p = plan_of(spark, sf_dir, "q_attribution_linear")
+    assert "SinglePartition" not in p
+    assert "partial_" in p and "CartesianProduct" not in p
+    # entity resolution: the candidate join is block-keyed (an equi-join
+    # on the blocking key, never a cartesian scoring pass); best-match
+    # is a per-probe rank window
+    pe = plan_of(spark, sf_dir, "q_entity_resolution")
+    assert "SinglePartition" not in pe
+    assert "CartesianProduct" not in pe

@@ -166,7 +166,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # value-grain collapse then per-flag ordered pass
                   "q_weighted_median",
                   # basket-bounded pair grain + broadcast freq join-backs
-                  "q_item_cf"]
+                  "q_item_cf",
+                  # one running-count window + keyed purchase⋈touch join
+                  "q_attribution_linear",
+                  # probe-side-bounded block join + per-probe rank
+                  "q_entity_resolution"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
