@@ -81,4 +81,5 @@ def load_all() -> None:
         extras23,
         extras24,
         extras25,
+        extras26,
     )

@@ -742,3 +742,20 @@ def test_extras25_plans_are_bounded(spark, sf_dir):
     pe = plan_of(spark, sf_dir, "q_entity_resolution")
     assert "SinglePartition" not in pe
     assert "CartesianProduct" not in pe
+
+
+def test_extras26_plans_are_bounded(spark, sf_dir):
+    # BM25: token aggregates keyed by doc/(doc,term); corpus stats are
+    # the broadcast 1-row scalar (its SinglePartition); head via
+    # TakeOrderedAndProject
+    p = plan_of(spark, sf_dir, "q_text_bm25")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("SinglePartition") <= 1
+    assert "partial_" in p and "CartesianProduct" not in p
+    # RRF: ranker scans end in TakeOrderedAndProject; the only
+    # SinglePartition stages are the two BOUNDED 20-row shortlist
+    # rank windows + final fuse of two 20-row frames
+    pr = plan_of(spark, sf_dir, "q_rrf_fusion")
+    assert pr.count("TakeOrderedAndProject") >= 2
+    assert pr.count("SinglePartition") <= 4
+    assert "CartesianProduct" not in pr

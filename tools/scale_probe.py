@@ -170,7 +170,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one running-count window + keyed purchase⋈touch join
                   "q_attribution_linear",
                   # probe-side-bounded block join + per-probe rank
-                  "q_entity_resolution"]
+                  "q_entity_resolution",
+                  # one tokenize pass, query-bounded tf branch, TakeOrdered
+                  "q_text_bm25",
+                  # two broadcast-query ranker scans + bounded 20-row fuse
+                  "q_rrf_fusion"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
