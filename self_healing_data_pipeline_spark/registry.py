@@ -82,4 +82,5 @@ def load_all() -> None:
         extras24,
         extras25,
         extras26,
+        extras27,
     )

@@ -759,3 +759,21 @@ def test_extras26_plans_are_bounded(spark, sf_dir):
     assert pr.count("TakeOrderedAndProject") >= 2
     assert pr.count("SinglePartition") <= 4
     assert "CartesianProduct" not in pr
+
+
+def test_extras27_plans_are_bounded(spark, sf_dir):
+    # equi-depth histogram: the data-bearing running sum is the
+    # PARTITIONED in-megabucket window; SinglePartition appears only
+    # for the bounded frames (per-megabucket offsets — price domain
+    # / 2^20 rows — and the 1-row total)
+    p = plan_of(spark, sf_dir, "q_histogram_equidepth")
+    assert "partial_" in p
+    assert p.count("SinglePartition") <= 3
+    assert "CartesianProduct" not in p
+    # join-size estimate: key-grain count + broadcast 1-row total +
+    # TakeOrderedAndProject top-10; the rank window runs on the
+    # 10-row shortlist only
+    pj = plan_of(spark, sf_dir, "q_join_size_estimate")
+    assert "TakeOrderedAndProject" in pj
+    assert pj.count("SinglePartition") <= 3
+    assert "partial_" in pj

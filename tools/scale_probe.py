@@ -174,7 +174,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one tokenize pass, query-bounded tf branch, TakeOrdered
                   "q_text_bm25",
                   # two broadcast-query ranker scans + bounded 20-row fuse
-                  "q_rrf_fusion"]
+                  "q_rrf_fusion",
+                  # value-grain collapse + two-phase bucketed running sum
+                  "q_histogram_equidepth",
+                  # key-grain count + broadcast total + top-10
+                  "q_join_size_estimate"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
