@@ -83,4 +83,5 @@ def load_all() -> None:
         extras25,
         extras26,
         extras27,
+        extras28,
     )

@@ -777,3 +777,20 @@ def test_extras27_plans_are_bounded(spark, sf_dir):
     assert "TakeOrderedAndProject" in pj
     assert pj.count("SinglePartition") <= 3
     assert "partial_" in pj
+
+
+def test_extras28_plans_are_bounded(spark, sf_dir):
+    # temperature sampling: quotas are a broadcast few-row frame; the
+    # selection rank window is PARTITIONED by language (the only big
+    # ordered pass); SinglePartition only on the bounded language-grain
+    # frames (1-row weight total + quota assembly)
+    p = plan_of(spark, sf_dir, "q_sample_temperature")
+    assert p.count("SinglePartition") <= 2
+    assert "partial_" in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # k-anonymity: one QI-grain shuffle collapsing to the size-bucket
+    # report; nothing global
+    pk = plan_of(spark, sf_dir, "q_k_anonymity")
+    assert "SinglePartition" not in pk
+    assert pk.count("Scan parquet  (") == 1
+    assert "partial_" in pk

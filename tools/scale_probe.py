@@ -178,7 +178,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # value-grain collapse + two-phase bucketed running sum
                   "q_histogram_equidepth",
                   # key-grain count + broadcast total + top-10
-                  "q_join_size_estimate"]
+                  "q_join_size_estimate",
+                  # lang-grain quotas broadcast + partitioned rank window
+                  "q_sample_temperature",
+                  # one QI-grain shuffle to a bounded size-bucket report
+                  "q_k_anonymity"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
