@@ -84,4 +84,5 @@ def load_all() -> None:
         extras26,
         extras27,
         extras28,
+        extras29,
     )

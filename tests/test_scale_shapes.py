@@ -794,3 +794,18 @@ def test_extras28_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pk
     assert pk.count("Scan parquet  (") == 1
     assert "partial_" in pk
+
+
+def test_extras29_plans_are_bounded(spark, sf_dir):
+    # watermark audit: one per-type running-max window (arrival order),
+    # broadcast 3-row delay grid (its nested loop join is against a
+    # broadcast literal frame, not a data-data cartesian), bounded rollup
+    p = plan_of(spark, sf_dir, "q_watermark_audit")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    # ship SLA: one key join + ONE aggregate pass carrying all three
+    # conditional counters (not one job per SLA band)
+    ps = plan_of(spark, sf_dir, "q_ship_sla")
+    assert "SinglePartition" not in ps
+    assert "partial_" in ps
+    assert ps.count("HashAggregate") <= 4  # one partial+final pair (+AQE)

@@ -182,7 +182,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # lang-grain quotas broadcast + partitioned rank window
                   "q_sample_temperature",
                   # one QI-grain shuffle to a bounded size-bucket report
-                  "q_k_anonymity"]
+                  "q_k_anonymity",
+                  # per-type running-max window + broadcast delay grid
+                  "q_watermark_audit",
+                  # one key join + one conditional-counter aggregate pass
+                  "q_ship_sla"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
