@@ -85,4 +85,5 @@ def load_all() -> None:
         extras27,
         extras28,
         extras29,
+        extras30,
     )

@@ -809,3 +809,19 @@ def test_extras29_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in ps
     assert "partial_" in ps
     assert ps.count("HashAggregate") <= 4  # one partial+final pair (+AQE)
+
+
+def test_extras30_plans_are_bounded(spark, sf_dir):
+    # RAKE: per-doc stopword running count (partitioned window),
+    # counted-grain word stats, TakeOrdered head — no global sort,
+    # no SinglePartition
+    p = plan_of(spark, sf_dir, "q_text_keyphrase")
+    assert "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_" in p and "CartesianProduct" not in p
+    # norm audit: one narrow scan + bounded band rollup — no joins,
+    # no windows, one parquet scan
+    pn = plan_of(spark, sf_dir, "q_embedding_norm_audit")
+    assert "SinglePartition" not in pn
+    assert "Join" not in pn
+    assert pn.count("Scan parquet  (") == 1

@@ -186,7 +186,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # per-type running-max window + broadcast delay grid
                   "q_watermark_audit",
                   # one key join + one conditional-counter aggregate pass
-                  "q_ship_sla"]
+                  "q_ship_sla",
+                  # one tokenize pass + counted-grain word stats + top-20
+                  "q_text_keyphrase",
+                  # narrow fold-and-classify scan + bounded band rollup
+                  "q_embedding_norm_audit"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
