@@ -64,19 +64,50 @@ def q_watermark_audit(spark, sf_dir):
     Determinism: exact integer microseconds end-to-end; the drop rate
     is exact integer ppm (floor division).
 
-    Scale shape: ONE running-max window per event_type in arrival
-    order (the per-key-state pass every streaming engine does
-    anyway), a 3-row broadcast delay grid joined without shuffle, and
-    a partial-aggregated (type × delay) rollup. No SinglePartition."""
+    Scale shape: the arrival-order running max does NOT partition by
+    event_type alone (a handful of types would serialize the scan at
+    100× — the r4-verdict failure class); it uses the TWO-PHASE
+    decomposition (q_pack_context's prefix-sum pattern, with max):
+    arrival-contiguous event-id buckets → per-(type, bucket) maxima →
+    prefix max over the tiny bucket grain broadcast back → narrow
+    in-bucket running max; max-seen = greatest(prior buckets, within
+    bucket). Then a 3-row broadcast delay grid and a partial-
+    aggregated (type × delay) rollup. No per-type serial pass."""
     e = read_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = (
+    base = e.select(
+        "event_type",
+        "event_id",
+        us.alias("us"),
+        F.shiftright(F.col("event_id"), 12).alias("bkt"),
+    )
+    bmax = base.groupBy("event_type", "bkt").agg(F.max("us").alias("bmax"))
+    wprev = (
         Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bmax.select(
+        "event_type", "bkt", F.max("bmax").over(wprev).alias("prior_max")
+    )
+    win = (
+        Window.partitionBy("event_type", "bkt")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    arr = e.select(
-        "event_type", us.alias("us"), F.max(us).over(w).alias("max_seen_us")
+    arr = (
+        base.join(F.broadcast(offsets), ["event_type", "bkt"])
+        .withColumn("in_bkt_max", F.max("us").over(win))
+        .select(
+            "event_type",
+            "us",
+            # greatest() skips NULLs: first bucket has no prior_max,
+            # first row in a bucket has no in_bkt_max, both-null (the
+            # type's very first arrival) stays NULL -> lateness 0
+            F.greatest(F.col("prior_max"), F.col("in_bkt_max")).alias(
+                "max_seen_us"
+            ),
+        )
     )
     late = arr.select(
         "event_type",
