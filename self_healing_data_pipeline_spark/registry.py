@@ -86,4 +86,5 @@ def load_all() -> None:
         extras28,
         extras29,
         extras30,
+        extras31,
     )

@@ -825,3 +825,19 @@ def test_extras30_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pn
     assert "Join" not in pn
     assert pn.count("Scan parquet  (") == 1
+
+
+def test_extras31_plans_are_bounded(spark, sf_dir):
+    # link prediction: wedge enumeration + LEFT ANTI vs edges + keyed
+    # degree join-backs; top-20 via TakeOrderedAndProject
+    p = plan_of(spark, sf_dir, "q_graph_neighbor_jaccard")
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    # seasonal decomposition: day-grain collapse; the SinglePartition
+    # stages are the calendar-bounded centered-MA window (cusum class)
+    # + the 1-row max-day scalar; weekday profile broadcasts
+    ps = plan_of(spark, sf_dir, "q_seasonal_decompose")
+    assert ps.count("SinglePartition") <= 3
+    assert "partial_" in ps and "BroadcastExchange" in ps

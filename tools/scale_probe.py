@@ -190,7 +190,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one tokenize pass + counted-grain word stats + top-20
                   "q_text_keyphrase",
                   # narrow fold-and-classify scan + bounded band rollup
-                  "q_embedding_norm_audit"]
+                  "q_embedding_norm_audit",
+                  # wedge enumeration (triangles class) + anti join
+                  "q_graph_neighbor_jaccard",
+                  # day-grain collapse + calendar-bounded windows
+                  "q_seasonal_decompose"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
