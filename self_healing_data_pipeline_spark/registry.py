@@ -87,4 +87,5 @@ def load_all() -> None:
         extras29,
         extras30,
         extras31,
+        extras32,
     )

@@ -841,3 +841,16 @@ def test_extras31_plans_are_bounded(spark, sf_dir):
     ps = plan_of(spark, sf_dir, "q_seasonal_decompose")
     assert ps.count("SinglePartition") <= 3
     assert "partial_" in ps and "BroadcastExchange" in ps
+
+
+def test_extras32_plans_are_bounded(spark, sf_dir):
+    # synthetic generator: Range source (parallel, no parquet scan),
+    # narrow integer derivations, bounded rollup
+    p = plan_of(spark, sf_dir, "q_generate_synthetic")
+    assert "Range" in p
+    assert p.count("Scan parquet  (") == 0
+    assert "partial_" in p and "SinglePartition" not in p
+    # percentile_cont: per-type rank windows + one-row-per-type bounds
+    pc = plan_of(spark, sf_dir, "q_percentile_cont")
+    assert "SinglePartition" not in pc
+    assert "partial_" in pc

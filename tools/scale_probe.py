@@ -194,7 +194,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # wedge enumeration (triangles class) + anti join
                   "q_graph_neighbor_jaccard",
                   # day-grain collapse + calendar-bounded windows
-                  "q_seasonal_decompose"]
+                  "q_seasonal_decompose",
+                  # parallel Range source + narrow derivations + rollup
+                  "q_generate_synthetic",
+                  # per-type rank windows + one-row-per-type bounds
+                  "q_percentile_cont"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
