@@ -88,4 +88,5 @@ def load_all() -> None:
         extras30,
         extras31,
         extras32,
+        extras33,
     )

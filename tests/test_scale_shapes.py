@@ -854,3 +854,19 @@ def test_extras32_plans_are_bounded(spark, sf_dir):
     pc = plan_of(spark, sf_dir, "q_percentile_cont")
     assert "SinglePartition" not in pc
     assert "partial_" in pc
+
+
+def test_extras33_plans_are_bounded(spark, sf_dir):
+    # sparse dot: postings shuffle by term (rare-capped), pair scores
+    # partial-aggregate, TakeOrdered head; no SinglePartition
+    p = plan_of(spark, sf_dir, "q_sparse_dot_topk")
+    assert "TakeOrderedAndProject" in p
+    # the only SinglePartition is the 1-row corpus-size scalar
+    assert p.count("SinglePartition") <= 1
+    assert "partial_" in p and "CartesianProduct" not in p
+    # segment migration: two-phase bucketed rank (no per-period global
+    # window); SinglePartition only on the bounded bucket-offset /
+    # period-total frames
+    ps = plan_of(spark, sf_dir, "q_segment_migration")
+    assert ps.count("SinglePartition") <= 2
+    assert "partial_" in ps and "CartesianProduct" not in ps

@@ -198,7 +198,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # parallel Range source + narrow derivations + rollup
                   "q_generate_synthetic",
                   # per-type rank windows + one-row-per-type bounds
-                  "q_percentile_cont"]
+                  "q_percentile_cont",
+                  # rare-capped posting joins + partial-aggregated pairs
+                  "q_sparse_dot_topk",
+                  # two-phase bucketed rank + full-outer key join
+                  "q_segment_migration"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
