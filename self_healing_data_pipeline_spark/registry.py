@@ -89,4 +89,5 @@ def load_all() -> None:
         extras31,
         extras32,
         extras33,
+        extras34,
     )

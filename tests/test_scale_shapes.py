@@ -870,3 +870,18 @@ def test_extras33_plans_are_bounded(spark, sf_dir):
     ps = plan_of(spark, sf_dir, "q_segment_migration")
     assert ps.count("SinglePartition") <= 2
     assert "partial_" in ps and "CartesianProduct" not in ps
+
+
+def test_extras34_plans_are_bounded(spark, sf_dir):
+    # imputation: domain-bounded median frame broadcasts; the repair is
+    # a broadcast join + narrow coalesce; one fact shuffle to the flag
+    # rollup
+    p = plan_of(spark, sf_dir, "q_impute_missing")
+    assert "BroadcastHashJoin" in p
+    assert "partial_" in p and "CartesianProduct" not in p
+    # winsorize: cap-finding on the value grain (its window is the
+    # price-domain-bounded SinglePartition, equidepth class) + broadcast
+    # 1-row caps over the fact
+    pw = plan_of(spark, sf_dir, "q_winsorize")
+    assert "partial_" in pw
+    assert pw.count("SinglePartition") <= 3

@@ -202,7 +202,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # rare-capped posting joins + partial-aggregated pairs
                   "q_sparse_dot_topk",
                   # two-phase bucketed rank + full-outer key join
-                  "q_segment_migration"]
+                  "q_segment_migration",
+                  # broadcast median frame + narrow coalesce repair
+                  "q_impute_missing",
+                  # value-grain caps + broadcast clamp
+                  "q_winsorize"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
