@@ -90,4 +90,5 @@ def load_all() -> None:
         extras32,
         extras33,
         extras34,
+        extras35,
     )

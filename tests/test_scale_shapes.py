@@ -885,3 +885,19 @@ def test_extras34_plans_are_bounded(spark, sf_dir):
     pw = plan_of(spark, sf_dir, "q_winsorize")
     assert "partial_" in pw
     assert pw.count("SinglePartition") <= 3
+
+
+def test_extras35_plans_are_bounded(spark, sf_dir):
+    # nearest as-of: ONE unioned stream, two user-partitioned LOCF
+    # windows, no self-join on time, no SinglePartition
+    p = plan_of(spark, sf_dir, "q_join_asof_nearest")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet  (") <= 1  # one pass over events
+    # trending terms: one tokenize pass, (recent, term) counts,
+    # broadcast totals, TakeOrdered; SinglePartition only on the
+    # 1-row scalar frames (id bounds + corpus totals)
+    pt = plan_of(spark, sf_dir, "q_trending_terms")
+    assert "TakeOrderedAndProject" in pt
+    assert pt.count("SinglePartition") <= 3
+    assert "partial_" in pt

@@ -206,7 +206,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast median frame + narrow coalesce repair
                   "q_impute_missing",
                   # value-grain caps + broadcast clamp
-                  "q_winsorize"]
+                  "q_winsorize",
+                  # one unioned stream + two user-partitioned windows
+                  "q_join_asof_nearest",
+                  # one tokenize pass + counted grain + broadcast totals
+                  "q_trending_terms"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
