@@ -1,0 +1,72 @@
+"""Round-6 batch 18 (SURVEY.md §2.1 SQL surface / §2.9 graph): native
+WITH RECURSIVE support — Spark 4 ships SQL-2008 recursive CTEs, and
+this batch exercises that surface end-to-end on a real graph workload
+(bounded-depth reachability over the shared co-occurrence graph),
+oracle-checked against DuckDB evaluating the SAME recursive SQL.
+
+The production form of unbounded reachability remains the manual
+per-hop DISTINCT frontier (q_khop_reach — walk counts explode
+combinatorially without per-level dedup); this query pins the ENGINE
+SURFACE: a user migrating recursive SQL from Postgres/DuckDB can run
+it unchanged."""
+
+from __future__ import annotations
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+# One SQL text, two engines: only the lineitem relation name differs.
+_RCTE_SQL = """
+    WITH RECURSIVE pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM {tbl}
+    ), cop AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), adj AS (
+      SELECT p1 AS u, p2 AS v FROM cop
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM cop
+    ), seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM adj)
+      ORDER BY node LIMIT 3
+    ), reach(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT a.v, r.depth + 1
+      FROM reach r JOIN adj a ON a.u = r.node
+      WHERE r.depth < 2
+    ), md AS (
+      SELECT node, MIN(depth) AS d FROM reach GROUP BY node
+    )
+    SELECT CAST(d AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM md GROUP BY d ORDER BY depth
+"""
+
+
+@query("q_recursive_reach", oracle=_RCTE_SQL.format(tbl="lineitem"))
+def q_recursive_reach(spark, sf_dir):
+    """Native WITH RECURSIVE reachability: 2-hop reach from the three
+    smallest co-occurrence-graph nodes, written as a SQL-2008
+    recursive CTE and executed by Spark 4's recursive-CTE engine —
+    the SAME SQL text DuckDB evaluates as the oracle (only the
+    relation name differs). Per min-depth: node count + id checksum.
+
+    Why both forms exist: the recursive UNION ALL walk has no
+    per-level dedup, so walk volume is Σ deg^depth — fine at the
+    depth-2 bound here, combinatorial beyond it; q_khop_reach's
+    manual frontier loop with DISTINCT per hop is the 100 TB form.
+    This query pins SURFACE PARITY (recursive SQL ports unchanged)
+    and the correctness of Spark's recursion against an independent
+    engine.
+
+    Scale shape: each recursion level is one keyed join against the
+    adjacency (Catalyst plans it like the manual loop); the depth
+    bound is in the WHERE, so the loop terminates without a global
+    dedup barrier."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_rcte")
+    return spark.sql(_RCTE_SQL.format(tbl="lineitem_rcte"))

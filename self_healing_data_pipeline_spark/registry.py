@@ -91,4 +91,5 @@ def load_all() -> None:
         extras33,
         extras34,
         extras35,
+        extras36,
     )

@@ -901,3 +901,11 @@ def test_extras35_plans_are_bounded(spark, sf_dir):
     assert "TakeOrderedAndProject" in pt
     assert pt.count("SinglePartition") <= 3
     assert "partial_" in pt
+
+
+def test_extras36_recursion_is_keyed_joins(spark, sf_dir):
+    # native recursive CTE: levels are keyed joins (no cartesian); the
+    # depth bound lives in the recursion's WHERE
+    p = plan_of(spark, sf_dir, "q_recursive_reach")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p

@@ -210,7 +210,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one unioned stream + two user-partitioned windows
                   "q_join_asof_nearest",
                   # one tokenize pass + counted grain + broadcast totals
-                  "q_trending_terms"]
+                  "q_trending_terms",
+                  # native recursive CTE: keyed join per level, depth-bounded
+                  "q_recursive_reach"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
