@@ -92,4 +92,5 @@ def load_all() -> None:
         extras34,
         extras35,
         extras36,
+        extras37,
     )

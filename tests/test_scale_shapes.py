@@ -909,3 +909,12 @@ def test_extras36_recursion_is_keyed_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_recursive_reach")
     assert "CartesianProduct" not in p
     assert "partial_" in p
+
+
+def test_extras37_plans_are_bounded(spark, sf_dir):
+    # share-of-parent: one keyed fact join (nation/region broadcast),
+    # second-stage totals over the tiny grain broadcast back; no window
+    p = plan_of(spark, sf_dir, "q_share_of_parent")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "partial_" in p and "CartesianProduct" not in p
+    assert "Window" not in p
