@@ -93,4 +93,5 @@ def load_all() -> None:
         extras35,
         extras36,
         extras37,
+        extras38,
     )

@@ -918,3 +918,12 @@ def test_extras37_plans_are_bounded(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2
     assert "partial_" in p and "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_extras38_plans_are_bounded(spark, sf_dir):
+    # null-semantics: ONE conditional-counter aggregate pass over one
+    # scan (its 1-row final is the only SinglePartition)
+    p = plan_of(spark, sf_dir, "q_null_semantics")
+    assert p.count("Scan parquet  (") == 1
+    assert p.count("SinglePartition") <= 1
+    assert "partial_" in p
