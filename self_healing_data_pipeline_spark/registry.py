@@ -94,4 +94,5 @@ def load_all() -> None:
         extras36,
         extras37,
         extras38,
+        extras39,
     )

@@ -927,3 +927,13 @@ def test_extras38_plans_are_bounded(spark, sf_dir):
     assert p.count("Scan parquet  (") == 1
     assert p.count("SinglePartition") <= 1
     assert "partial_" in p
+
+
+def test_extras39_plans_are_bounded(spark, sf_dir):
+    # dedup explain: span self-join shuffles hashes; only the single
+    # top pair's positions reach the islands window (bounded frame);
+    # the scalar frames (top1 / max_run) are the SinglePartitions
+    p = plan_of(spark, sf_dir, "q_dedup_explain")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    assert p.count("SinglePartition") <= 5
