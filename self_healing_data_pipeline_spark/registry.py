@@ -95,4 +95,5 @@ def load_all() -> None:
         extras37,
         extras38,
         extras39,
+        extras40,
     )

@@ -937,3 +937,16 @@ def test_extras39_plans_are_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "partial_" in p
     assert p.count("SinglePartition") <= 5
+
+
+def test_extras40_plans_are_bounded(spark, sf_dir):
+    # inventory floor: two per-supplier windows, pure JVM (no
+    # Python-fold stage), no SinglePartition
+    p = plan_of(spark, sf_dir, "q_inventory_floor")
+    assert "SinglePartition" not in p
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p
+    assert "partial_" in p
+    # heatmap: one collapse to the bounded grid + broadcast total
+    ph = plan_of(spark, sf_dir, "q_events_heatmap")
+    assert ph.count("SinglePartition") <= 1
+    assert "partial_" in ph
