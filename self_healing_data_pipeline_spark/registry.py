@@ -96,4 +96,5 @@ def load_all() -> None:
         extras38,
         extras39,
         extras40,
+        extras41,
     )

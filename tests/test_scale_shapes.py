@@ -950,3 +950,17 @@ def test_extras40_plans_are_bounded(spark, sf_dir):
     ph = plan_of(spark, sf_dir, "q_events_heatmap")
     assert ph.count("SinglePartition") <= 1
     assert "partial_" in ph
+
+
+def test_extras41_plans_are_bounded(spark, sf_dir):
+    # bitemporal: 4-row probe grid broadcasts (nested-loop against a
+    # broadcast literal frame only); rank window partitions by
+    # (probe, customer); no SinglePartition
+    p = plan_of(spark, sf_dir, "q_bitemporal")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    # class weights: label-grain count + broadcast 1-row scalar
+    pc = plan_of(spark, sf_dir, "q_class_weights")
+    assert pc.count("SinglePartition") <= 1
+    assert "partial_" in pc

@@ -222,7 +222,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # two per-supplier windows, closed-form reflection
                   "q_inventory_floor",
                   # bounded 168-cell grid + broadcast total
-                  "q_events_heatmap"]
+                  "q_events_heatmap",
+                  # broadcast probe grid + (probe, customer) rank window
+                  "q_bitemporal",
+                  # label-grain count + broadcast scalar
+                  "q_class_weights"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
