@@ -97,4 +97,5 @@ def load_all() -> None:
         extras39,
         extras40,
         extras41,
+        extras42,
     )

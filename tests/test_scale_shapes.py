@@ -964,3 +964,15 @@ def test_extras41_plans_are_bounded(spark, sf_dir):
     pc = plan_of(spark, sf_dir, "q_class_weights")
     assert pc.count("SinglePartition") <= 1
     assert "partial_" in pc
+
+
+def test_extras42_plans_are_bounded(spark, sf_dir):
+    # corr matrix: one means pass + ONE moment scan; the scalar frames
+    # are the only SinglePartitions; no per-pair jobs
+    p = plan_of(spark, sf_dir, "q_corr_matrix")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # value percentile: broadcast probe grid + one counter pass
+    pv = plan_of(spark, sf_dir, "q_value_percentile")
+    assert "SinglePartition" not in pv
+    assert "partial_" in pv

@@ -226,7 +226,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast probe grid + (probe, customer) rank window
                   "q_bitemporal",
                   # label-grain count + broadcast scalar
-                  "q_class_weights"]
+                  "q_class_weights",
+                  # means pass + one centered-moment scan
+                  "q_corr_matrix",
+                  # broadcast probe grid + one counter pass
+                  "q_value_percentile"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
