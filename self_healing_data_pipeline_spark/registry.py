@@ -98,4 +98,5 @@ def load_all() -> None:
         extras40,
         extras41,
         extras42,
+        extras43,
     )

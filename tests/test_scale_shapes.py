@@ -976,3 +976,13 @@ def test_extras42_plans_are_bounded(spark, sf_dir):
     pv = plan_of(spark, sf_dir, "q_value_percentile")
     assert "SinglePartition" not in pv
     assert "partial_" in pv
+
+
+def test_extras43_plans_are_bounded(spark, sf_dir):
+    # FIFO: per-supplier windows + BANDED candidate join (equi on
+    # (sk, band) — no per-supplier nested loop), exact overlap filter
+    p = plan_of(spark, sf_dir, "q_fifo_allocation")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_" in p

@@ -230,7 +230,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # means pass + one centered-moment scan
                   "q_corr_matrix",
                   # broadcast probe grid + one counter pass
-                  "q_value_percentile"]
+                  "q_value_percentile",
+                  # per-supplier windows + banded interval-overlap join
+                  "q_fifo_allocation"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
