@@ -99,4 +99,5 @@ def load_all() -> None:
         extras41,
         extras42,
         extras43,
+        extras44,
     )

@@ -986,3 +986,17 @@ def test_extras43_plans_are_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_" in p
+
+
+def test_extras44_plans_are_bounded(spark, sf_dir):
+    # compaction planner: (month, file)-grain partial agg; running-
+    # bytes window partitions by month — never SinglePartition
+    p = plan_of(spark, sf_dir, "q_compaction_bins")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    # zone-map audit: per-file verdicts + pushed-down BETWEEN recount,
+    # broadcast month-grain join
+    pz = plan_of(spark, sf_dir, "q_zone_map_prune")
+    assert "SinglePartition" not in pz
+    assert "partial_" in pz
+    assert "GreaterThanOrEqual(l_extendedprice" in pz  # pushed filter
