@@ -100,4 +100,5 @@ def load_all() -> None:
         extras42,
         extras43,
         extras44,
+        extras45,
     )

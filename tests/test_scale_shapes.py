@@ -1000,3 +1000,16 @@ def test_extras44_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pz
     assert "partial_" in pz
     assert "GreaterThanOrEqual(l_extendedprice" in pz  # pushed filter
+
+
+def test_extras45_plans_are_bounded(spark, sf_dir):
+    # grouped OLS: broadcast group means + ONE moment pass per flag
+    p = plan_of(spark, sf_dir, "q_regr_slope")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    # gini: two-phase bucketed rank — windows partition by
+    # nation(/band), never a global total-order sort
+    pg = plan_of(spark, sf_dir, "q_gini_concentration")
+    assert "SinglePartition" not in pg
+    assert "partial_" in pg
