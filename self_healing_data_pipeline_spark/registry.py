@@ -101,4 +101,5 @@ def load_all() -> None:
         extras43,
         extras44,
         extras45,
+        extras46,
     )

@@ -1013,3 +1013,16 @@ def test_extras45_plans_are_bounded(spark, sf_dir):
     pg = plan_of(spark, sf_dir, "q_gini_concentration")
     assert "SinglePartition" not in pg
     assert "partial_" in pg
+
+
+def test_extras46_plans_are_bounded(spark, sf_dir):
+    # target encoding: category-grain agg + broadcast 1-row global
+    p = plan_of(spark, sf_dir, "q_target_encoding")
+    assert p.count("SinglePartition") <= 1  # only the 1-row global agg
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    # PMI table: cell/marginal counts, marginals broadcast back
+    pa = plan_of(spark, sf_dir, "q_assoc_pmi")
+    assert pa.count("SinglePartition") <= 1
+    assert "partial_" in pa
+    assert "BroadcastHashJoin" in pa
