@@ -102,4 +102,5 @@ def load_all() -> None:
         extras44,
         extras45,
         extras46,
+        extras47,
     )

@@ -1026,3 +1026,19 @@ def test_extras46_plans_are_bounded(spark, sf_dir):
     assert pa.count("SinglePartition") <= 1
     assert "partial_" in pa
     assert "BroadcastHashJoin" in pa
+
+
+def test_extras47_plans_are_bounded(spark, sf_dir):
+    # ACF: day-grain series, lag explode of the tiny frame, equi-join
+    p = plan_of(spark, sf_dir, "q_autocorrelation")
+    # scalar frames only (mean + denom and their exchanges) — all over
+    # the bounded day-grain series, never the fact path
+    assert p.count("SinglePartition") <= 4
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # OHLC: ONE partial-aggregated groupBy — no within-bar window
+    po = plan_of(spark, sf_dir, "q_ohlc_bars")
+    assert "SinglePartition" not in po
+    assert "partial_" in po
+    assert "Window" not in po
+    assert "EqualTo(event_type,purchase)" in po  # pushed filter
