@@ -103,4 +103,5 @@ def load_all() -> None:
         extras45,
         extras46,
         extras47,
+        extras48,
     )

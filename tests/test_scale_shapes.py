@@ -1042,3 +1042,17 @@ def test_extras47_plans_are_bounded(spark, sf_dir):
     assert "partial_" in po
     assert "Window" not in po
     assert "EqualTo(event_type,purchase)" in po  # pushed filter
+
+
+def test_extras48_plans_are_bounded(spark, sf_dir):
+    # KS drift: bucket-grain counts; prefix sum two-phase (superband
+    # offsets are the only SinglePartition window inputs — bounded
+    # frames), TakeOrdered argmax
+    p = plan_of(spark, sf_dir, "q_ks_drift")
+    assert "partial_" in p
+    assert "TakeOrderedAndProject" in p
+    # embedding covariance: broadcast means + ONE moment scan; only
+    # the scalar frames are SinglePartition
+    pe = plan_of(spark, sf_dir, "q_embedding_covariance")
+    assert "partial_" in pe
+    assert "CartesianProduct" not in pe
