@@ -232,7 +232,27 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast probe grid + one counter pass
                   "q_value_percentile",
                   # per-supplier windows + banded interval-overlap join
-                  "q_fifo_allocation"]
+                  "q_fifo_allocation",
+                  # (month, file)-grain agg + per-month running-bytes window
+                  "q_compaction_bins",
+                  # per-file zone verdicts + pushed-range recount
+                  "q_zone_map_prune",
+                  # broadcast group means + one moment pass per flag
+                  "q_regr_slope",
+                  # two-phase bucketed rank + nation-grain rollup
+                  "q_gini_concentration",
+                  # category-grain agg + broadcast 1-row global
+                  "q_target_encoding",
+                  # cell/marginal counts, marginals broadcast back
+                  "q_assoc_pmi",
+                  # day-grain series, lag explode, equi-join
+                  "q_autocorrelation",
+                  # one struct-min/max aggregate at bar grain
+                  "q_ohlc_bars",
+                  # bucket-grain ECDFs, two-phase prefix sums, TakeOrdered
+                  "q_ks_drift",
+                  # broadcast means + one moment scan of the vector column
+                  "q_embedding_covariance"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
