@@ -104,4 +104,5 @@ def load_all() -> None:
         extras46,
         extras47,
         extras48,
+        extras49,
     )

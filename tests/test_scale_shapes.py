@@ -1056,3 +1056,15 @@ def test_extras48_plans_are_bounded(spark, sf_dir):
     pe = plan_of(spark, sf_dir, "q_embedding_covariance")
     assert "partial_" in pe
     assert "CartesianProduct" not in pe
+
+
+def test_extras49_plans_are_bounded(spark, sf_dir):
+    # DiD: 2x2 cell aggregate over fact x broadcast dim, 1-row pivot
+    p = plan_of(spark, sf_dir, "q_did_uplift")
+    assert p.count("SinglePartition") <= 1  # only the 1-row pivot
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    # l-diversity: one QI-key shuffle with two-level distinct expand
+    pl = plan_of(spark, sf_dir, "q_l_diversity")
+    assert "SinglePartition" not in pl
+    assert "partial_" in pl
