@@ -135,3 +135,57 @@ def streaming_dedup(
     keys = keys or ["user_id", "event_type"]
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_ohlc_bars(
+    events: DataFrame,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    event_filter: str = "purchase",
+) -> DataFrame:
+    """Continuous OHLC CANDLES — the streaming twin of
+    ``queries/extras47.py::q_ohlc_bars``: per tumbling hour,
+    open/high/low/close/count/volume over purchase-event values, with
+    open/close resolved by min/max over (ts, event_id, cents) structs
+    — the SAME total-order aggregate as the batch query, so on-time
+    replay produces bit-identical bars (asserted in
+    ``tests/test_streaming.py``).
+
+    Because open/close are plain min/max aggregates (not positional
+    window functions), the bar state is fixed-width per (window) key
+    and merges associatively across micro-batches — late rows within
+    the watermark update a bar exactly as the batch form would have;
+    rows later than the watermark are dropped once the bar is final.
+    State per task is bounded by bars-in-horizon, not stream length."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    e = events.filter(F.col("event_type") == event_filter).select(
+        F.col(ts),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    first_s = F.min(F.struct(ts, "event_id", "cents"))
+    last_s = F.max(F.struct(ts, "event_id", "cents"))
+    return (
+        e.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(
+            first_s.getField("cents").cast("bigint").alias("open"),
+            F.max("cents").cast("bigint").alias("high"),
+            F.min("cents").cast("bigint").alias("low"),
+            last_s.getField("cents").cast("bigint").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_hour"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "volume_cents",
+        )
+    )

@@ -411,3 +411,25 @@ def test_streaming_ema_matches_batch_twin(spark, sf_dir, tmp_path):
         for r in QUERIES["q_ema"](spark, sf_dir).collect()
     }
     assert got == want  # bit-exact, including the float EMA
+
+
+def test_streaming_ohlc_matches_batch_twin(spark, sf_dir, events_stream_path):
+    """Replaying the full event fixture through the watermarked OHLC
+    aggregation must reproduce the batch q_ohlc_bars bars bit-exactly
+    (same struct-total-order open/close, same exact-integer cents)."""
+    from self_healing_data_pipeline_spark.streaming.windows import (
+        streaming_ohlc_bars,
+    )
+    import __spark_entry__ as entrymod
+
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(
+        events_stream_path
+    )
+    out = _run_stream(spark, streaming_ohlc_bars(stream_ev), "t_ohlc")
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in entrymod.queries()["q_ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == want
