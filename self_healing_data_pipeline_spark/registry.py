@@ -105,4 +105,5 @@ def load_all() -> None:
         extras47,
         extras48,
         extras49,
+        extras50,
     )

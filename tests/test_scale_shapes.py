@@ -1068,3 +1068,18 @@ def test_extras49_plans_are_bounded(spark, sf_dir):
     pl = plan_of(spark, sf_dir, "q_l_diversity")
     assert "SinglePartition" not in pl
     assert "partial_" in pl
+
+
+def test_extras50_plans_are_bounded(spark, sf_dir):
+    # AUC: value-grain collapse, two-phase banded prefix sum (band
+    # offsets are the only bounded SinglePartition window), scalar agg
+    p = plan_of(spark, sf_dir, "q_roc_auc")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # label propagation: k unrolled keyed joins + min aggregates —
+    # no window at all, no SinglePartition
+    pl = plan_of(spark, sf_dir, "q_label_propagation")
+    assert "SinglePartition" not in pl
+    assert "Window" not in pl
+    assert "partial_" in pl
+    assert "TakeOrderedAndProject" in pl
