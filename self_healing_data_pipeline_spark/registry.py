@@ -106,4 +106,5 @@ def load_all() -> None:
         extras48,
         extras49,
         extras50,
+        extras51,
     )

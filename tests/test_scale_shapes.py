@@ -1083,3 +1083,16 @@ def test_extras50_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pl
     assert "partial_" in pl
     assert "TakeOrderedAndProject" in pl
+
+
+def test_extras51_plans_are_bounded(spark, sf_dir):
+    # retention sweep: per-key lead window + rollup + TakeOrdered
+    p = plan_of(spark, sf_dir, "q_retention_sweep")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    assert "TakeOrderedAndProject" in p
+    # partition advisor: 3 bucket-grain counts each collapsed to a
+    # 1-row summary (those scalar frames are the only SinglePartition)
+    pa = plan_of(spark, sf_dir, "q_partition_advisor")
+    assert "partial_" in pa
+    assert "CartesianProduct" not in pa
