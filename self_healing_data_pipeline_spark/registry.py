@@ -107,4 +107,5 @@ def load_all() -> None:
         extras49,
         extras50,
         extras51,
+        extras52,
     )

@@ -1096,3 +1096,11 @@ def test_extras51_plans_are_bounded(spark, sf_dir):
     pa = plan_of(spark, sf_dir, "q_partition_advisor")
     assert "partial_" in pa
     assert "CartesianProduct" not in pa
+
+
+def test_extras52_plans_are_bounded(spark, sf_dir):
+    # media dedup: digest-grain groupBys + cluster-grain join; the
+    # shuffle key is the 64-hex digest, never payload bytes
+    p = plan_of(spark, sf_dir, "q_media_dedup")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
