@@ -108,4 +108,5 @@ def load_all() -> None:
         extras50,
         extras51,
         extras52,
+        extras53,
     )

@@ -1104,3 +1104,17 @@ def test_extras52_plans_are_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_media_dedup")
     assert "SinglePartition" not in p
     assert "partial_" in p
+
+
+def test_extras53_plans_are_bounded(spark, sf_dir):
+    # HHI: supplier-grain agg -> nation rollup, dim broadcast, no window
+    p = plan_of(spark, sf_dir, "q_hhi_concentration")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    # new-vs-returning: min agg + same-key join-back + month rollup
+    pn = plan_of(spark, sf_dir, "q_new_vs_returning")
+    assert "SinglePartition" not in pn
+    assert "Window" not in pn
+    assert "partial_" in pn
