@@ -109,4 +109,5 @@ def load_all() -> None:
         extras51,
         extras52,
         extras53,
+        extras54,
     )

@@ -1118,3 +1118,19 @@ def test_extras53_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pn
     assert "Window" not in pn
     assert "partial_" in pn
+
+
+def test_extras54_plans_are_bounded(spark, sf_dir):
+    # price-volume bridge: pushed range scan + broadcast dim + ONE
+    # brand-grain conditional aggregate
+    p = plan_of(spark, sf_dir, "q_price_volume_bridge")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p  # pushed range
+    # bot regularity: per-user lag window + raw-moment agg + TakeOrdered
+    pb = plan_of(spark, sf_dir, "q_bot_regularity")
+    assert "SinglePartition" not in pb
+    assert "partial_" in pb
+    assert "TakeOrderedAndProject" in pb
