@@ -110,4 +110,5 @@ def load_all() -> None:
         extras52,
         extras53,
         extras54,
+        extras55,
     )

@@ -1134,3 +1134,16 @@ def test_extras54_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pb
     assert "partial_" in pb
     assert "TakeOrderedAndProject" in pb
+
+
+def test_extras55_plans_are_bounded(spark, sf_dir):
+    # ANN recall eval: broadcast probe panel + centroid equi-join;
+    # rank windows partition by probe
+    p = plan_of(spark, sf_dir, "q_ann_recall_at_k")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    # temporal audit: one keyed fact join + month rollup, no window
+    pt = plan_of(spark, sf_dir, "q_dq_temporal_consistency")
+    assert "SinglePartition" not in pt
+    assert "Window" not in pt
+    assert "partial_" in pt
