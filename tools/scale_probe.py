@@ -252,7 +252,33 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # bucket-grain ECDFs, two-phase prefix sums, TakeOrdered
                   "q_ks_drift",
                   # broadcast means + one moment scan of the vector column
-                  "q_embedding_covariance"]
+                  "q_embedding_covariance",
+                  # 2x2 cell aggregate over fact x broadcast dim
+                  "q_did_uplift",
+                  # one QI-key shuffle with two-level distinct expand
+                  "q_l_diversity",
+                  # value-grain collapse + two-phase banded prefix sum
+                  "q_roc_auc",
+                  # 3 unrolled keyed joins + min aggregates
+                  "q_label_propagation",
+                  # per-key lead window + rollup + TakeOrdered
+                  "q_retention_sweep",
+                  # 3 bucket-grain counts collapsed to 1-row summaries
+                  "q_partition_advisor",
+                  # Arrow-batched synth + digest-grain dedup groupBys
+                  "q_media_dedup",
+                  # supplier-grain agg -> nation rollup, dim broadcast
+                  "q_hhi_concentration",
+                  # min agg + same-key join-back + month rollup
+                  "q_new_vs_returning",
+                  # pushed range scan + brand-grain conditional agg
+                  "q_price_volume_bridge",
+                  # per-user lag window + raw-moment agg + TakeOrdered
+                  "q_bot_regularity",
+                  # broadcast probe panel + centroid equi-join ANN eval
+                  "q_ann_recall_at_k",
+                  # one keyed fact join + month-grain rollup
+                  "q_dq_temporal_consistency"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
