@@ -111,4 +111,5 @@ def load_all() -> None:
         extras53,
         extras54,
         extras55,
+        extras56,
     )

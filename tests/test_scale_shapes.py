@@ -1147,3 +1147,15 @@ def test_extras55_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pt
     assert "Window" not in pt
     assert "partial_" in pt
+
+
+def test_extras56_plans_are_bounded(spark, sf_dir):
+    # pareto 80/20: count-value-grain frame windows only (bounded);
+    # user grain never sorts
+    p = plan_of(spark, sf_dir, "q_pareto_8020")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # encoding advisor: page-partitioned lag windows, no global sort
+    pe = plan_of(spark, sf_dir, "q_encoding_advisor")
+    assert "SinglePartition" not in pe
+    assert "partial_" in pe
