@@ -278,7 +278,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast probe panel + centroid equi-join ANN eval
                   "q_ann_recall_at_k",
                   # one keyed fact join + month-grain rollup
-                  "q_dq_temporal_consistency"]
+                  "q_dq_temporal_consistency",
+                  # user-grain count -> value-grain cumulative crossing
+                  "q_pareto_8020",
+                  # page-partitioned lag windows + per-column scalar agg
+                  "q_encoding_advisor"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
