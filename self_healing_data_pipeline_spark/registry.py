@@ -112,4 +112,5 @@ def load_all() -> None:
         extras54,
         extras55,
         extras56,
+        extras57,
     )

@@ -1160,3 +1160,22 @@ def test_extras56_plans_are_bounded(spark, sf_dir):
     pe = plan_of(spark, sf_dir, "q_encoding_advisor")
     assert pe.count("Window") >= 1
     assert "partial_" in pe
+
+
+def test_extras57_plans_are_bounded(spark, sf_dir):
+    # business days: one fact-fact equi-join + month-grain partial agg;
+    # the weekday closed form is pure integer expressions (no UDF, no
+    # calendar spine, no window)
+    p = plan_of(spark, sf_dir, "q_business_days")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # mann-kendall: day-grain collapse first; the pairwise sign join is
+    # broadcast on the bounded calendar grain; the only SinglePartitions
+    # are the 1-row scalar reductions (s/n/tie aggregates)
+    pm = plan_of(spark, sf_dir, "q_mann_kendall")
+    assert "Window" not in pm
+    assert "partial_" in pm
+    assert "BroadcastNestedLoopJoin" in pm
+    assert "CartesianProduct" not in pm
