@@ -113,4 +113,5 @@ def load_all() -> None:
         extras55,
         extras56,
         extras57,
+        extras58,
     )

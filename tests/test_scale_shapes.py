@@ -1179,3 +1179,21 @@ def test_extras57_plans_are_bounded(spark, sf_dir):
     assert "partial_" in pm
     assert "BroadcastNestedLoopJoin" in pm
     assert "CartesianProduct" not in pm
+
+
+def test_extras58_plans_are_bounded(spark, sf_dir):
+    # wilson: supplier-grain partial agg + broadcast dim + top-25; the
+    # formula is a pure column expression (no window, no UDF)
+    p = plan_of(spark, sf_dir, "q_wilson_ranking")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # lorenz: two-phase banded rank — within-band windows partition by
+    # band; the only SinglePartition windows run on BOUNDED grains
+    # (band offsets, the 10 decile rows)
+    pl = plan_of(spark, sf_dir, "q_lorenz_curve")
+    assert "partial_" in pl
+    assert "BroadcastHashJoin" in pl
+    assert "CartesianProduct" not in pl
