@@ -114,4 +114,5 @@ def load_all() -> None:
         extras56,
         extras57,
         extras58,
+        extras59,
     )

@@ -1197,3 +1197,18 @@ def test_extras58_plans_are_bounded(spark, sf_dir):
     assert "partial_" in pl
     assert "BroadcastHashJoin" in pl
     assert "CartesianProduct" not in pl
+
+
+def test_extras59_plans_are_bounded(spark, sf_dir):
+    # containment: asymmetric prefix filter -> posting join; windows
+    # partition by shingle/doc, never SinglePartition; no all-pairs
+    p = plan_of(spark, sf_dir, "q_dedup_containment")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # df/size/rank windows partition by sh/doc_id
+    # dict candidates: map-side gram explode + gram-grain count + top-50
+    pd = plan_of(spark, sf_dir, "q_dict_candidates")
+    assert "SinglePartition" not in pd
+    assert "Window" not in pd
+    assert "partial_" in pd
+    assert "TakeOrderedAndProject" in pd
