@@ -282,7 +282,19 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # user-grain count -> value-grain cumulative crossing
                   "q_pareto_8020",
                   # page-partitioned lag windows + per-column scalar agg
-                  "q_encoding_advisor"]
+                  "q_encoding_advisor",
+                  # fact-fact equi-join + month-grain partial agg
+                  "q_business_days",
+                  # day-grain collapse + bounded pairwise sign join
+                  "q_mann_kendall",
+                  # supplier-grain agg + broadcast dim + top-25
+                  "q_wilson_ranking",
+                  # two-phase banded rank -> 10 decile rows
+                  "q_lorenz_curve",
+                  # asymmetric prefix filter -> posting join -> verify
+                  "q_dedup_containment",
+                  # map-side gram explode + gram-grain count + top-50
+                  "q_dict_candidates"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
