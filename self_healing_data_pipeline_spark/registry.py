@@ -115,4 +115,5 @@ def load_all() -> None:
         extras57,
         extras58,
         extras59,
+        extras60,
     )

@@ -1212,3 +1212,21 @@ def test_extras59_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pd
     assert "partial_" in pd
     assert "TakeOrderedAndProject" in pd
+
+
+def test_extras60_plans_are_bounded(spark, sf_dir):
+    # fan-out audit: key-grain LEFT-join count + multiplicity-grain
+    # collapse; the only SinglePartition window runs over the BOUNDED
+    # multiplicity histogram (max lines per order)
+    p = plan_of(spark, sf_dir, "q_join_fanout_audit")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # bias audit: ONE category-grain conditional aggregate (sample is a
+    # filter expression, not a second scan), pure per-row float math
+    pb = plan_of(spark, sf_dir, "q_sample_bias_audit")
+    assert "SinglePartition" not in pb
+    assert "Window" not in pb
+    assert "partial_" in pb
+    # exactly ONE scan node (it appears twice in formatted output:
+    # once in the tree, once in the node detail)
+    assert pb.count("Scan parquet") == 2
