@@ -116,4 +116,5 @@ def load_all() -> None:
         extras58,
         extras59,
         extras60,
+        extras61,
     )

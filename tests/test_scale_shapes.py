@@ -1230,3 +1230,20 @@ def test_extras60_plans_are_bounded(spark, sf_dir):
     # exactly ONE scan node (it appears twice in formatted output:
     # once in the tree, once in the node detail)
     assert pb.count("Scan parquet") == 2
+
+
+def test_extras61_plans_are_bounded(spark, sf_dir):
+    # session co-occurrence: per-user lag/cumsum windows (parallel by
+    # user), distinct (session,type) grain, bounded 9x pair fan-out;
+    # the only SinglePartition is the 1-row session-count scalar
+    p = plan_of(spark, sf_dir, "q_session_cooccurrence")
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # feature-hash audit: feature-grain collapse first (one pass over
+    # fact x broadcast dim), then ~150-row hash/collision groupBy
+    pf = plan_of(spark, sf_dir, "q_feature_hash_audit")
+    assert "SinglePartition" not in pf
+    assert "Window" not in pf
+    assert "partial_" in pf
+    assert "BroadcastHashJoin" in pf
