@@ -294,7 +294,15 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # asymmetric prefix filter -> posting join -> verify
                   "q_dedup_containment",
                   # map-side gram explode + gram-grain count + top-50
-                  "q_dict_candidates"]
+                  "q_dict_candidates",
+                  # key-grain LEFT-join count + multiplicity collapse
+                  "q_join_fanout_audit",
+                  # one category-grain conditional aggregate, single scan
+                  "q_sample_bias_audit",
+                  # per-user lag/cumsum windows + bounded pair fan-out
+                  "q_session_cooccurrence",
+                  # feature-grain collapse + 150-row collision groupBy
+                  "q_feature_hash_audit"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
