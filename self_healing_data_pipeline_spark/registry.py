@@ -117,4 +117,6 @@ def load_all() -> None:
         extras59,
         extras60,
         extras61,
+        extras62,
+        extras63,
     )

@@ -1247,3 +1247,33 @@ def test_extras61_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pf
     assert "partial_" in pf
     assert "BroadcastHashJoin" in pf
+
+
+def test_extras62_plans_are_bounded(spark, sf_dir):
+    # sort-key what-if: one distinct-count aggregate per candidate —
+    # no window, no sort; SinglePartitions are the 1-row summaries
+    p = plan_of(spark, sf_dir, "q_sort_key_whatif")
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # degree distribution: per-order pair join (bounded basket fan-out),
+    # part-grain degree agg, log-bucket histogram
+    pd = plan_of(spark, sf_dir, "q_degree_distribution")
+    assert "SinglePartition" not in pd
+    assert "Window" not in pd
+    assert "partial_" in pd
+
+
+def test_extras63_plans_are_bounded(spark, sf_dir):
+    # growth accounting: DISTINCT (user, week) grain; self-joins are
+    # co-partitioned on user; ledger collapses at week grain
+    p = plan_of(spark, sf_dir, "q_growth_accounting")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    # vocab growth: first-seen grain + bounded checkpoint broadcast
+    # range join — no per-prefix rescans, no corpus-order window
+    pv = plan_of(spark, sf_dir, "q_vocab_growth")
+    assert "SinglePartition" not in pv
+    assert "Window" not in pv
+    assert "partial_" in pv
