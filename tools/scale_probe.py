@@ -302,7 +302,15 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # per-user lag/cumsum windows + bounded pair fan-out
                   "q_session_cooccurrence",
                   # feature-grain collapse + 150-row collision groupBy
-                  "q_feature_hash_audit"]
+                  "q_feature_hash_audit",
+                  # one distinct-count aggregate per candidate key
+                  "q_sort_key_whatif",
+                  # per-order pair join + part-grain degree histogram
+                  "q_degree_distribution",
+                  # distinct (user,week) grain + wk±1 self-joins
+                  "q_growth_accounting",
+                  # first-seen grain + bounded checkpoint range join
+                  "q_vocab_growth"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
