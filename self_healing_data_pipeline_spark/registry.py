@@ -119,4 +119,6 @@ def load_all() -> None:
         extras61,
         extras62,
         extras63,
+        extras64,
+        extras65,
     )

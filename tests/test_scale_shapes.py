@@ -1277,3 +1277,34 @@ def test_extras63_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pv
     assert "Window" not in pv
     assert "partial_" in pv
+
+
+def test_extras64_plans_are_bounded(spark, sf_dir):
+    # price relatives: (brand, month) cell aggregate bounds everything;
+    # broadcast dim + tiny-table join-backs, no window
+    p = plan_of(spark, sf_dir, "q_price_relatives")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    # burstiness: (word, doc) grain -> word-grain integer raw moments,
+    # top-30 TakeOrdered; the 1-row N scalar is the only SinglePartition
+    pb = plan_of(spark, sf_dir, "q_word_burstiness")
+    assert "Window" not in pb
+    assert "partial_" in pb
+    assert "TakeOrderedAndProject" in pb
+
+
+def test_extras65_plans_are_bounded(spark, sf_dir):
+    # ABC: two-phase banded rank (descending) — within-band windows
+    # partition by band; SinglePartitions only on bounded grains
+    # (band offsets, 3 class rows)
+    p = plan_of(spark, sf_dir, "q_abc_classification")
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # novelty: shingle first-seen MIN + one join-back + source rollup
+    pn = plan_of(spark, sf_dir, "q_doc_novelty")
+    assert "SinglePartition" not in pn
+    assert "Window" not in pn
+    assert "partial_" in pn
