@@ -310,7 +310,15 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # distinct (user,week) grain + wk±1 self-joins
                   "q_growth_accounting",
                   # first-seen grain + bounded checkpoint range join
-                  "q_vocab_growth"]
+                  "q_vocab_growth",
+                  # (brand,month) cell aggregate + tiny join-backs
+                  "q_price_relatives",
+                  # (word,doc) grain -> word-grain integer raw moments
+                  "q_word_burstiness",
+                  # two-phase banded descending rank -> 3 class rows
+                  "q_abc_classification",
+                  # shingle first-seen MIN + join-back + source rollup
+                  "q_doc_novelty"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
