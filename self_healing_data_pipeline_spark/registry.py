@@ -121,4 +121,5 @@ def load_all() -> None:
         extras63,
         extras64,
         extras65,
+        extras66,
     )

@@ -1308,3 +1308,18 @@ def test_extras65_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in pn
     assert "Window" not in pn
     assert "partial_" in pn
+
+
+def test_extras66_plans_are_bounded(spark, sf_dir):
+    # bullwhip: two month-grain aggregates -> integer raw moments;
+    # the two scalar reductions are the only SinglePartitions
+    p = plan_of(spark, sf_dir, "q_bullwhip")
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # clustering depth: page-grain MIN/MAX per column -> 1-row scalar
+    # rollups; no window, no sort
+    pc = plan_of(spark, sf_dir, "q_clustering_depth")
+    assert "Window" not in pc
+    assert "partial_" in pc
+    assert "CartesianProduct" not in pc
