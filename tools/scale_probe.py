@@ -318,7 +318,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # two-phase banded descending rank -> 3 class rows
                   "q_abc_classification",
                   # shingle first-seen MIN + join-back + source rollup
-                  "q_doc_novelty"]
+                  "q_doc_novelty",
+                  # two month-grain aggregates -> integer raw moments
+                  "q_bullwhip",
+                  # page-grain MIN/MAX per column -> scalar rollups
+                  "q_clustering_depth"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
