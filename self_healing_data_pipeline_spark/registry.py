@@ -122,4 +122,5 @@ def load_all() -> None:
         extras64,
         extras65,
         extras66,
+        extras67,
     )

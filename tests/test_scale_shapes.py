@@ -1323,3 +1323,18 @@ def test_extras66_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pc
     assert "partial_" in pc
     assert "CartesianProduct" not in pc
+
+
+def test_extras67_plans_are_bounded(spark, sf_dir):
+    # selectivity audit: two-phase banded cumulative (in-bucket window
+    # partitions by megabucket); probes are ONE conditional-agg pass;
+    # SinglePartitions only on bounded grains (offsets, scalars)
+    p = plan_of(spark, sf_dir, "q_selectivity_audit")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # dataset card: ONE aggregate pass over documents — no join, no
+    # window, no explode; the 1-row card is the only SinglePartition
+    pd = plan_of(spark, sf_dir, "q_dataset_card")
+    assert "Window" not in pd
+    assert "partial_" in pd
+    assert pd.count("Scan parquet") == 2  # one scan node (tree+detail)
