@@ -322,7 +322,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # two month-grain aggregates -> integer raw moments
                   "q_bullwhip",
                   # page-grain MIN/MAX per column -> scalar rollups
-                  "q_clustering_depth"]
+                  "q_clustering_depth",
+                  # two-phase banded histogram + one conditional-agg pass
+                  "q_selectivity_audit",
+                  # ONE aggregate pass over documents, no explode
+                  "q_dataset_card"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
