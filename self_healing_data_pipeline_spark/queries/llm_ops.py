@@ -92,7 +92,7 @@ def q_split_assign(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT doc_id, text,
-             CAST(FLOOR(GREATEST(LENGTH(text) - 200, 0) / 150.0) AS BIGINT)
+             CAST(CEIL(GREATEST(LENGTH(text) - 200, 0) / 150.0) AS BIGINT)
                AS hi
       FROM documents
     ), ex AS (
@@ -109,13 +109,19 @@ def q_split_assign(spark, sf_dir):
 )
 def q_doc_chunks(spark, sf_dir):
     """Fixed-window document chunking: 200-char chunks on a 150-char
-    stride (50-char overlap so no boundary context is lost) — the standard
+    stride (50-char overlap so no boundary context is lost; the final
+    chunk shortens to end exactly at the document tail) — the standard
     pre-tokenization segmentation for long documents. The window index
     sequence is computed engine-side (sequence + posexplode, no UDF); the
     output carries a 16-hex chunk hash, not the chunk text, so downstream
     chunk-level dedup shuffles 16 bytes per chunk."""
     d = read_table(spark, sf_dir, "documents")
-    n_chunks_minus1 = F.floor(
+    # CEIL, not floor: floor(（n-W)/S) leaves an uncovered tail of up to
+    # S-1 characters whenever (n-W) % S != 0 (349 of 500 fixture docs) —
+    # the round-6 chunk-coverage audit (q_chunk_coverage_audit) caught
+    # this; with ceil the last (possibly shorter) chunk always reaches
+    # the end of the document.
+    n_chunks_minus1 = F.ceil(
         F.greatest(F.length("text") - 200, F.lit(0)) / 150.0
     ).cast("int")
     chunk = F.expr("substring(text, 1 + chunk_idx * 150, 200)")

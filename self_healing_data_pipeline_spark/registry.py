@@ -123,4 +123,5 @@ def load_all() -> None:
         extras65,
         extras66,
         extras67,
+        extras68,
     )

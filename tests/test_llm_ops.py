@@ -55,9 +55,13 @@ def test_doc_chunks_cover_every_document(spark, sf_dir):
     for r in docs.select("doc_id", F.length("text").alias("n")).collect():
         info = per_doc[r["doc_id"]]
         assert info["n_chunks"] == info["max_idx"] + 1  # contiguous indices
-        # stride 150 / window 200: chunks cover [1, n] — last chunk start
-        # (max_idx*150+1) must be within the text
-        assert info["max_idx"] * 150 + 1 <= max(r["n"], 1)
+        # stride 150 / window 200: chunks cover [1, n] — the last chunk
+        # must START within the text AND reach its end (the tail-loss
+        # defect the round-6 coverage audit caught: floor-based chunk
+        # counts dropped up to 149 tail chars on most docs)
+        last_start = info["max_idx"] * 150
+        assert last_start + 1 <= max(r["n"], 1)
+        assert last_start + 200 >= r["n"]
         # ... and the windows reach the end: total chunk chars ≥ n
         assert info["sum_len"] >= min(r["n"], 200)
 

@@ -1338,3 +1338,20 @@ def test_extras67_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pd
     assert "partial_" in pd
     assert pd.count("Scan parquet") == 2  # one scan node (tree+detail)
+
+
+def test_extras68_plans_are_bounded(spark, sf_dir):
+    # chunk audit: pure integer expressions per doc + source rollup —
+    # no explode, no window, no join, ONE scan
+    p = plan_of(spark, sf_dir, "q_chunk_coverage_audit")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert p.count("Scan parquet") == 2  # one scan node (tree+detail)
+    # threshold sweep: 0.7-prefix postings join + exact verify, ONE
+    # conditional-agg collapse (the 1-row scalar is the only
+    # SinglePartition); windows partition by sh/doc_id
+    ps = plan_of(spark, sf_dir, "q_dedup_threshold_sweep")
+    assert "CartesianProduct" not in ps
+    assert "Window" in ps
+    assert "partial_" in ps
