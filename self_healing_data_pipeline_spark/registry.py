@@ -124,4 +124,5 @@ def load_all() -> None:
         extras66,
         extras67,
         extras68,
+        extras69,
     )

@@ -1355,3 +1355,19 @@ def test_extras68_plans_are_bounded(spark, sf_dir):
     assert "CartesianProduct" not in ps
     assert "Window" in ps
     assert "partial_" in ps
+
+
+def test_extras69_plans_are_bounded(spark, sf_dir):
+    # fertility: Arrow-batched BPE kernel in one narrow projection +
+    # lang-grain aggregate; no window, no join, text never shuffles
+    p = plan_of(spark, sf_dir, "q_tokenizer_fertility")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "ArrowEvalPython" in p
+    # stopword discovery: word-grain integer raw moments + broadcast
+    # scalar; the 1-row N is the only SinglePartition
+    ps = plan_of(spark, sf_dir, "q_stopword_discovery")
+    assert "Window" not in ps
+    assert "partial_" in ps
+    assert "CartesianProduct" not in ps
