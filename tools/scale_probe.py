@@ -330,7 +330,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # closed-form integer expressions + source rollup
                   "q_chunk_coverage_audit",
                   # 0.7-prefix postings join + one conditional collapse
-                  "q_dedup_threshold_sweep"]
+                  "q_dedup_threshold_sweep",
+                  # Arrow-batched BPE kernel + lang-grain aggregate
+                  "q_tokenizer_fertility",
+                  # word-grain integer raw moments + broadcast scalar
+                  "q_stopword_discovery"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
