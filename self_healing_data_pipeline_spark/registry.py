@@ -125,4 +125,5 @@ def load_all() -> None:
         extras67,
         extras68,
         extras69,
+        extras70,
     )

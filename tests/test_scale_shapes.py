@@ -1371,3 +1371,18 @@ def test_extras69_plans_are_bounded(spark, sf_dir):
     assert "Window" not in ps
     assert "partial_" in ps
     assert "CartesianProduct" not in ps
+
+
+def test_extras70_plans_are_bounded(spark, sf_dir):
+    # reconciliation: key-grain line aggregate + co-partitionable LEFT
+    # join + bounded decade rollup; no window
+    p = plan_of(spark, sf_dir, "q_ledger_reconciliation")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    # SCD2 integrity: per-key lead window (parallel by key) + key-grain
+    # aggregate; the 1-row corpus rollup is the only SinglePartition
+    ps = plan_of(spark, sf_dir, "q_scd2_integrity")
+    assert "Window" in ps
+    assert "partial_" in ps
+    assert "CartesianProduct" not in ps
