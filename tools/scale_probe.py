@@ -334,7 +334,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # Arrow-batched BPE kernel + lang-grain aggregate
                   "q_tokenizer_fertility",
                   # word-grain integer raw moments + broadcast scalar
-                  "q_stopword_discovery"]
+                  "q_stopword_discovery",
+                  # key-grain line agg + LEFT join + decade rollup
+                  "q_ledger_reconciliation",
+                  # per-key lead window + key-grain aggregate
+                  "q_scd2_integrity"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
