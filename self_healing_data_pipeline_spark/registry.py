@@ -126,4 +126,5 @@ def load_all() -> None:
         extras68,
         extras69,
         extras70,
+        extras71,
     )

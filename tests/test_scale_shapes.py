@@ -1386,3 +1386,19 @@ def test_extras70_plans_are_bounded(spark, sf_dir):
     assert "Window" in ps
     assert "partial_" in ps
     assert "CartesianProduct" not in ps
+
+
+def test_extras71_plans_are_bounded(spark, sf_dir):
+    # feature screen: value-grain count + scalar collapse per column;
+    # the 1-row summaries are the only SinglePartitions
+    p = plan_of(spark, sf_dir, "q_feature_screen")
+    assert "Window" not in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # double-payment queue: equi self-join on custkey (residual day
+    # window) + top-25 TakeOrdered; never a per-customer cross
+    pd = plan_of(spark, sf_dir, "q_double_payment")
+    assert "SinglePartition" not in pd
+    assert "Window" not in pd
+    assert "CartesianProduct" not in pd
+    assert "TakeOrderedAndProject" in pd
