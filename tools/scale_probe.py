@@ -338,7 +338,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # key-grain line agg + LEFT join + decade rollup
                   "q_ledger_reconciliation",
                   # per-key lead window + key-grain aggregate
-                  "q_scd2_integrity"]
+                  "q_scd2_integrity",
+                  # value-grain count + scalar collapse per column
+                  "q_feature_screen",
+                  # custkey equi self-join + day residual + top-25
+                  "q_double_payment"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
