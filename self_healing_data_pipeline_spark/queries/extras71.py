@@ -69,9 +69,14 @@ def q_feature_screen(spark, sf_dir):
     outs = []
     for c in _SCREEN_COLS:
         vc = o.groupBy(c).agg(F.count(F.lit(1)).cast("bigint").alias("vc"))
+        # NULL convention matches the oracle: n_rows and top_value_rows
+        # include the NULL group (COUNT(*) / MAX over all partitions),
+        # but ndv is COUNT(DISTINCT c) which EXCLUDES NULLs — counting
+        # non-null c at the value grain (one row per distinct value,
+        # count(c) skips the NULL group's row) reproduces that exactly.
         stats = vc.agg(
             F.sum("vc").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("ndv"),
+            F.count(F.col(c)).cast("bigint").alias("ndv"),
             F.max("vc").cast("bigint").alias("top_value_rows"),
         )
         outs.append(

@@ -50,10 +50,17 @@ def _update_lateness(
         state.get if state.exists else (-1, 0, 0, 0, 0)
     )
     drops = {1: d1, 5: d5, 15: d15}
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values("event_id", kind="mergesort")
+    # Materialize the whole micro-batch for this key before sorting:
+    # applyInPandasWithState delivers a group's rows as multiple ~10k-row
+    # Arrow chunks in arbitrary post-shuffle order, so a per-chunk sort
+    # would let the carried prefix-max fold see chunks out of ingest
+    # order and mis-count drops. One concat + one global event_id sort
+    # restores the batch twin's contract; state stays O(1) per key.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "event_id", kind="mergesort"
+        )
         us = pdf["us"].to_numpy(dtype=np.int64)
         # Vectorized arrival-order fold: the max seen BEFORE row i is
         # max(carried max_seen, running max of us[:i]).

@@ -79,3 +79,54 @@ def test_streaming_lateness_matches_batch_audit(spark, sf_dir, tmp_path):
         assert d1 == want[t][1], t
         assert d5 == want[t][5], t
         assert d15 == want[t][15], t
+
+
+def test_update_fold_is_chunk_order_invariant():
+    """Arrow delivers a group's micro-batch as multiple chunks in
+    arbitrary post-shuffle order; the fold must concat+sort before
+    folding, so any chunk permutation yields identical counters."""
+    import itertools
+
+    import pandas as pd
+
+    from self_healing_data_pipeline_spark.streaming import lateness
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    # event_ids 1..6 in ingest order; event 4 arrives 10 min late
+    # (prev max 7200s vs its own 6600s -> dropped at 1m and 5m).
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "us": [
+                3600_000_000,
+                7200_000_000,
+                7260_000_000,
+                6600_000_000,
+                7320_000_000,
+                7250_000_000,
+            ],
+        }
+    )
+    chunk_a, chunk_b = rows.iloc[:3], rows.iloc[3:]
+    results = set()
+    for perm in itertools.permutations([chunk_a, chunk_b]):
+        st = _FakeState()
+        list(lateness._update_lateness(("click",), list(perm), st))
+        results.add(st.stored)
+    assert len(results) == 1
+    max_us, n, d1, d5, d15 = results.pop()
+    assert (max_us, n) == (7320_000_000, 6)
+    # event 4: 600s late (>1m, >5m, not >15m); event 6: 70s late (>1m)
+    assert (d1, d5, d15) == (2, 1, 0)
