@@ -15,6 +15,14 @@ from __future__ import annotations
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
+# Recursion bound for the UNION ALL walk below. The walk has NO
+# per-level dedup, so walk volume is Σ deg^depth — depth 2 is safe on
+# the co-occurrence graph; anything deeper is combinatorial. Guarded by
+# the assert below and by tests/test_recursive_depth_guard.py; if you
+# need deeper reach, use q_khop_reach (DISTINCT frontier per hop).
+_MAX_DEPTH = 2
+assert _MAX_DEPTH <= 2, "undeduplicated recursive walk must stay <= 2 hops"
+
 # One SQL text, two engines: only the lineitem relation name differs.
 _RCTE_SQL = """
     WITH RECURSIVE pp AS (
@@ -36,7 +44,7 @@ _RCTE_SQL = """
       UNION ALL
       SELECT a.v, r.depth + 1
       FROM reach r JOIN adj a ON a.u = r.node
-      WHERE r.depth < 2
+      WHERE r.depth < {max_depth}
     ), md AS (
       SELECT node, MIN(depth) AS d FROM reach GROUP BY node
     )
@@ -47,7 +55,7 @@ _RCTE_SQL = """
 """
 
 
-@query("q_recursive_reach", oracle=_RCTE_SQL.format(tbl="lineitem"))
+@query("q_recursive_reach", oracle=_RCTE_SQL.format(tbl="lineitem", max_depth=_MAX_DEPTH))
 def q_recursive_reach(spark, sf_dir):
     """Native WITH RECURSIVE reachability: 2-hop reach from the three
     smallest co-occurrence-graph nodes, written as a SQL-2008
@@ -69,4 +77,4 @@ def q_recursive_reach(spark, sf_dir):
     dedup barrier."""
     li = read_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_rcte")
-    return spark.sql(_RCTE_SQL.format(tbl="lineitem_rcte"))
+    return spark.sql(_RCTE_SQL.format(tbl="lineitem_rcte", max_depth=_MAX_DEPTH))
