@@ -64,6 +64,89 @@ def shingles(col, n: int = 5) -> F.Column:
     )
 
 
+def shingle_exploded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, shingle) grain: each doc's DISTINCT word n-gram shingles,
+    one row per (doc, shingle). The single source of the explode used
+    by every set-similarity query, so the normalization/shingling
+    constants cannot drift between them."""
+    return docs.select(
+        id_col, F.explode(shingles(text_col, n)).alias(out_col)
+    ).distinct()
+
+
+def shingle_grain(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    sh_col: str = "sh",
+) -> DataFrame:
+    """(doc_id, sh, df, s): the shingle grain annotated with shingle
+    document frequency ``df`` and per-doc set size ``s``.
+
+    Scale shape (shared by all prefix-filter consumers): df and s
+    attach as COUNT windows over their own partition keys — two
+    exchanges of the shingle-grain total (hash(sh), then hash(doc_id),
+    the latter reused by the prefix rank), instead of the
+    groupBy-then-join-back form's five. Shuffles carry each shingle
+    string at most twice."""
+    sh = shingle_exploded(docs, id_col, text_col, n, sh_col)
+    return sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy(sh_col))
+    ).withColumn(
+        "s", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+
+
+def prefix_rows(
+    grain: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """PPJoin prefix rows for threshold num/den over a
+    :func:`shingle_grain` frame: keep each doc's
+    ``s - ceil(num/den * s) + 1`` rarest shingles under the global
+    rare-first (df, sh) order — two sets with J >= num/den (or
+    containment >= num/den on the contained side) MUST share a prefix
+    element, so the prefix-grain join loses no true pair.
+
+    ceil is the EXACT integer ``(num*s + den-1) div den`` — a float
+    ``num/den * s`` rounds up at multiples of den and would silently
+    shrink the prefix (= false negatives, the one thing an exact join
+    must never have)."""
+    wrank = Window.partitionBy(id_col).orderBy("df", sh_col)
+    ceil_ts = F.floor(
+        (F.lit(num) * F.col("s") + F.lit(den - 1)) / F.lit(den)
+    )
+    return (
+        grain.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= F.col("s") - ceil_ts + 1)
+        .select(id_col, sh_col)
+    )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, shs): each doc's sorted distinct shingle ARRAY — the
+    verification side of the prefix-filter joins (array_intersect /
+    array_union on candidate pairs only)."""
+    return docs.select(
+        id_col, F.array_sort(shingles(text_col, n)).alias("shs")
+    )
+
+
 import re as _re
 
 _NORM_RE = _re.compile(r"[^a-z0-9]+")

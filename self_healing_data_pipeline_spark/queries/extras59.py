@@ -12,13 +12,11 @@ products of exact counts."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.operators.dedup import (
     NORMALIZE_TEXT_SQL as _NORM,
 )
-from self_healing_data_pipeline_spark.operators.dedup import shingles
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -83,32 +81,26 @@ def q_dedup_containment(spark, sf_dir):
     arrays and checks 5·|A∩B| ≥ 4·|A| in exact integers. The oracle
     is the complete shared-shingle formulation over ALL ordered
     pairs — equality proves the prefix filter lost nothing."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", 5)).alias("sh")
-    ).distinct()
-    wsh = Window.partitionBy("sh")
-    wdoc = Window.partitionBy("doc_id")
-    wrank = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wsh))
-        .withColumn("s", F.count(F.lit(1)).over(wdoc))
-        .withColumn("rn", F.row_number().over(wrank))
-        .where(
-            F.col("rn")
-            <= F.col("s") - F.floor((F.lit(4) * F.col("s") + 4) / 5) + 1
-        )
-        .select("doc_id", "sh")
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        prefix_rows,
+        shingle_exploded,
+        shingle_grain,
+        shingle_sets,
     )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # Shared shingle prep (operators/dedup): the contained side keeps
+    # its 0.8-threshold prefix; the container side is the FULL posting
+    # list (asymmetric PPJoin containment variant).
+    prefix = prefix_rows(shingle_grain(docs), 4, 5)
+    sh = shingle_exploded(docs)
     post = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(post, (prefix.sh == post.sh2) & (prefix.doc_id != post.d2))
         .select(F.col("doc_id").alias("contained_id"), F.col("d2").alias("container_id"))
         .distinct()
     )
-    sets = docs.select(
-        "doc_id", F.array_sort(shingles("text", 5)).alias("shs")
-    )
+    sets = shingle_sets(docs)
     return (
         cand.join(
             sets.select(

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from self_healing_data_pipeline_spark.operators.dedup import shingles
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -178,10 +177,12 @@ def q_doc_novelty(spark, sf_dir):
     novel counts come from one join-back on the shingle key (shuffles
     carry shingle strings once), and the source rollup is a bounded
     aggregate. No pairwise comparisons anywhere."""
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        shingle_exploded,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", 5)).alias("s")
-    ).distinct()
+    sh = shingle_exploded(docs, out_col="s")
     first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
     per_doc = (
         sh.join(first_seen, "s")

@@ -11,10 +11,8 @@ closed form; sweep counts are exact pair counts per threshold."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from self_healing_data_pipeline_spark.operators.dedup import shingles
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -161,33 +159,23 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     for 0.7 — s − ceil(0.7·s) + 1 rarest shingles — then ONE
     conditional-aggregate collapse to a single row of four exact
     counters. No per-threshold rescans."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", 5)).alias("sh")
-    ).distinct()
-    wsh = Window.partitionBy("sh")
-    wdoc = Window.partitionBy("doc_id")
-    wrank = Window.partitionBy("doc_id").orderBy("df", "sh")
-    # prefix for J >= 0.7: p = s - ceil(0.7 s) + 1, exact integer ceil
-    prefix = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wsh))
-        .withColumn("s", F.count(F.lit(1)).over(wdoc))
-        .withColumn("rn", F.row_number().over(wrank))
-        .where(
-            F.col("rn")
-            <= F.col("s") - F.floor((F.lit(7) * F.col("s") + 9) / 10) + 1
-        )
-        .select("doc_id", "sh")
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        prefix_rows,
+        shingle_grain,
+        shingle_sets,
     )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # Shared shingle prep (operators/dedup); prefix sized for J >= 0.7
+    # (the loosest swept threshold), exact integer ceil inside.
+    prefix = prefix_rows(shingle_grain(docs), 7, 10)
     p2 = prefix.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(p2, (prefix.sh == p2.sh2) & (prefix.doc_id < p2.d2))
         .select(F.col("doc_id").alias("d1"), "d2")
         .distinct()
     )
-    sets = docs.select(
-        "doc_id", F.array_sort(shingles("text", 5)).alias("shs")
-    )
+    sets = shingle_sets(docs)
     j = (
         cand.join(
             sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("a")),

@@ -334,40 +334,24 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     only for the reported jaccard). The oracle is the complete
     shared-shingle formulation — equality proves the prefix filter
     lost nothing."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", 5)).alias("sh")
-    ).distinct()
-    # df and set size attach as COUNT windows over their own partition
-    # keys — two exchanges of the shingle grain total (hash(sh), then
-    # hash(doc_id) shared by the size count and the rank), instead of
-    # the groupBy-then-join-back form's five.
-    # Prefix length p = s - ceil(0.8*s) + 1, with ceil(0.8*s) computed
-    # as the EXACT integer (4*s + 4) div 5 — a float 0.8*s rounds up at
-    # multiples of 5 and would silently shrink the prefix (= false
-    # negatives, the one thing an exact join must never have).
-    wsh = Window.partitionBy("sh")
-    wdoc = Window.partitionBy("doc_id")
-    wrank = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wsh))
-        .withColumn("s", F.count(F.lit(1)).over(wdoc))
-        .withColumn("rn", F.row_number().over(wrank))
-        .where(
-            F.col("rn")
-            <= F.col("s") - F.floor((F.lit(4) * F.col("s") + 4) / 5) + 1
-        )
-        .select("doc_id", "sh")
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        prefix_rows,
+        shingle_grain,
+        shingle_sets,
     )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # Shared shingle prep (operators/dedup.shingle_grain): (doc_id, sh,
+    # df, s) in two window exchanges; prefix_rows keeps each doc's
+    # s - ceil(0.8*s) + 1 rarest shingles with the exact-integer ceil.
+    prefix = prefix_rows(shingle_grain(docs), 4, 5)
     p2 = prefix.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(p2, (prefix.sh == p2.sh2) & (prefix.doc_id < p2.d2))
         .select(F.col("doc_id").alias("d1"), "d2")
         .distinct()
     )
-    sets = docs.select(
-        "doc_id", F.array_sort(shingles("text", 5)).alias("shs")
-    )
+    sets = shingle_sets(docs)
     verified = (
         cand.join(
             sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("a")), "d1"
