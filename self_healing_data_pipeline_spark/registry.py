@@ -127,4 +127,5 @@ def load_all() -> None:
         extras69,
         extras70,
         extras71,
+        extras72,
     )

@@ -1402,3 +1402,19 @@ def test_extras71_plans_are_bounded(spark, sf_dir):
     assert "Window" not in pd
     assert "CartesianProduct" not in pd
     assert "TakeOrderedAndProject" in pd
+
+
+def test_extras72_plans_are_bounded(spark, sf_dir):
+    # IVFADC: the only cartesian is the broadcast probe-panel
+    # crossJoin of the exact-truth eval branch (the harness pattern);
+    # the ADC scan joins the broadcast spec on centroid_id, and all
+    # windows partition by probe — no global sort, no SinglePartition
+    # window.
+    p = plan_of(spark, sf_dir, "q_ann_ivfadc")
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p
+    # every window partitions by probe_id — a Window over
+    # SinglePartition would serialize the panel
+    import re
+
+    for frag in re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\]", p):
+        assert "probe_id" in frag

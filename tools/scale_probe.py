@@ -342,7 +342,10 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # value-grain count + scalar collapse per column
                   "q_feature_screen",
                   # custkey equi self-join + day residual + top-25
-                  "q_double_payment"]
+                  "q_double_payment",
+                  # IVF+PQ index build (narrow kernels + dim-grain
+                  # aggregates) + code-only ADC scan of probed lists
+                  "q_ann_ivfadc"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
