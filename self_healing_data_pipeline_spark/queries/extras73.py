@@ -1,0 +1,230 @@
+"""Round-7 batch 56 (SURVEY.md Tier-A catalog / reference vision
+``README.md:7``): the KNOWLEDGE-GRAPH VIEW of the catalog — one typed
+edge list unifying (a) schema structure (table → column), (b) the FK
+relationships q_join_discovery recovers from data+names alone, and
+(c) the lineage edges a pipeline run records — plus IMPACT ANALYSIS
+re-expressed as a graph reachability query over that unified view
+(the downstream_of question, but now crossing from physical FK
+dependencies into pipeline lineage in one traversal).
+
+Exactness: edges are strings from frozen fixture schemas, the
+deterministic join-discovery formulation (oracle-shared CTEs), and
+the static declared pipeline — both queries are fully oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.queries.catalog_queries import (
+    _EDGE_VALUES,
+    _KEYVALS_SQL,
+    _PIPELINE_STAGES,
+    _ROWCOUNTS_SQL,
+    _build_lineage,
+    q_join_discovery,
+)
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+#: Every fixture table contributes its schema to the graph's
+#: has_column edges (names come from the parquet footers on the Spark
+#: side and DESCRIBE on the DuckDB side — a real capture, not a
+#: hand-typed mirror).
+_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_HAS_COLUMN_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT '{t}' AS src, '{t}.' || column_name AS dst "
+    f"FROM (DESCRIBE SELECT * FROM {t})"
+    for t in _TABLES
+)
+
+#: The join-discovery CTE chain (shared text with q_join_discovery's
+#: oracle) projected down to the 7 FK edges.
+_FK_CTES = f"""
+    keyvals AS (
+{_KEYVALS_SQL}
+    ), rowcounts AS (
+{_ROWCOUNTS_SQL}
+    ), kcounts AS (
+      SELECT k.tbl, k.col, COUNT(*) AS n_distinct, MAX(r.n_rows) AS n_rows
+      FROM keyvals k JOIN rowcounts r ON k.tbl = r.tbl
+      GROUP BY k.tbl, k.col
+    ), overlap AS (
+      SELECT a.tbl AS child_table, a.col AS child_column,
+             b.tbl AS parent_table, b.col AS parent_column,
+             COUNT(*) AS n_overlap
+      FROM keyvals a
+      JOIN keyvals b
+        ON a.v = b.v AND a.tbl <> b.tbl
+       AND SUBSTR(a.col, STRPOS(a.col, '_') + 1)
+           = SUBSTR(b.col, STRPOS(b.col, '_') + 1)
+      GROUP BY 1, 2, 3, 4
+    ), fk AS (
+      SELECT o.child_table, o.child_column,
+             o.parent_table, o.parent_column
+      FROM overlap o
+      JOIN kcounts ca ON o.child_table = ca.tbl AND o.child_column = ca.col
+      JOIN kcounts cb ON o.parent_table = cb.tbl AND o.parent_column = cb.col
+      WHERE CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE)
+              >= 0.95
+        AND cb.n_distinct = cb.n_rows
+    )"""
+
+
+@query(
+    "q_catalog_graph",
+    oracle=f"""
+    WITH {_FK_CTES}
+    SELECT 'has_column' AS edge_type, src, dst
+    FROM (
+{_HAS_COLUMN_SQL}
+    )
+    UNION ALL
+    SELECT 'fk' AS edge_type,
+           child_table || '.' || child_column AS src,
+           parent_table || '.' || parent_column AS dst
+    FROM fk
+    UNION ALL
+    SELECT 'feeds' AS edge_type, src, dst
+    FROM (VALUES {_EDGE_VALUES}) AS t(src, dst)
+    ORDER BY edge_type, src, dst
+    """,
+)
+def q_catalog_graph(spark, sf_dir):
+    """The catalog as a GRAPH: one typed (edge_type, src, dst) edge
+    list unifying three layers a data platform usually keeps apart —
+
+    - ``has_column``: physical schema structure, captured from the
+      parquet footers of every fixture table (metadata-only read);
+    - ``fk``: the 7-edge TPC-H FK graph q_join_discovery recovers from
+      value containment + name affinity + parent uniqueness (the
+      reference's "データ間の関係性を自動で発見" vision), at column
+      grain (``lineitem.l_orderkey → orders.o_orderkey``);
+    - ``feeds``: dataset-level lineage edges from the LineageLog
+      capture of the declared corpus-build pipeline.
+
+    One view a user (or q_catalog_graph_impact) can traverse without
+    knowing which subsystem owns each relationship — the reference's
+    knowledge-graph/catalog vision (``README.md:7``) as a query.
+
+    Scale shape: schema edges are O(columns) literals; FK edges reuse
+    q_join_discovery's distinct-value shuffle (key values only, never
+    payloads); lineage edges are O(stages). The union is metadata-
+    sized at any corpus scale — the whole point of a catalog graph."""
+    schema_rows = []
+    for t in _TABLES:
+        for c in read_table(spark, sf_dir, t).schema.names:
+            schema_rows.append(("has_column", t, f"{t}.{c}"))
+    has_col = spark.createDataFrame(
+        schema_rows, "edge_type string, src string, dst string"
+    )
+    fk = q_join_discovery(spark, sf_dir).select(
+        F.lit("fk").alias("edge_type"),
+        F.concat_ws(".", "child_table", "child_column").alias("src"),
+        F.concat_ws(".", "parent_table", "parent_column").alias("dst"),
+    )
+    lineage = _build_lineage(spark, sf_dir).to_dataframe(spark)
+    feeds = lineage.select(
+        F.lit("feeds").alias("edge_type"),
+        F.explode("inputs").alias("src"),
+        F.col("output").alias("dst"),
+    )
+    return (
+        has_col.unionByName(fk)
+        .unionByName(feeds)
+        .orderBy("edge_type", "src", "dst")
+    )
+
+
+_IMPACT_ROOTS = ("documents", "region")
+_ROOT_VALUES = ", ".join(f"('{r}')" for r in _IMPACT_ROOTS)
+
+
+@query(
+    "q_catalog_graph_impact",
+    oracle=f"""
+    WITH RECURSIVE {_FK_CTES},
+    impact_edges AS (
+      SELECT DISTINCT parent_table AS src, child_table AS dst FROM fk
+      UNION ALL
+      SELECT src, dst FROM (VALUES {_EDGE_VALUES}) AS t(src, dst)
+    ), roots(root) AS (VALUES {_ROOT_VALUES}),
+    reach(root, node, depth) AS (
+      SELECT r.root, e.dst, 1
+      FROM roots r JOIN impact_edges e ON e.src = r.root
+      UNION
+      SELECT rc.root, e.dst, rc.depth + 1
+      FROM reach rc JOIN impact_edges e ON e.src = rc.node
+    )
+    SELECT root, node, CAST(MIN(depth) AS BIGINT) AS depth
+    FROM reach GROUP BY root, node
+    ORDER BY root, depth, node
+    """,
+)
+def q_catalog_graph_impact(spark, sf_dir):
+    """IMPACT ANALYSIS over the unified catalog graph — downstream_of
+    (``plans/lineage.py:89``) re-expressed as graph reachability that
+    crosses subsystem boundaries in one traversal: a change to
+    ``region`` propagates through DISCOVERED FK edges (parent → child:
+    nation, then customer/supplier, then orders/lineitem), while a
+    change to ``documents`` propagates through LINEAGE edges (the
+    declared corpus-build pipeline) — the same reach query answers
+    both, because the graph view made the two edge kinds one relation.
+
+    Per (root, impacted node): minimum dependency depth. The closure
+    is a bounded frontier expansion (one broadcast-sized hash join per
+    level, loop bound = the static stage count — the catalog graph is
+    metadata-sized); the DuckDB oracle walks the identical edges with
+    a recursive CTE."""
+    fk_tables = (
+        q_join_discovery(spark, sf_dir)
+        .select(
+            F.col("parent_table").alias("src"),
+            F.col("child_table").alias("dst"),
+        )
+        .distinct()
+    )
+    lineage = _build_lineage(spark, sf_dir).to_dataframe(spark)
+    feeds = lineage.select(
+        F.explode("inputs").alias("src"), F.col("output").alias("dst")
+    )
+    edges = fk_tables.unionByName(feeds)
+    roots = spark.createDataFrame(
+        [(r,) for r in _IMPACT_ROOTS], "root string"
+    )
+    frontier = (
+        F.broadcast(roots)
+        .join(edges, roots["root"] == edges["src"])
+        .select("root", F.col("dst").alias("node"), F.lit(1).alias("depth"))
+    )
+    reach = frontier
+    for depth in range(2, len(_PIPELINE_STAGES) + 1):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                "root",
+                F.col("dst").alias("node"),
+                F.lit(depth).alias("depth"),
+            )
+            # per-level dedup: keeps the walk |V|-bounded (a diamond in
+            # the FK graph would otherwise multiply paths each level)
+            .distinct()
+        )
+        reach = reach.unionByName(frontier)
+    return (
+        reach.groupBy("root", "node")
+        .agg(F.min("depth").cast("bigint").alias("depth"))
+        .orderBy("root", "depth", "node")
+    )

@@ -128,4 +128,5 @@ def load_all() -> None:
         extras70,
         extras71,
         extras72,
+        extras73,
     )

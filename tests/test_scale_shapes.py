@@ -1418,3 +1418,18 @@ def test_extras72_plans_are_bounded(spark, sf_dir):
 
     for frag in re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\]", p):
         assert "probe_id" in frag
+
+
+def test_extras73_plans_are_bounded(spark, sf_dir):
+    # catalog graph: FK edges reuse join-discovery's distinct-value
+    # shuffle; schema/lineage edges are metadata literals — never a
+    # cartesian anywhere
+    p = plan_of(spark, sf_dir, "q_catalog_graph")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # impact closure: per-level broadcast hash joins over the
+    # metadata-sized edge list; per-level distinct keeps the walk
+    # |V|-bounded
+    pi = plan_of(spark, sf_dir, "q_catalog_graph_impact")
+    assert "CartesianProduct" not in pi
+    assert "Window" not in pi

@@ -345,7 +345,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_double_payment",
                   # IVF+PQ index build (narrow kernels + dim-grain
                   # aggregates) + code-only ADC scan of probed lists
-                  "q_ann_ivfadc"]
+                  "q_ann_ivfadc",
+                  # distinct-key-value shuffle + metadata-sized unions
+                  "q_catalog_graph",
+                  # per-level broadcast joins over metadata edges
+                  "q_catalog_graph_impact"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
