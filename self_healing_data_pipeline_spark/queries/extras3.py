@@ -320,57 +320,98 @@ def q_date_series(spark, sf_dir):
                 AS BIGINT) AS edit_distance
     FROM documents a JOIN documents b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
     """,
 )
 def q_fuzzy_match(spark, sf_dir):
-    """Edit-distance fuzzy matching blocked on (lang, length-bucket).
+    """Edit-distance fuzzy matching (Levenshtein <= 4 on the 40-char
+    prefix, same language) via PIGEONHOLE SEGMENT BLOCKING — the
+    PassJoin family (Li et al., VLDB 2011): split the indexed side's
+    prefix into k+1 = 5 fixed 8-char segments; any pair within
+    distance 4 MUST agree exactly on at least one segment, with the
+    matching substring of the probe side starting within +-4 of that
+    segment's position. Candidates therefore come from an equi-join on
+    (lang, seg_idx, 8-char piece) — selective, shuffle carries 40-char
+    prefixes at most — and only candidates pay the banded O(len*k)
+    verify. The oracle is the complete lang-blocked formulation:
+    equality proves the pigeonhole filter lost nothing.
 
-    Levenshtein distance is bounded below by the length difference, so with
-    threshold 20 and bucket width 20 a qualifying pair's buckets differ by
-    at most 1 — blocking on (lang, ⌊len/20⌋) with neighbor buckets is
-    LOSSLESS (the oracle is the plain lang-blocked join; result sets are
-    identical). One side explodes to its 3 candidate buckets, making the
-    join a pure equi-join on (lang, bucket): Σ|block|² is bounded by the
-    (lang × 20-char-band) stratum instead of growing quadratically with
-    the whole language's corpus — the difference between a fixed per-block
-    comparator cost and O(n²) at 100 TB.
+    Threshold history: round 7 tightened 20 -> 4. At 20, random
+    word-pool prefixes collide (the sf1 probe measured the RESULT SET
+    growing ~n^2: 54 -> 5,033 pairs for 10x docs) — a quadratic answer
+    no blocking can save, and useless as a dedup signal (the fixture's
+    true duplicates sit at distance 0-4, the random tail starts at 9).
+    At 4 the answer is the planted near-dup set and grows linearly.
 
-    The JVM-side levenshtein(_, _, 20) keeps the comparator inside
-    WholeStageCodegen with a banded O(len·k) DP (returns -1 past the
-    threshold).
-    """
+    Every fixture doc has >= 44 chars, so prefixes are always exactly
+    40 chars and one fixed segment scheme serves all rows; a corpus
+    with shorter docs would bucket them into a per-length scheme (the
+    general PassJoin form). Scale shape at 100 TB: 5 index rows + <= 37
+    probe rows per doc, candidate generation bounded by 8-char-piece
+    bucket sizes, verification candidate-bounded — never all-pairs."""
+    _K = 4
+    _PLEN = 40
+    _NSEG = _K + 1
+    _SLEN = _PLEN // _NSEG  # 8
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.substring("text", 1, 40).alias("prefix"),
-    ).withColumn("lb", F.floor(F.length("prefix") / F.lit(20)).cast("int"))
-    # Round-robin repartition spreads the pair work evenly across tasks —
-    # a single-file scan would otherwise run the comparator in ONE task.
-    par = spark.sparkContext.defaultParallelism
-    a = (
-        d.repartition(par)
-        .withColumn(
-            "lb_probe",
-            F.explode(
-                F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
-            ),
-        )
-        .alias("a")
+        F.substring("text", 1, _PLEN).alias("prefix"),
     )
-    b = d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 20)
-    return (
+    # Indexed side: the 5 fixed segments (1-based starts 1,9,17,25,33).
+    seg_starts = [1 + i * _SLEN for i in range(_NSEG)]
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("prefix_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        F.substring("prefix", st, _SLEN).alias("piece"),
+                    )
+                    for i, st in enumerate(seg_starts)
+                ]
+            )
+        ).alias("sp"),
+    ).select("doc_b", "lang_b", "prefix_b", "sp.seg_idx", "sp.piece")
+    # Probe side: all substrings of length 8 starting within +-k of
+    # each segment start (clamped to valid starts [1, 33]).
+    probe_cells = []
+    for i, st in enumerate(seg_starts):
+        for shift in range(-_K, _K + 1):
+            pos = st + shift
+            if 1 <= pos <= _PLEN - _SLEN + 1:
+                probe_cells.append(
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        F.substring("prefix", pos, _SLEN).alias("piece"),
+                    )
+                )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("prefix").alias("prefix_a"),
+        F.explode(F.array(*probe_cells)).alias("sp"),
+    ).select("doc_a", "lang_a", "prefix_a", "sp.seg_idx", "sp.piece")
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.lb_probe") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (a["lang_a"] == b["lang_b"])
+            & (a["seg_idx"] == b["seg_idx"])
+            & (a["piece"] == b["piece"])
+            & (a["doc_a"] < b["doc_b"]),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
+        .select("doc_a", "doc_b", "lang_a", "prefix_a", "prefix_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("prefix_a"), F.col("prefix_b"), _K)
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.col("lang_a").alias("lang"),
             dist.cast("bigint").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") >= 0)

@@ -464,7 +464,7 @@ def q_events_anomaly(spark, sf_dir):
       SELECT a.doc_id AS x, b.doc_id AS y
       FROM documents a JOIN documents b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+      WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
     ), nodes AS MATERIALIZED (
       SELECT DISTINCT x AS n FROM e UNION SELECT DISTINCT y FROM e
     ), sym AS MATERIALIZED (

@@ -110,7 +110,8 @@ def test_fuzzy_match_blocks_by_lang_and_orders_pairs(spark, sf_dir):
     df = QUERIES["q_fuzzy_match"](spark, sf_dir)
     rows = df.collect()
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
-    assert all(r["edit_distance"] <= 20 for r in rows)
+    assert all(r["edit_distance"] <= 4 for r in rows)
+    assert rows, "fixture plants near-dup prefixes — result must be non-empty"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
     assert all(langs[r["doc_a"]] == langs[r["doc_b"]] for r in rows)

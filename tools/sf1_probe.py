@@ -1,0 +1,159 @@
+"""SF1 probe tier: measure the suite's heaviest keys at 10× the bench
+fixture (sf0.1 → sf1-equivalent) — the round-7 judge task for the
+shingle-heavy tail, where the 10× driver probes (sf0.01 → sf0.1) are
+too small to expose window-prep skew or candidate-pair blow-up.
+
+The driver ships no sf1 fixture, so this tool SYNTHESIZES one under
+``.scratch/sf1/`` from sf0.1 with replica salting that preserves the
+fixture's per-replica statistics while keeping replicas disjoint:
+
+- ``documents``: 10 replicas; every token gets a replica suffix
+  (``x<r>``) via one regexp pass, so word-5-gram shingle spaces are
+  DISJOINT across replicas — near-dup pair structure per replica is
+  identical to sf0.1 and cross-replica candidates are zero, i.e. the
+  honest "corpus grew 10×, content statistics unchanged" scenario.
+  (Naive replication without salting would make every doc a 10-way
+  exact duplicate — a quadratic pair explosion that measures the
+  synthetic artifact, not the operator.)
+- ``lineitem`` / ``orders`` / ``customer``: 10 replicas with all join
+  keys offset by r·10⁷ — 10 disjoint copies of the key graph.
+- ``embeddings``: 10 replicas with vec_id offset (per-row kernels
+  don't care about values).
+
+Usage: python tools/sf1_probe.py [--only q_a,q_b] [--rebuild]
+Prints one JSON line of {key: {sf01, sf1, ratio}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".scratch", "sf1")
+REPLICAS = 10
+OFF = 10_000_000
+
+#: The bench tail this tier watches (slowest keys of BENCH_r06, minus
+#: streaming-registry machinery whose scratch epochs dwarf the query).
+PROBE_KEYS = [
+    "q_recursive_reach",
+    "q_dedup_containment",
+    "q_embedding_quantize",
+    "q_doc_novelty",
+    "q_dedup_jaccard_prefix",
+    "q_neardup_registry",
+    "q_dedup_threshold_sweep",
+    "q_incremental_join_view",
+    "q_dedup_clusters",
+    "q_fuzzy_match",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    tmp = OUT + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def replicate(name: str, transform):
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = [transform(df, r) for r in range(REPLICAS)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{name}.parquet")
+        )
+
+    replicate(
+        "documents",
+        lambda df, r: df.select(
+            (F.col("doc_id") + r * OFF).alias("doc_id"),
+            F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1x{r}").alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+    )
+    replicate(
+        "lineitem",
+        lambda df, r: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + r * OFF
+        )
+        .withColumn("l_partkey", F.col("l_partkey") + r * OFF)
+        .withColumn("l_suppkey", F.col("l_suppkey") + r * OFF),
+    )
+    replicate(
+        "orders",
+        lambda df, r: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + r * OFF
+        ).withColumn("o_custkey", F.col("o_custkey") + r * OFF),
+    )
+    replicate(
+        "customer",
+        lambda df, r: df.withColumn(
+            "c_custkey", F.col("c_custkey") + r * OFF
+        ),
+    )
+    replicate(
+        "embeddings",
+        lambda df, r: df.withColumn("vec_id", F.col("vec_id") + r * OFF),
+    )
+    if os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    os.rename(tmp, OUT)
+
+
+def main() -> int:
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    from self_healing_data_pipeline_spark.registry import QUERIES, load_all
+    from self_healing_data_pipeline_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("sf1-probe")
+    if "--rebuild" in sys.argv or not os.path.isdir(OUT):
+        t0 = time.perf_counter()
+        build(spark)
+        print(f"built {OUT} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    def timed(qname: str, d: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[qname](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 2)
+
+    results = {}
+    for q in PROBE_KEYS:
+        if only and q not in only:
+            continue
+        small = timed(q, SRC)
+        large = timed(q, OUT)
+        results[q] = {
+            "sf01": small,
+            "sf1": large,
+            "factor": REPLICAS,
+            "ratio": round(large / small, 2) if small else None,
+        }
+        print(json.dumps({q: results[q]}), file=sys.stderr)
+    print(json.dumps({"metric": "sf1_probe", "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
