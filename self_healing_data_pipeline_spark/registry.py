@@ -129,4 +129,5 @@ def load_all() -> None:
         extras71,
         extras72,
         extras73,
+        extras74,
     )

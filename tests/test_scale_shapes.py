@@ -1433,3 +1433,17 @@ def test_extras73_plans_are_bounded(spark, sf_dir):
     pi = plan_of(spark, sf_dir, "q_catalog_graph_impact")
     assert "CartesianProduct" not in pi
     assert "Window" not in pi
+
+
+def test_extras74_plans_are_bounded(spark, sf_dir):
+    # filter cascade: one scan computes all five flags; the only
+    # shuffles are the md5 dedup window and the 1-row collapse
+    p = plan_of(spark, sf_dir, "q_filter_cascade")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p  # the conditional-count collapse is partial-agg'd
+    # token budget: rank/cumulative windows run on the bounded source
+    # grain (the legitimate SinglePartition case), AFTER a partial
+    # source-grain aggregate
+    pb = plan_of(spark, sf_dir, "q_token_budget")
+    assert "CartesianProduct" not in pb
+    assert "partial_" in pb

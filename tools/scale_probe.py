@@ -349,7 +349,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # distinct-key-value shuffle + metadata-sized unions
                   "q_catalog_graph",
                   # per-level broadcast joins over metadata edges
-                  "q_catalog_graph_impact"]
+                  "q_catalog_graph_impact",
+                  # one-scan row-local flags + md5 window + 1-row collapse
+                  "q_filter_cascade",
+                  # source-grain partial agg + bounded-grain windows
+                  "q_token_budget"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
