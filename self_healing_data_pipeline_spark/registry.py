@@ -130,4 +130,5 @@ def load_all() -> None:
         extras72,
         extras73,
         extras74,
+        extras75,
     )

@@ -33,6 +33,7 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_agg_approx_percentile": ["within_bounds", "rank_ok"],
     "q_ann_ivfadc": ["witness_ok"],
     "q_ann_recall_at_k": ["witness_ok"],
+    "q_embedding_pca": ["witness_ok"],
     "q_embedding_quantize": ["witness_ok"],
     "q_image_dhash": ["is_planted"],
     "q_kmeans_assign": ["below_half"],

@@ -1447,3 +1447,12 @@ def test_extras74_plans_are_bounded(spark, sf_dir):
     pb = plan_of(spark, sf_dir, "q_token_budget")
     assert "CartesianProduct" not in pb
     assert "partial_" in pb
+
+
+def test_extras75_plans_are_bounded(spark, sf_dir):
+    # OLS trend: one broadcast scalar + one partial-aggregated moment
+    # scan at the priority grain; no windows
+    p = plan_of(spark, sf_dir, "q_ols_trend")
+    assert "partial_" in p
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p

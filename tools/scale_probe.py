@@ -353,7 +353,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one-scan row-local flags + md5 window + 1-row collapse
                   "q_filter_cascade",
                   # source-grain partial agg + bounded-grain windows
-                  "q_token_budget"]
+                  "q_token_budget",
+                  # broadcast scalar + priority-grain moment scan
+                  "q_ols_trend",
+                  # one Gram partial per partition + 64x64 driver solve
+                  "q_embedding_pca"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
