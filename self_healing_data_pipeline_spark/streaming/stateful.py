@@ -96,8 +96,12 @@ def _update_ema(
         state.remove()
         return
     ema, n, last = state.get if state.exists else (None, 0, None)
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    rows = (
+        pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        if chunks
+        else pd.DataFrame({"value": []})
+    )
     for x in rows["value"]:
         x = float(x)
         ema = x if ema is None else 0.8 * ema + 0.2 * x
