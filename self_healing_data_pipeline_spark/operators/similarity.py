@@ -502,6 +502,33 @@ def pq_encode_with_error(
     return embeddings.select(id_col, vec_col).mapInPandas(batches, schema)
 
 
+def adc_lut(books: np.ndarray, query_vec) -> np.ndarray:
+    """(m × k) asymmetric-distance lookup table: the inner product of
+    each of the query's m subvectors with every codeword in that
+    subspace. THE single home of the LUT construction — IVFADC and
+    plain PQ retrieval must share it so the codeword layout convention
+    cannot drift between callers."""
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype="float64").reshape(m, sub)
+    return np.einsum("ms,mks->mk", q, books)
+
+
+def adc_score(codes_col, lut_col) -> F.Column:
+    """JVM-side ADC fold: look each of the row's m codes up in its LUT
+    row and sum — whole-stage codegen, no Python in the scan. Codes are
+    0-based; SQL ``element_at`` is 1-based, hence the ``c + 1`` (the
+    single home of that convention)."""
+    return F.aggregate(
+        F.zip_with(
+            codes_col,
+            lut_col,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     books: np.ndarray,
@@ -517,23 +544,14 @@ def pq_adc_topk(
     This is the shape that scans a billion codes cheaply: 8 bytes per
     row and an 8-term add."""
     m, k, sub = books.shape
-    q = np.asarray(query_vec, dtype="float64").reshape(m, sub)
-    lut = np.einsum("ms,mks->mk", q, books)  # IP of each codeword w/ query
+    lut = adc_lut(books, query_vec)
     lut_col = F.array(
         *[
             F.array(*[F.lit(float(lut[i, j])) for j in range(k)])
             for i in range(m)
         ]
     )
-    score = F.aggregate(
-        F.zip_with(
-            F.col("__codes"),
-            lut_col,
-            lambda c, row: F.element_at(row, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    score = adc_score(F.col("__codes"), lut_col)
     return (
         encoded.select(F.col(id_col), score.alias("adc_score"), "__recon_mse")
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())

@@ -32,7 +32,11 @@ from typing import Any
 
 from self_healing_data_pipeline_spark.pipeline.runner import Stage
 
-_FENCE_RE = re.compile(r"^```[a-zA-Z0-9_-]*\s*\n?|```\s*$", re.MULTILINE)
+# Fence lines only (line-anchored on BOTH sides): a ``` that ends a
+# content line is literal text, not a fence — stripping it would
+# mutate valid unfenced output.
+_FENCE_RE = re.compile(r"^```[a-zA-Z0-9_-]*[ \t]*\n?|^```[ \t]*$",
+                       re.MULTILINE)
 
 
 def strip_fences(text: str) -> str:
@@ -45,7 +49,14 @@ def extract_json(text: str) -> Any:
     """Parse model output as JSON with the reference's fallback chain:
     direct parse → fence-stripped parse → first balanced {...} or
     [...] substring. Raises ``ValueError`` with the underlying parse
-    error when every fallback fails."""
+    error when every fallback fails (including non-string model output
+    — a broken HTTP client returning None is exactly what the healing
+    loop must absorb, so it must surface as the documented ValueError,
+    not a raw TypeError from the regex engine)."""
+    if not isinstance(text, str):
+        raise ValueError(
+            f"model output is not text: {type(text).__name__}"
+        )
     for candidate in (text, strip_fences(text)):
         try:
             return json.loads(candidate)

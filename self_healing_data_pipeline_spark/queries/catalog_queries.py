@@ -264,14 +264,17 @@ _ROWCOUNTS_SQL = "\n      UNION ALL\n".join(
 )
 
 
-@query(
-    "q_join_discovery",
-    oracle=f"""
-    WITH keyvals AS (
+#: THE single home of the FK-discovery SQL formulation (name affinity
+#: + value containment >= 0.95 + parent uniqueness). Both
+#: q_join_discovery's oracle and the catalog-graph oracles
+#: (queries/extras73.py) compose this text, so the discovery policy
+#: cannot drift between them.
+FK_DISCOVERY_CTES = f"""
+    keyvals AS (
 {_KEYVALS_SQL}
     ), rowcounts AS (
 {_ROWCOUNTS_SQL}
-    ), counts AS (
+    ), kcounts AS (
       SELECT k.tbl, k.col, COUNT(*) AS n_distinct, MAX(r.n_rows) AS n_rows
       FROM keyvals k JOIN rowcounts r ON k.tbl = r.tbl
       GROUP BY k.tbl, k.col
@@ -285,16 +288,28 @@ _ROWCOUNTS_SQL = "\n      UNION ALL\n".join(
        AND SUBSTR(a.col, STRPOS(a.col, '_') + 1)
            = SUBSTR(b.col, STRPOS(b.col, '_') + 1)
       GROUP BY 1, 2, 3, 4
-    )
-    SELECT o.child_table, o.child_column, o.parent_table, o.parent_column,
-           o.n_overlap, ca.n_distinct AS child_distinct,
-           CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE)
-             AS containment
-    FROM overlap o
-    JOIN counts ca ON o.child_table = ca.tbl AND o.child_column = ca.col
-    JOIN counts cb ON o.parent_table = cb.tbl AND o.parent_column = cb.col
-    WHERE CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE) >= 0.95
-      AND cb.n_distinct = cb.n_rows
+    ), fk AS (
+      SELECT o.child_table, o.child_column,
+             o.parent_table, o.parent_column,
+             o.n_overlap, ca.n_distinct AS child_distinct,
+             CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE)
+               AS containment
+      FROM overlap o
+      JOIN kcounts ca ON o.child_table = ca.tbl AND o.child_column = ca.col
+      JOIN kcounts cb ON o.parent_table = cb.tbl AND o.parent_column = cb.col
+      WHERE CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE)
+              >= 0.95
+        AND cb.n_distinct = cb.n_rows
+    )"""
+
+
+@query(
+    "q_join_discovery",
+    oracle=f"""
+    WITH {FK_DISCOVERY_CTES}
+    SELECT child_table, child_column, parent_table, parent_column,
+           n_overlap, child_distinct, containment
+    FROM fk
     ORDER BY child_table, child_column, parent_table, parent_column
     """,
 )

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.functions.vector import dot_product
 from self_healing_data_pipeline_spark.operators.similarity import (
+    adc_lut,
+    adc_score,
     deterministic_centroids,
     ivf_assignments,
     pq_assign,
@@ -115,26 +117,26 @@ def q_ann_ivfadc(spark, sf_dir):
         .collect()
     )
     spec_rows = []
+    lut_rows = []
     for r in panel:
         qv = np.asarray(r["embedding"], dtype="float64")
         probe_lists = np.argsort(-(cents @ qv))[:_N_PROBE]
-        lut = np.einsum(
-            "ms,mks->mk", qv.reshape(_PQ_M, -1), books
-        )  # IP of q's subvectors with each residual codeword
-        lut_py = [[float(x) for x in row] for row in lut]
+        lut = adc_lut(books, qv)  # shared with pq_adc_topk
+        lut_rows.append(
+            (int(r["vec_id"]), [[float(x) for x in row] for row in lut])
+        )
         for cid in probe_lists:
             spec_rows.append(
-                (
-                    int(r["vec_id"]),
-                    int(cid),
-                    float(cents[cid] @ qv),
-                    lut_py,
-                )
+                (int(r["vec_id"]), int(cid), float(cents[cid] @ qv))
             )
+    # LUTs normalize into their own per-probe frame: keeping the
+    # (m x k)-double table on every (probe, centroid) spec row would
+    # replicate each LUT n_probe times in the broadcast.
     spec = spark.createDataFrame(
-        spec_rows,
-        "probe_id bigint, centroid_id int, offset double, "
-        "lut array<array<double>>",
+        spec_rows, "probe_id bigint, centroid_id int, offset double"
+    )
+    luts = spark.createDataFrame(
+        lut_rows, "probe_id bigint, lut array<array<double>>"
     )
     probes = spark.createDataFrame(
         [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in panel],
@@ -174,21 +176,14 @@ def q_ann_ivfadc(spark, sf_dir):
     # IVFADC path: ADC over codes in probed lists -> shortlist ->
     # exact refine. The scan side reads (vec_id, centroid_id, codes)
     # only; raw vectors enter at the shortlist join.
-    adc_score = F.col("offset") + F.aggregate(
-        F.zip_with(
-            F.col("__codes"),
-            F.col("lut"),
-            lambda c, row: F.element_at(row, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = F.col("offset") + adc_score(F.col("__codes"), F.col("lut"))
     wadc = Window.partitionBy("probe_id").orderBy(
         F.col("adc").desc(), F.col("vec_id").asc()
     )
     shortlist = (
         index.join(F.broadcast(spec), "centroid_id")
-        .select("probe_id", "vec_id", adc_score.alias("adc"))
+        .join(F.broadcast(luts), "probe_id")
+        .select("probe_id", "vec_id", adc.alias("adc"))
         .withColumn("rn", F.row_number().over(wadc))
         .where(F.col("rn") <= shortlist_n)
         .select("probe_id", "vec_id")

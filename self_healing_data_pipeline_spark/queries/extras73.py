@@ -18,9 +18,8 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.queries.catalog_queries import (
     _EDGE_VALUES,
-    _KEYVALS_SQL,
     _PIPELINE_STAGES,
-    _ROWCOUNTS_SQL,
+    FK_DISCOVERY_CTES as _FK_CTES,
     _build_lineage,
     q_join_discovery,
 )
@@ -49,38 +48,6 @@ _HAS_COLUMN_SQL = "\n      UNION ALL\n".join(
     f"FROM (DESCRIBE SELECT * FROM {t})"
     for t in _TABLES
 )
-
-#: The join-discovery CTE chain (shared text with q_join_discovery's
-#: oracle) projected down to the 7 FK edges.
-_FK_CTES = f"""
-    keyvals AS (
-{_KEYVALS_SQL}
-    ), rowcounts AS (
-{_ROWCOUNTS_SQL}
-    ), kcounts AS (
-      SELECT k.tbl, k.col, COUNT(*) AS n_distinct, MAX(r.n_rows) AS n_rows
-      FROM keyvals k JOIN rowcounts r ON k.tbl = r.tbl
-      GROUP BY k.tbl, k.col
-    ), overlap AS (
-      SELECT a.tbl AS child_table, a.col AS child_column,
-             b.tbl AS parent_table, b.col AS parent_column,
-             COUNT(*) AS n_overlap
-      FROM keyvals a
-      JOIN keyvals b
-        ON a.v = b.v AND a.tbl <> b.tbl
-       AND SUBSTR(a.col, STRPOS(a.col, '_') + 1)
-           = SUBSTR(b.col, STRPOS(b.col, '_') + 1)
-      GROUP BY 1, 2, 3, 4
-    ), fk AS (
-      SELECT o.child_table, o.child_column,
-             o.parent_table, o.parent_column
-      FROM overlap o
-      JOIN kcounts ca ON o.child_table = ca.tbl AND o.child_column = ca.col
-      JOIN kcounts cb ON o.parent_table = cb.tbl AND o.parent_column = cb.col
-      WHERE CAST(o.n_overlap AS DOUBLE) / CAST(ca.n_distinct AS DOUBLE)
-              >= 0.95
-        AND cb.n_distinct = cb.n_rows
-    )"""
 
 
 @query(

@@ -60,7 +60,7 @@ _FLAGS_SQL = f"""
            {_marker_counts_sql()}
       FROM base
     ), flags AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, MD5(norm) AS fp,
         (n_chars BETWEEN 100 AND 20000) AS pass_len,
         ({_langid_case_sql()} <> 'und') AS pass_lang,
         (2 * LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
@@ -69,9 +69,7 @@ _FLAGS_SQL = f"""
            <= n_chars
          AND n_chars
            <= 12 * (LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1))
-          AS pass_wlen,
-        (ROW_NUMBER() OVER (PARTITION BY MD5(norm) ORDER BY doc_id) = 1)
-          AS pass_dedup
+          AS pass_wlen
       FROM scored
     )"""
 
@@ -80,14 +78,18 @@ _FLAGS_SQL = f"""
     "q_filter_cascade",
     oracle=f"""
     WITH {_FLAGS_SQL},
-    surv AS (
+    surv0 AS (
+      SELECT doc_id, fp, pass_len, pass_lang, pass_alpha,
+             pass_len AND pass_lang AND pass_alpha AND pass_wlen AS s4
+      FROM flags
+    ), surv AS (
       SELECT pass_len AS s1,
              pass_len AND pass_lang AS s2,
              pass_len AND pass_lang AND pass_alpha AS s3,
-             pass_len AND pass_lang AND pass_alpha AND pass_wlen AS s4,
-             pass_len AND pass_lang AND pass_alpha AND pass_wlen
-               AND pass_dedup AS s5
-      FROM flags
+             s4,
+             (s4 AND doc_id = MIN(CASE WHEN s4 THEN doc_id END)
+                              OVER (PARTITION BY fp)) AS s5
+      FROM surv0
     ), agg AS (
       SELECT COUNT(*) AS n0,
              SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
@@ -122,13 +124,16 @@ def q_filter_cascade(spark, sf_dir):
     die, which q_text_quality's blended score (one number per doc)
     cannot.
 
-    Every verdict is integer arithmetic (cross-multiplied bands, md5
-    keep-first window), so counts are engine-exact; drop_rate is one
-    final IEEE division of exact longs.
+    Every verdict is integer arithmetic (cross-multiplied bands; the
+    dedup stage keeps the first SURVIVOR of the prior gates per md5
+    fingerprint — true sequential semantics, a doc eliminated upstream
+    cannot shadow a survivor), so counts are engine-exact; drop_rate
+    is one final IEEE division of exact longs.
 
-    Scale shape: one scan computes all five flags (the langid regex
-    counts and ratios are row-local JVM expressions); the only shuffle
-    is the dedup fingerprint window (16-hex key, text never shuffles);
+    Scale shape: one scan computes the four row-local gates (langid
+    regex counts and ratios are JVM expressions); the only shuffle is
+    the dedup fingerprint window carrying (fp, doc_id, s4) tuples —
+    text never shuffles;
     the cascade collapses to ONE 1-row conditional aggregate, then a
     5-row literal unpivot. Stage k's input count is by construction
     the survivor count of stage k-1 — the sequence semantics, with no
@@ -139,9 +144,9 @@ def q_filter_cascade(spark, sf_dir):
         F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
     )
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    wdup = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
     flags = docs.select(
         "doc_id",
+        F.md5(norm).alias("fp"),
         (F.col("n_chars").between(100, 20000)).alias("pass_len"),
         (lang_id("text") != "und").alias("pass_lang"),
         (2 * alpha >= F.length("text")).alias("pass_alpha"),
@@ -149,27 +154,34 @@ def q_filter_cascade(spark, sf_dir):
             (3 * n_toks <= F.col("n_chars"))
             & (F.col("n_chars") <= 12 * n_toks)
         ).alias("pass_wlen"),
-        (F.row_number().over(wdup) == 1).alias("pass_dedup"),
+    ).withColumn(
+        "s4",
+        F.col("pass_len")
+        & F.col("pass_lang")
+        & F.col("pass_alpha")
+        & F.col("pass_wlen"),
     )
-    s = flags.select(
+    # Sequential dedup semantics: a doc passes the dedup stage iff it
+    # is the FIRST SURVIVOR of the prior gates in its fingerprint group
+    # — a doc eliminated upstream cannot shadow a survivor (keep-first
+    # over all docs would misstate the funnel). One conditional-MIN
+    # window on (fp, doc_id, s4) tuples; text never shuffles.
+    wfp = Window.partitionBy("fp")
+    s = flags.withColumn(
+        "s5",
+        F.col("s4")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s4"), F.col("doc_id"))).over(wfp)
+        ),
+    ).select(
         "pass_len",
         (F.col("pass_len") & F.col("pass_lang")).alias("s2"),
         (F.col("pass_len") & F.col("pass_lang") & F.col("pass_alpha")).alias(
             "s3"
         ),
-        (
-            F.col("pass_len")
-            & F.col("pass_lang")
-            & F.col("pass_alpha")
-            & F.col("pass_wlen")
-        ).alias("s4"),
-        (
-            F.col("pass_len")
-            & F.col("pass_lang")
-            & F.col("pass_alpha")
-            & F.col("pass_wlen")
-            & F.col("pass_dedup")
-        ).alias("s5"),
+        "s4",
+        "s5",
     )
     agg = s.agg(
         F.count(F.lit(1)).alias("n0"),

@@ -119,3 +119,13 @@ def test_runner_error_state_on_unhealable_model():
     assert not result.ok
     assert result.step is PipelineStep.ERROR
     assert any(e.severity == "error" for e in result.logs)
+
+
+def test_extract_json_non_string_raises_value_error():
+    with pytest.raises(ValueError, match="not text"):
+        extract_json(None)
+
+
+def test_strip_fences_leaves_mid_line_backticks():
+    ddl = "CREATE TABLE t (x INT); -- see ```docs```"
+    assert strip_fences(ddl) == ddl

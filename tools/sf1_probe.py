@@ -75,18 +75,20 @@ def build(spark) -> None:
             os.path.join(tmp, f"{name}.parquet")
         )
 
-    replicate(
-        "documents",
-        lambda df, r: df.select(
+    def _salted_docs(df, r):
+        salted = F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1x{r}")
+        return df.select(
             (F.col("doc_id") + r * OFF).alias("doc_id"),
-            F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1x{r}").alias(
-                "text"
-            ),
+            salted.alias("text"),
             "lang",
             "source",
-            "n_chars",
-        ),
-    )
+            # keep the fixture invariant n_chars == length(text): the
+            # salt grows every token, so the original n_chars would lie
+            # to any probe key that reads it (length gates, token stats)
+            F.length(salted).cast("long").alias("n_chars"),
+        )
+
+    replicate("documents", _salted_docs)
     replicate(
         "lineitem",
         lambda df, r: df.withColumn(
