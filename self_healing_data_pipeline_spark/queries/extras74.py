@@ -103,7 +103,9 @@ _FLAGS_SQL = f"""
            CAST(n_in AS BIGINT) AS n_in,
            CAST(n_in - n_out AS BIGINT) AS n_dropped,
            CAST(n_out AS BIGINT) AS n_out,
-           CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS drop_rate
+           CASE WHEN n_in = 0 THEN 0.0
+                ELSE CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
+           END AS drop_rate
     FROM (
       SELECT 1 AS stage_idx, 'length' AS stage, n0 AS n_in, n1 AS n_out
         FROM agg
@@ -208,10 +210,12 @@ def q_filter_cascade(spark, sf_dir):
         F.col("n_in").cast("bigint").alias("n_in"),
         (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
         F.col("n_out").cast("bigint").alias("n_out"),
-        (
+        F.when(F.col("n_in") == 0, F.lit(0.0))
+        .otherwise(
             (F.col("n_in") - F.col("n_out")).cast("double")
             / F.col("n_in").cast("double")
-        ).alias("drop_rate"),
+        )
+        .alias("drop_rate"),
     ).orderBy("stage_idx")
 
 

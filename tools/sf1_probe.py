@@ -7,16 +7,18 @@ The driver ships no sf1 fixture, so this tool SYNTHESIZES one under
 ``.scratch/sf1/`` from sf0.1 with replica salting that preserves the
 fixture's per-replica statistics while keeping replicas disjoint:
 
-- ``documents``: 10 replicas; every token gets a replica suffix
-  (``x<r>``) via one regexp pass, so word-5-gram shingle spaces are
-  DISJOINT across replicas — near-dup pair structure per replica is
-  identical to sf0.1 and cross-replica candidates are zero, i.e. the
-  honest "corpus grew 10×, content statistics unchanged" scenario.
-  (Naive replication without salting would make every doc a 10-way
-  exact duplicate — a quadratic pair explosion that measures the
-  synthetic artifact, not the operator.)
-- ``lineitem`` / ``orders`` / ``customer``: 10 replicas with all join
-  keys offset by r·10⁷ — 10 disjoint copies of the key graph.
+- ``documents``: 10 replicas; a replica-unique salt token is inserted
+  before every 5th word, so every word-5-gram window contains a salt
+  and shingle spaces are DISJOINT across replicas, while the original
+  words (langid markers, stopword ratios, near-dup alignment within a
+  replica) survive — the honest "corpus grew 10×, content statistics
+  unchanged" scenario. (Naive replication without salting would make
+  every doc a 10-way exact duplicate — a quadratic pair explosion
+  that measures the synthetic artifact, not the operator.)
+- ``lineitem`` / ``orders`` / ``customer`` / ``part`` / ``supplier``:
+  10 replicas with all join keys offset by r·10⁷ — 10 disjoint copies
+  of the key graph. ``region``/``nation``/``events`` copy through
+  unchanged (bounded dims; nanos-timestamp file).
 - ``embeddings``: 10 replicas with vec_id offset (per-row kernels
   don't care about values).
 
@@ -53,6 +55,14 @@ PROBE_KEYS = [
     "q_incremental_join_view",
     "q_dedup_clusters",
     "q_fuzzy_match",
+    # round-7 additions: sf1 evidence for the new keys
+    "q_ann_ivfadc",
+    "q_catalog_graph",
+    "q_catalog_graph_impact",
+    "q_filter_cascade",
+    "q_token_budget",
+    "q_ols_trend",
+    "q_embedding_pca",
 ]
 
 
@@ -76,15 +86,28 @@ def build(spark) -> None:
         )
 
     def _salted_docs(df, r):
-        salted = F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1x{r}")
+        # Insert a replica-unique token BEFORE every 5th word: every
+        # word-5-gram window then contains a salt token, so shingle
+        # spaces are DISJOINT across replicas, while the original
+        # words — and with them langid markers, stopword ratios, and
+        # near-dup alignment within a replica — survive intact.
+        # (A per-token suffix was tried and REJECTED: it destroyed the
+        # \b-anchored language markers, zeroing langid-gated stages.)
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    i % 5 == 0, F.concat(F.lit(f"q{r}z "), w)
+                ).otherwise(w),
+            ),
+            " ",
+        )
         return df.select(
             (F.col("doc_id") + r * OFF).alias("doc_id"),
             salted.alias("text"),
             "lang",
             "source",
-            # keep the fixture invariant n_chars == length(text): the
-            # salt grows every token, so the original n_chars would lie
-            # to any probe key that reads it (length gates, token stats)
+            # keep the fixture invariant n_chars == length(text)
             F.length(salted).cast("long").alias("n_chars"),
         )
 
@@ -113,6 +136,23 @@ def build(spark) -> None:
         "embeddings",
         lambda df, r: df.withColumn("vec_id", F.col("vec_id") + r * OFF),
     )
+    replicate(
+        "part",
+        lambda df, r: df.withColumn("p_partkey", F.col("p_partkey") + r * OFF),
+    )
+    replicate(
+        "supplier",
+        lambda df, r: df.withColumn("s_suppkey", F.col("s_suppkey") + r * OFF),
+    )
+    # Tiny dims and the nanos-timestamp events file copy through as-is
+    # (region/nation are bounded at any SF; events is INT64
+    # TIMESTAMP(NANOS), unreadable by a plain spark.read — and the keys
+    # this tier watches don't scale with it).
+    for name in ("region", "nation", "events"):
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(tmp, f"{name}.parquet"),
+        )
     if os.path.exists(OUT):
         shutil.rmtree(OUT)
     os.rename(tmp, OUT)
