@@ -131,4 +131,5 @@ def load_all() -> None:
         extras73,
         extras74,
         extras75,
+        extras76,
     )

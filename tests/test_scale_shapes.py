@@ -1456,3 +1456,16 @@ def test_extras75_plans_are_bounded(spark, sf_dir):
     assert "partial_" in p
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p
+
+
+def test_extras76_plans_are_bounded(spark, sf_dir):
+    # retention plan: broadcast scalar max + month-grain partial agg
+    p = plan_of(spark, sf_dir, "q_retention_plan")
+    assert "partial_" in p
+    assert "Window" not in p
+    # bucket advisor: value-grain partial counts, no windows, no
+    # cartesians; shuffle carries distinct key values only
+    pb = plan_of(spark, sf_dir, "q_bucket_advisor")
+    assert "partial_" in pb
+    assert "Window" not in pb
+    assert "CartesianProduct" not in pb
