@@ -33,17 +33,6 @@ from self_healing_data_pipeline_spark.queries.tier_c import (
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
-#: Cascade stages in application order: (name, flag column). The order
-#: is policy — cheap structural gates first, the dedup window last so
-#: it only shuffles documents that survived the row-local gates.
-_STAGES = [
-    ("length", "pass_len"),
-    ("langid", "pass_lang"),
-    ("alpha", "pass_alpha"),
-    ("word_len", "pass_wlen"),
-    ("exact_dedup", "pass_dedup"),
-]
-
 _STOP_PAT = r"\b(" + "|".join(_STOPWORDS) + r")\b"
 
 #: Shared per-doc flag CTE (DuckDB side). Integer-only verdicts:

@@ -172,9 +172,13 @@ def q_bucket_advisor(spark, sf_dir):
     vc = kv.groupBy("key_col", "v").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # NULL convention matches the oracle: n_rows and max_key_rows see
+    # the NULL group, ndv is COUNT(DISTINCT v) which excludes NULLs —
+    # count(v) at the value grain skips the NULL group's row (same fix
+    # class as q_feature_screen's round-7 ADVICE item).
     stats = vc.groupBy("key_col").agg(
         F.sum("c").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.count(F.col("v")).cast("bigint").alias("ndv"),
         F.max("c").cast("bigint").alias("max_key_rows"),
     )
     need = F.expr(

@@ -8,7 +8,7 @@ The driver ships no sf1 fixture, so this tool SYNTHESIZES one under
 fixture's per-replica statistics while keeping replicas disjoint:
 
 - ``documents``: 10 replicas; a replica-unique salt token is inserted
-  before every 5th word, so every word-5-gram window contains a salt
+  before every 4th word, so every word-5-gram window contains a salt
   and shingle spaces are DISJOINT across replicas, while the original
   words (langid markers, stopword ratios, near-dup alignment within a
   replica) survive — the honest "corpus grew 10×, content statistics
@@ -86,18 +86,24 @@ def build(spark) -> None:
         )
 
     def _salted_docs(df, r):
-        # Insert a replica-unique token BEFORE every 5th word: every
-        # word-5-gram window then contains a salt token, so shingle
-        # spaces are DISJOINT across replicas, while the original
-        # words — and with them langid markers, stopword ratios, and
-        # near-dup alignment within a replica — survive intact.
-        # (A per-token suffix was tried and REJECTED: it destroyed the
-        # \b-anchored language markers, zeroing langid-gated stages.)
+        # Insert a replica-unique token BEFORE every 4th word: at most
+        # 4 original words sit between salts, so EVERY word-5-gram
+        # window contains a salt token and shingle spaces are DISJOINT
+        # across replicas, while the original words — and with them
+        # langid markers, stopword ratios, and near-dup alignment
+        # within a replica — survive intact. (Every-5th spacing was
+        # tried and REJECTED: it leaves one salt-free 5-gram per run,
+        # shared byte-identical across all replicas — synthetic
+        # cross-replica candidates in every shingle join. A per-token
+        # suffix was also REJECTED: it destroyed the \b-anchored
+        # language markers, zeroing langid-gated stages.) The salt
+        # repeats the replica digit 3x so 40-char prefixes of sibling
+        # replicas differ by >4 edits — no cross-replica fuzzy pairs.
         salted = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
                 lambda w, i: F.when(
-                    i % 5 == 0, F.concat(F.lit(f"q{r}z "), w)
+                    i % 4 == 0, F.concat(F.lit(f"q{r}{r}{r}z "), w)
                 ).otherwise(w),
             ),
             " ",
