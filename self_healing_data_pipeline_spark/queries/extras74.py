@@ -22,10 +22,7 @@ from self_healing_data_pipeline_spark.operators.dedup import (
     NORMALIZE_TEXT_SQL as _NORM,
     normalize_text,
 )
-from self_healing_data_pipeline_spark.operators.text import (
-    _STOPWORDS,
-    lang_id,
-)
+from self_healing_data_pipeline_spark.operators.text import _STOPWORDS
 from self_healing_data_pipeline_spark.queries.tier_c import (
     _langid_case_sql,
     _marker_counts_sql,
@@ -129,29 +126,15 @@ def q_filter_cascade(spark, sf_dir):
     5-row literal unpivot. Stage k's input count is by construction
     the survivor count of stage k-1 — the sequence semantics, with no
     per-stage rescan."""
+    from self_healing_data_pipeline_spark.operators.cascade import (
+        cascade_flags,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    norm = normalize_text("text")
-    n_toks = (
-        F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
-    )
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    flags = docs.select(
-        "doc_id",
-        F.md5(norm).alias("fp"),
-        (F.col("n_chars").between(100, 20000)).alias("pass_len"),
-        (lang_id("text") != "und").alias("pass_lang"),
-        (2 * alpha >= F.length("text")).alias("pass_alpha"),
-        (
-            (3 * n_toks <= F.col("n_chars"))
-            & (F.col("n_chars") <= 12 * n_toks)
-        ).alias("pass_wlen"),
-    ).withColumn(
-        "s4",
-        F.col("pass_len")
-        & F.col("pass_lang")
-        & F.col("pass_alpha")
-        & F.col("pass_wlen"),
-    )
+    # Shared gate logic (operators/cascade.py — also drives the
+    # streaming funnel twin); the dedup stage below is the BATCH
+    # resolution of first-survivor-per-fingerprint.
+    flags = cascade_flags(docs)
     # Sequential dedup semantics: a doc passes the dedup stage iff it
     # is the FIRST SURVIVOR of the prior gates in its fingerprint group
     # — a doc eliminated upstream cannot shadow a survivor (keep-first
