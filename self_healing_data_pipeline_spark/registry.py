@@ -28,6 +28,14 @@ def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn):
+        # Refuse silent shadowing: two modules registering the same key
+        # would leave whichever import ran last as the only survivor
+        # (and its oracle as the only twin) with no error anywhere.
+        # Idempotent re-registration of the SAME function (module
+        # re-import) stays allowed.
+        prev = QUERIES.get(name)
+        if prev is not None and prev.__qualname__ != fn.__qualname__:
+            raise ValueError(f"duplicate query key: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -132,4 +140,5 @@ def load_all() -> None:
         extras74,
         extras75,
         extras76,
+        extras77,
     )

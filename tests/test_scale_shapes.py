@@ -1469,3 +1469,15 @@ def test_extras76_plans_are_bounded(spark, sf_dir):
     assert "partial_" in pb
     assert "Window" not in pb
     assert "CartesianProduct" not in pb
+
+
+def test_extras77_plans_are_bounded(spark, sf_dir):
+    # nth/first/last windows: one segment-partitioned window exchange,
+    # top-200 via a bounded sort; no cartesians
+    p = plan_of(spark, sf_dir, "q_window_nth")
+    assert "CartesianProduct" not in p
+    # mode: value-grain partial counts first, windows only over the
+    # bounded (segment, nation) domain
+    pm = plan_of(spark, sf_dir, "q_agg_mode")
+    assert "partial_" in pm
+    assert "CartesianProduct" not in pm

@@ -361,7 +361,11 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # broadcast scalar max + month-grain partial agg
                   "q_retention_plan",
                   # value-grain partial counts per candidate key
-                  "q_bucket_advisor"]
+                  "q_bucket_advisor",
+                  # one segment-partitioned window + bounded top-200
+                  "q_window_nth",
+                  # bounded-domain counts + rank over the tiny frame
+                  "q_agg_mode"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
