@@ -64,33 +64,36 @@ def extract_json(text: str) -> Any:
             pass
     stripped = strip_fences(text)
     for opener, closer in (("{", "}"), ("[", "]")):
+        # Try EVERY opener occurrence, not just the first: a preamble
+        # like ``note {not json} then {"a": 1}`` has a balanced-but-
+        # invalid first candidate, and the valid payload comes later.
         start = stripped.find(opener)
-        if start < 0:
-            continue
-        depth = 0
-        in_str = False
-        esc = False
-        for i in range(start, len(stripped)):
-            ch = stripped[i]
-            if in_str:
-                if esc:
-                    esc = False
-                elif ch == "\\":
-                    esc = True
-                elif ch == '"':
-                    in_str = False
-                continue
-            if ch == '"':
-                in_str = True
-            elif ch == opener:
-                depth += 1
-            elif ch == closer:
-                depth -= 1
-                if depth == 0:
-                    try:
-                        return json.loads(stripped[start : i + 1])
-                    except json.JSONDecodeError:
-                        break
+        while start >= 0:
+            depth = 0
+            in_str = False
+            esc = False
+            for i in range(start, len(stripped)):
+                ch = stripped[i]
+                if in_str:
+                    if esc:
+                        esc = False
+                    elif ch == "\\":
+                        esc = True
+                    elif ch == '"':
+                        in_str = False
+                    continue
+                if ch == '"':
+                    in_str = True
+                elif ch == opener:
+                    depth += 1
+                elif ch == closer:
+                    depth -= 1
+                    if depth == 0:
+                        try:
+                            return json.loads(stripped[start : i + 1])
+                        except json.JSONDecodeError:
+                            break
+            start = stripped.find(opener, start + 1)
     raise ValueError(f"no parseable JSON in model output: {text[:80]!r}")
 
 

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.queries.catalog_queries import (
     _EDGE_VALUES,
-    _PIPELINE_STAGES,
     FK_DISCOVERY_CTES as _FK_CTES,
     _build_lineage,
     q_join_discovery,
@@ -150,11 +149,15 @@ def q_catalog_graph_impact(spark, sf_dir):
     declared corpus-build pipeline) — the same reach query answers
     both, because the graph view made the two edge kinds one relation.
 
-    Per (root, impacted node): minimum dependency depth. The closure
-    is a bounded frontier expansion (one broadcast-sized hash join per
-    level, loop bound = the static stage count — the catalog graph is
-    metadata-sized); the DuckDB oracle walks the identical edges with
-    a recursive CTE."""
+    Per (root, impacted node): minimum dependency depth. The edge
+    list is metadata-sized by construction (|FKs| + |stages|, ~14
+    rows at ANY corpus scale — catalog grain, not data grain), so the
+    closure itself is a driver-side BFS over the materialized edges:
+    exact full reachability (no depth bound to under-report a long
+    chain, terminates on cycles via the visited set), while the
+    expensive part — FK/lineage edge DISCOVERY — stays distributed.
+    The DuckDB oracle walks the identical edges with a recursive
+    CTE."""
     fk_tables = (
         q_join_discovery(spark, sf_dir)
         .select(
@@ -174,31 +177,31 @@ def q_catalog_graph_impact(spark, sf_dir):
     # materialization Spark would re-evaluate the discovery scan at
     # EVERY level (measured 11.6s -> ~3s at sf0.1).
     edge_rows = fk_tables.unionByName(feeds).collect()
-    edges = spark.createDataFrame(edge_rows, "src string, dst string")
-    roots = spark.createDataFrame(
-        [(r,) for r in _IMPACT_ROOTS], "root string"
-    )
-    frontier = (
-        F.broadcast(roots)
-        .join(edges, roots["root"] == edges["src"])
-        .select("root", F.col("dst").alias("node"), F.lit(1).alias("depth"))
-    )
-    reach = frontier
-    for depth in range(2, len(_PIPELINE_STAGES) + 1):
-        frontier = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(
-                "root",
-                F.col("dst").alias("node"),
-                F.lit(depth).alias("depth"),
-            )
-            # per-level dedup: keeps the walk |V|-bounded (a diamond in
-            # the FK graph would otherwise multiply paths each level)
-            .distinct()
-        )
-        reach = reach.unionByName(frontier)
+    adj: dict[str, list[str]] = {}
+    for r in edge_rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    out: list[tuple[str, str, int]] = []
+    for root in _IMPACT_ROOTS:
+        # BFS = min-depth closure; the visited set both dedups diamond
+        # paths and terminates cycles (no fixed level bound to silently
+        # under-report a chain longer than the static stage count).
+        seen: dict[str, int] = {}
+        frontier = [root]
+        depth = 0
+        while frontier:
+            depth += 1
+            nxt: list[str] = []
+            for node in frontier:
+                for dst in adj.get(node, ()):
+                    # root itself is NOT pre-seeded: a cycle re-entering
+                    # the root records it as a reached node, exactly as
+                    # the oracle's recursive CTE does.
+                    if dst not in seen:
+                        seen[dst] = depth
+                        nxt.append(dst)
+            frontier = nxt
+        out.extend((root, node, d) for node, d in seen.items())
     return (
-        reach.groupBy("root", "node")
-        .agg(F.min("depth").cast("bigint").alias("depth"))
+        spark.createDataFrame(out, "root string, node string, depth bigint")
         .orderBy("root", "depth", "node")
     )

@@ -33,8 +33,16 @@ def query(name: str, oracle: str | None = None):
         # (and its oracle as the only twin) with no error anywhere.
         # Idempotent re-registration of the SAME function (module
         # re-import) stays allowed.
+        # Compare (module, qualname), not qualname alone: the repo
+        # convention names the function after the key (@query('q_x')
+        # def q_x), so two DIFFERENT modules registering the same key
+        # would otherwise pass on matching function names — exactly the
+        # silent-shadow case this guard exists to catch.
         prev = QUERIES.get(name)
-        if prev is not None and prev.__qualname__ != fn.__qualname__:
+        if prev is not None and (
+            prev.__module__,
+            prev.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
             raise ValueError(f"duplicate query key: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:

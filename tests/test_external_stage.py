@@ -37,6 +37,10 @@ def test_extract_json_fallback_chain():
     assert extract_json("prefix [1, 2, 3] suffix") == [1, 2, 3]
     # braces inside strings must not confuse the scanner
     assert extract_json('x {"a": "}{", "b": 1} y') == {"a": "}{", "b": 1}
+    # a balanced-but-invalid FIRST candidate must not mask a valid
+    # later occurrence (scanner continues past failed candidates)
+    assert extract_json('note {not json} then {"a": 1}') == {"a": 1}
+    assert extract_json("bad [not, json,] ok [1, 2]") == [1, 2]
     with pytest.raises(ValueError):
         extract_json("no json here at all")
 
