@@ -21,8 +21,13 @@ corpus). Per batch:
    that itself survived): this is what makes batch boundaries invisible
    — under a "suppressed docs also suppress" shortcut, a chain A~B~C
    (A≁C) would drop C in one batch but keep it when cut in two. The
-   within-batch pair list is near-dup-rate-sized and capped, so the
-   greedy pass is a bounded driver loop, never a data-sized collect;
+   rule is order-sequential only WITHIN a connected component of the
+   pair graph, so the resolution is distributed: components via
+   ``operators.dedup.connected_components`` (size-dispatched
+   union-find / min-label propagation), then the greedy pass runs
+   per-component in executors (``applyInPandas``) — components are
+   near-dup clusters, bounded by the bucket caps, and no pair list
+   ever collects to the driver;
 5. append survivors' signatures to the registry and emit them to the
    accepted output, both idempotent ``batch=<epoch>`` writes with
    strictly-prior-epoch reads (``streaming.snapshots``) — replay-safe
@@ -182,57 +187,96 @@ def apply_neardup_batch(
             .filter(_sig_agreement("__lsig", "__rsig") >= threshold)
             .select("__l", "__r")
         )
-        # greedy survivor pass over the (near-dup-rate-sized, capped)
-        # in-batch pair list; only ids PARTICIPATING in pairs need
-        # driver-side history status — the full history-matched set
-        # stays distributed, so a 100%-duplicate batch never collects
-        pair_rows = pairs.collect()
-        edges: dict = {}
-        ids_in_pairs: set = set()
-        for r in pair_rows:
-            edges.setdefault(r["__r"], []).append(r["__l"])
-            ids_in_pairs.add(r["__l"])
-            ids_in_pairs.add(r["__r"])
-        # id-typed single-column frame builder: keeps the greedy pass
-        # agnostic to the id column's type (long, string, ...) and
-        # avoids an unbounded Catalyst IN-list on dup-heavy batches —
-        # membership is a broadcast semi-join on a literal frame sized
-        # by the pair list, never an expression tree sized by it
+        # Distributed greedy survivor pass. The rule ("a doc is
+        # suppressed only by an EARLIER doc that itself survived") is
+        # sequential only within a connected component of the verified
+        # pair graph: components are independent, so resolve components
+        # distributed (size-dispatched union-find / min-label
+        # propagation — the same operator q_dedup_clusters uses), then
+        # run the order-sequential loop per component in executors.
+        # Components are near-dup clusters bounded by the bucket caps;
+        # nothing here collects a pair list to the driver.
+        from pyspark.sql import types as T
+
+        from self_healing_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
         id_type = sigs.schema["__id"].dataType
-
-        def _id_frame(ids) -> DataFrame:
-            from pyspark.sql import types as T
-
-            return spark.createDataFrame(
-                [(i,) for i in ids],
-                T.StructType([T.StructField("__id", id_type)]),
+        # The pair list feeds both the component resolution and the
+        # flagged edge list — checkpoint it so the bucket-join +
+        # signature-verify upstream runs exactly once.
+        pairs = pairs.localCheckpoint(eager=True)
+        # Per-endpoint history flag rides along on the edges so the
+        # per-component pass needs no side lookup. A hist-matched doc
+        # is seeded SUPPRESSED and therefore does NOT suppress later
+        # in-batch docs (same as the old driver loop): the registry
+        # copy that matched it is what stands in the corpus, and any
+        # later doc near-matching that copy is caught by its own
+        # history join, not transitively through the dropped doc.
+        if matched_hist is not None:
+            hflag = matched_hist.select(
+                "__id", F.lit(True).alias("__h")
             )
+            pairs_flagged = (
+                pairs.join(
+                    hflag.select(
+                        F.col("__id").alias("__l"),
+                        F.col("__h").alias("l_hist"),
+                    ),
+                    "__l",
+                    "left",
+                )
+                .join(
+                    hflag.select(
+                        F.col("__id").alias("__r"),
+                        F.col("__h").alias("r_hist"),
+                    ),
+                    "__r",
+                    "left",
+                )
+                .fillna(False, ["l_hist", "r_hist"])
+            )
+        else:
+            pairs_flagged = pairs.withColumn(
+                "l_hist", F.lit(False)
+            ).withColumn("r_hist", F.lit(False))
+        comp = connected_components(pairs, "__l", "__r").select(
+            F.col("node").alias("__l"), "cluster_id"
+        )
+        comp_edges = pairs_flagged.join(comp, "__l")
 
-        hist_in_pairs: set = set()
-        if matched_hist is not None and ids_in_pairs:
-            hist_in_pairs = {
-                r["__id"]
-                for r in matched_hist.join(
-                    F.broadcast(_id_frame(sorted(ids_in_pairs))),
-                    "__id",
-                    "left_semi",
-                ).collect()
-            }
-        suppressed = set(hist_in_pairs)
-        batch_suppressed: list = []
-        for rid in sorted(edges):
-            if rid in suppressed:
-                continue
-            if any(lid not in suppressed for lid in edges[rid]):
-                suppressed.add(rid)
-                batch_suppressed.append(rid)
+        out_schema = T.StructType([T.StructField("__id", id_type)])
+
+        def _greedy_component(pdf):
+            import pandas as pd
+
+            edges: dict = {}
+            suppressed: set = set()
+            for lid, rid, lh, rh in zip(
+                pdf["__l"], pdf["__r"], pdf["l_hist"], pdf["r_hist"]
+            ):
+                edges.setdefault(rid, []).append(lid)
+                if lh:
+                    suppressed.add(lid)
+                if rh:
+                    suppressed.add(rid)
+            dropped: list = []
+            for rid in sorted(edges):
+                if rid in suppressed:
+                    continue
+                if any(lid not in suppressed for lid in edges[rid]):
+                    suppressed.add(rid)
+                    dropped.append(rid)
+            return pd.DataFrame({"__id": dropped})
+
+        batch_suppressed = comp_edges.groupBy("cluster_id").applyInPandas(
+            _greedy_component, out_schema
+        )
         survivors = sigs
         if matched_hist is not None:
             survivors = survivors.join(matched_hist, "__id", "left_anti")
-        if batch_suppressed:
-            survivors = survivors.join(
-                F.broadcast(_id_frame(batch_suppressed)), "__id", "left_anti"
-            )
+        survivors = survivors.join(batch_suppressed, "__id", "left_anti")
         accepted = batch.join(
             survivors.select(F.col("__id").alias(id_col)), id_col
         )

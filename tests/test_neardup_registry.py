@@ -205,3 +205,33 @@ def test_registry_side_degenerate_bucket_cap(spark, tmp_path):
         threshold=THRESHOLD,
     )
     assert _accepted_ids(spark, adir2) == [1]
+
+
+def test_dup_heavy_adversarial_batch(spark, tmp_path):
+    """r7 verdict task: the survivor pass must stay correct (and fully
+    distributed — no pair-list collect) on a batch that is almost
+    entirely duplicates: 3 exact-copy families of one text each plus a
+    history match. Expected survivors: the first id of each family;
+    the family duplicating history is suppressed entirely."""
+    a, _, _ = _chain_texts()
+    fam2 = _distinct_text(11)
+    fam3 = _distinct_text(12)
+    rdir, adir = str(tmp_path / "reg"), str(tmp_path / "acc")
+    # epoch 0 registers `a` as history
+    apply_neardup_batch(
+        spark, spark.createDataFrame([(1, a)], SCHEMA), rdir, adir, 0,
+        threshold=THRESHOLD,
+    )
+    # epoch 1: 12 docs, 11 of them duplicates of something
+    rows = (
+        [(10 + i, a) for i in range(4)]       # all match history -> drop
+        + [(20 + i, fam2) for i in range(4)]  # keep 20, drop 21-23
+        + [(30 + i, fam3) for i in range(4)]  # keep 30, drop 31-33
+    )
+    apply_neardup_batch(
+        spark, spark.createDataFrame(rows, SCHEMA), rdir, adir, 1,
+        threshold=THRESHOLD,
+    )
+    assert _accepted_ids(spark, adir) == [1, 20, 30]
+    reg = read_neardup_registry(spark, rdir)
+    assert sorted(r["doc_id"] for r in reg.collect()) == [1, 20, 30]
