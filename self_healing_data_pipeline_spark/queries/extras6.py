@@ -336,20 +336,39 @@ def q_dedup_registry(spark, sf_dir):
     )
 
 
-@query("q_neardup_registry")  # blake2b/minhash: not SQL-expressible
+@query(
+    "q_neardup_registry",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS cuts_agree,
+           TRUE AS accepted_in_range,
+           TRUE AS registry_matches_accepted
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
 def q_neardup_registry(spark, sf_dir):
-    """The incremental NEAR-dup registry's behavior as a query, with a
-    BATCH-CUT-INVARIANCE self-witness (the machinery's core contract,
-    which no SQL oracle can express because signatures are blake2b +
-    affine minhash): the same thinned document stream is driven through
-    ``streaming.neardup_registry`` twice — once as a single epoch, once
-    cut into two id-ordered epochs — and the result reports, per
-    document, whether it was accepted plus an in-row ``cuts_agree``
-    witness that both runs made the identical decision. A disagreement
-    anywhere (a suppressed doc suppressing on its canonical's behalf,
-    replay leakage, registry drift) flips the witness false and fails
-    the driver's hash-stability across runs. Documents are thinned to
-    doc_id%4==0 so the two materialization passes stay bench-friendly."""
+    """The incremental NEAR-dup registry's core contracts as an
+    ORACLE-BACKED witness row (the q_distinct_sketch_accuracy
+    discipline: every column SQL-derivable, witnesses expected TRUE, so
+    the driver's hash gate verifies the machinery's contract instead of
+    recording a row count). The same thinned document stream is driven
+    through ``streaming.neardup_registry`` twice — once as a single
+    epoch, once cut into two id-ordered epochs — and the row reports:
+
+    - ``n_docs``: documents considered (oracle: COUNT(*) of the thin);
+    - ``cuts_agree``: both runs accepted the IDENTICAL id set — the
+      batch-cut-invariance contract (a suppressed doc suppressing on
+      its canonical's behalf, replay leakage, or registry drift all
+      flip it false);
+    - ``accepted_in_range``: 1 ≤ |accepted| ≤ n_docs;
+    - ``registry_matches_accepted``: the registry's signature ids equal
+      the accepted output ids for the single-epoch run (state and
+      output never diverge).
+
+    Per-document decisions stay covered by tests/test_neardup_registry
+    (signatures are blake2b + affine minhash — not SQL-expressible).
+    Documents are thinned to doc_id%4==0 so the two materialization
+    passes stay bench-friendly."""
     import os
 
     from self_healing_data_pipeline_spark.streaming.neardup_registry import (
@@ -391,19 +410,28 @@ def q_neardup_registry(spark, sf_dir):
     two = run(
         "two", [F.col("doc_id") <= half, F.col("doc_id") > half]
     )
-    agree = one == two
-    accepted = spark.createDataFrame(
-        [(int(i),) for i in sorted(one)] or [(-1,)], "doc_id long"
+    n_docs = d.count()
+    from self_healing_data_pipeline_spark.streaming.neardup_registry import (
+        read_neardup_registry,
     )
-    return (
-        d.select("doc_id")
-        .join(accepted.withColumn("accepted", F.lit(True)), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("accepted", F.lit(False)).alias("accepted"),
-            F.lit(agree).alias("cuts_agree"),
-        )
-        .orderBy("doc_id")
+
+    reg = read_neardup_registry(spark, os.path.join(scratch, "one", "reg"))
+    reg_ids = (
+        {r["doc_id"] for r in reg.select("doc_id").collect()}
+        if reg is not None
+        else set()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                one == two,
+                1 <= len(one) <= n_docs,
+                reg_ids == one,
+            )
+        ],
+        "n_docs bigint, cuts_agree boolean, accepted_in_range boolean,"
+        " registry_matches_accepted boolean",
     )
 
 

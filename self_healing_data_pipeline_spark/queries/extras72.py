@@ -46,7 +46,16 @@ _RECALL_FLOOR = 0.5
 _PANEL_STRIDE = 50  # every 50th vector is an eval probe
 
 
-@query("q_ann_ivfadc")  # rows-only: ANN ranking, witness in-row
+@query(
+    "q_ann_ivfadc",
+    oracle=f"""
+    SELECT vec_id AS probe_id,
+           CAST({_K} AS BIGINT) AS n_exact,
+           TRUE AS witness_ok
+    FROM embeddings WHERE vec_id % {_PANEL_STRIDE} = 0
+    ORDER BY probe_id
+    """,
+)
 def q_ann_ivfadc(spark, sf_dir):
     """IVFADC recall@10 over the probe panel (every 50th vector),
     against the IVF-only path on the SAME probe budget and the exact
@@ -78,7 +87,11 @@ def q_ann_ivfadc(spark, sf_dir):
 
     Witness per probe: ``witness_ok`` = (ivfadc_overlap ≥ ivf_overlap,
     i.e. compression lost nothing the probe budget had found) AND
-    (ivfadc recall ≥ 0.5 floor, same as the harness)."""
+    (ivfadc recall ≥ 0.5 floor, same as the harness). The output is the
+    oracle-backed contract view — (probe_id, n_exact, witness_ok), all
+    SQL-derivable with witness expected TRUE, so the driver's hash gate
+    verifies the recall contract itself; numeric per-probe recall lives
+    in q_ann_recall_at_k."""
     emb = read_table(spark, sf_dir, "embeddings")
     # Shortlist sized to the corpus: the fixture's near-uniform random
     # vectors are ANN's worst case (score gaps between rank 10 and rank
@@ -225,19 +238,15 @@ def q_ann_ivfadc(spark, sf_dir):
             F.count("adc_id").cast("bigint").alias("ivfadc_overlap"),
         )
     )
+    # Oracle-expected-TRUE contract shape (the q_distinct_sketch_accuracy
+    # discipline): every output column is SQL-derivable — the probe panel
+    # is vec_id % stride = 0, n_exact is always K, and the witness must
+    # be TRUE — so the driver HASH-verifies the recall contract instead
+    # of recording row counts. Numeric recall detail lives in
+    # q_ann_recall_at_k (rows-only by design).
     return per_probe.select(
         "probe_id",
         "n_exact",
-        "ivf_overlap",
-        "ivfadc_overlap",
-        (
-            F.col("ivf_overlap").cast("double")
-            / F.col("n_exact").cast("double")
-        ).alias("ivf_recall"),
-        (
-            F.col("ivfadc_overlap").cast("double")
-            / F.col("n_exact").cast("double")
-        ).alias("ivfadc_recall"),
         (
             (F.col("ivfadc_overlap") >= F.col("ivf_overlap"))
             & (

@@ -31,7 +31,6 @@ registry.load_all()
 ALL_TRUE: dict[str, list[str]] = {
     "q_agg_approx_distinct": ["within_5pct"],
     "q_agg_approx_percentile": ["within_bounds", "rank_ok"],
-    "q_ann_ivfadc": ["witness_ok"],
     "q_ann_recall_at_k": ["witness_ok"],
     "q_embedding_pca": ["witness_ok"],
     "q_embedding_quantize": ["witness_ok"],
@@ -41,7 +40,6 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_multimodal_audio": ["roundtrip_ok"],
     "q_multimodal_features": ["dims_ok", "pixels_ok"],
     "q_multimodal_video": ["roundtrip_ok"],
-    "q_neardup_registry": ["cuts_agree"],
     "q_scan_binaryfile": ["dims_ok"],
     "q_sim_join_lsh": ["above_threshold"],
     "q_text_token_bpe_exact": ["witness_ok"],
