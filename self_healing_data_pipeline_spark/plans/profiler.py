@@ -38,16 +38,12 @@ _SEMANTIC_PATTERNS = {
 }
 
 
-def profile_dataframe(
-    df: DataFrame,
-    table_name: str = "uploaded_data",
-    outlier_sigma: float = 4.0,
-    high_cardinality_ratio: float = 0.9,
-) -> TableSchema:
-    """Profile every column in one aggregate pass → ``TableSchema``.
-
-    Quality-issue strings mirror the reference's categories 1:1 so a user
-    of the reference sees the same vocabulary.
+def first_pass_aggregate(df: DataFrame) -> DataFrame:
+    """The profiler's full-measure pass as a one-row aggregate frame —
+    exposed (rather than inlined in :func:`profile_dataframe`) so plan
+    tests can assert the ONE-scan claim holds at width: ~6 aggregate
+    expressions per column is constant-size hash-agg state, and the
+    physical plan must stay a single scan regardless of column count.
     """
     aggs = [F.count(F.lit(1)).alias("__total")]
     for f_ in df.schema.fields:
@@ -79,7 +75,21 @@ def profile_dataframe(
             aggs.append(std.alias(f"std__{c}"))
         else:
             aggs.append(F.sum(F.lit(0)).alias(f"out__{c}"))
-    row = df.agg(*aggs).collect()[0].asDict()
+    return df.agg(*aggs)
+
+
+def profile_dataframe(
+    df: DataFrame,
+    table_name: str = "uploaded_data",
+    outlier_sigma: float = 4.0,
+    high_cardinality_ratio: float = 0.9,
+) -> TableSchema:
+    """Profile every column in one aggregate pass → ``TableSchema``.
+
+    Quality-issue strings mirror the reference's categories 1:1 so a user
+    of the reference sees the same vocabulary.
+    """
+    row = first_pass_aggregate(df).collect()[0].asDict()
     total = row["__total"]
 
     # Second cheap pass only for numeric outlier counts (needs mean/std).

@@ -64,3 +64,33 @@ def test_freeze_and_ddl_roundtrip():
     ddl = struct_to_ddl("orders_q1", struct)
     assert ddl.startswith('CREATE TABLE "orders_q1"')
     assert '"amount" REAL' in ddl
+
+
+def test_one_scan_plan_at_width(spark):
+    """r7 verdict task 8: the one-scan claim must hold at 100+ columns
+    (~6 aggregate expressions per column). 120 columns mixing string /
+    double / long thirds -> the physical plan is a single scan feeding
+    one aggregate chain: no joins, no repeated scans, no shuffle of raw
+    rows (only the aggregate's one-row exchange)."""
+    from self_healing_data_pipeline_spark.plans.profiler import (
+        first_pass_aggregate,
+    )
+
+    cols = []
+    for i in range(40):
+        cols.append(f"CAST(id + {i} AS STRING) AS s{i}")
+        cols.append(f"CAST(id * 1.5 + {i} AS DOUBLE) AS d{i}")
+        cols.append(f"id + {i} AS l{i}")
+    df = spark.range(100).selectExpr(*cols)
+    assert len(df.columns) == 120
+    agg = first_pass_aggregate(df)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ExistingRDD") + plan.count(
+        "LocalTableScan"
+    ) + plan.count("Range (")
+    assert n_scans == 1, plan[:2000]
+    assert "Join" not in plan
+    # and it actually computes: one row, with the expected measure count
+    row = agg.collect()[0].asDict()
+    assert row["__total"] == 100
+    assert sum(k.startswith("nulls__") for k in row) == 120
