@@ -33,13 +33,21 @@ public algorithms implementable without codec libraries:
   Al=1 → per-component AC first → DC refine → AC refine), so the
   refinement path is round-trip-witnessed, not just parsed.
 
-Baseline AND progressive scans honor RESTART INTERVALS (DRI + RST0–7:
-byte alignment, marker consumption, DC-predictor reset, EOB-run clear
-— the error-resilience feature camera firmware emits), each with an
-encoder knob so both paths are round-trip-tested. Decoders return
+- **Arithmetic-coded JPEG** (T.81 Annexes D + F, round 8): SOF9
+  extended-sequential with the adaptive QM-coder — Table D.3 state
+  machine, DAC conditioning, per-context statistics areas, AC signs on
+  the fixed ~0.5 bin — encoder twin + decoder, pixel-identical to the
+  Huffman twin on every fuzz case (same DCT chain, different entropy
+  layer). The last codec ``NotImplementedError`` boundary is closed.
+
+Baseline, progressive AND arithmetic scans honor RESTART INTERVALS
+(DRI + RST0–7: byte alignment, marker consumption, DC-predictor reset,
+EOB-run clear, and for arithmetic a full coder/statistics re-init —
+the error-resilience feature camera firmware emits), each with an
+encoder knob so all paths are round-trip-tested. Decoders return
 ``None`` (never raise) for the remaining unsupported variants —
-arithmetic coding, sampling beyond 2×2 — so the Arrow-batched feature
-kernel degrades gracefully per row.
+progressive-arithmetic SOF10, hierarchical, 12-bit, sampling beyond
+2×2 — so the Arrow-batched feature kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
 per-executor memory is bounded by Arrow batch size regardless of table
@@ -447,6 +455,51 @@ def _emit_block(writer: _BitWriterMSB, zz: np.ndarray, dc_prev: int) -> int:
     return int(zz[0])
 
 
+def _jpeg_component_coeffs(px: np.ndarray, quant: int, subsampling: str):
+    """Shared front half of every JPEG encoder in this module (baseline,
+    progressive, arithmetic): color transform + optional 4:2:0 chroma
+    downsample, edge-replication padding to the MCU lattice, 8×8 FDCT,
+    uniform quantization. Returns ``(comps, qtab, coeffs, mcux, mcuy)``
+    where ``comps`` is ``[(ch, cv), ...]`` sampling factors and
+    ``coeffs[c]`` is the ``(by, bx, 8, 8)`` quantized block grid."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [(px.astype(np.float64), 1, 1)]
+    elif subsampling == "420":
+        ycc = _rgb_to_ycbcr(px)
+        planes = [
+            (ycc[..., 0], 2, 2),
+            (_mean_downsample2(ycc[..., 1]), 1, 1),
+            (_mean_downsample2(ycc[..., 2]), 1, 1),
+        ]
+    elif subsampling == "444":
+        ycc = _rgb_to_ycbcr(px)
+        planes = [(ycc[..., c], 1, 1) for c in range(3)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    qtab = np.full(64, quant, dtype=np.int64)
+    hmax = max(ch for _, ch, _ in planes)
+    vmax = max(cv for _, _, cv in planes)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coeffs = []
+    for plane, ch, cv in planes:
+        ph, pw = mcuy * 8 * cv, mcux * 8 * ch
+        p = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        )  # (by, bx, 8, 8)
+        fdct = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        coeffs.append(np.round(fdct / qtab.reshape(8, 8)).astype(np.int64))
+    comps = [(ch, cv) for _, ch, cv in planes]
+    return comps, qtab, coeffs, mcux, mcuy
+
+
 def jpeg_bytes_with_pixels(
     pixels,
     quant: int = 1,
@@ -463,28 +516,11 @@ def jpeg_bytes_with_pixels(
     RST0–7 cycling, DC predictors reset — what camera firmware emits
     for error resilience). Decode twin: :func:`decode_jpeg_pixels`."""
     px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
     h, w = px.shape[:2]
-    if gray:
-        comps = [(px.astype(np.float64), 1, 1)]
-    elif subsampling == "420":
-        ycc = _rgb_to_ycbcr(px)
-        comps = [
-            (ycc[..., 0], 2, 2),
-            (_mean_downsample2(ycc[..., 1]), 1, 1),
-            (_mean_downsample2(ycc[..., 2]), 1, 1),
-        ]
-    elif subsampling == "444":
-        ycc = _rgb_to_ycbcr(px)
-        comps = [(ycc[..., c], 1, 1) for c in range(3)]
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    comps, qtab, coeffs, mcux, mcuy = _jpeg_component_coeffs(
+        px, quant, subsampling
+    )
     ncomp = len(comps)
-    qtab = np.full(64, quant, dtype=np.int64)
-    hmax = max(ch for _, ch, _ in comps)
-    vmax = max(cv for _, _, cv in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (one table, used by all components)
@@ -492,7 +528,7 @@ def jpeg_bytes_with_pixels(
     out += bytes(int(qtab[i]) for i in range(64))
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (_, ch, cv) in enumerate(comps):
+    for ci, (ch, cv) in enumerate(comps):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC class 0 id 0, AC class 1 id 0
@@ -511,29 +547,13 @@ def jpeg_bytes_with_pixels(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # per-component quantized block grids on the shared MCU lattice
-    # (planes pad to their own block multiple by edge replication)
-    coeffs = []
-    for plane, ch, cv in comps:
-        ph, pw = mcuy * 8 * cv, mcux * 8 * ch
-        p = np.pad(
-            plane,
-            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
-            mode="edge",
-        ) - 128.0
-        blocks = (
-            p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-        )  # (by, bx, 8, 8)
-        fdct = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
-        coeffs.append(np.round(fdct / qtab.reshape(8, 8)).astype(np.int64))
-
     writer = _BitWriterMSB()
     dc_prev = [0] * ncomp
     rst_m = 0
     n_mcus = mcuy * mcux
     for idx in range(n_mcus):
         my, mx = divmod(idx, mcux)
-        for c, (_, ch, cv) in enumerate(comps):
+        for c, (ch, cv) in enumerate(comps):
             for by in range(cv):
                 for bx in range(ch):
                     zz = (
@@ -1138,9 +1158,12 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     actually uses — and PROGRESSIVE (SOF2) files via the multi-scan
     coefficient-domain path (:func:`_jpeg_progressive_scan`, T.81 G.2:
     spectral selection + successive approximation, EOB runs, DC/AC
-    refinement), and restart intervals in BOTH scan kinds (DRI/RSTn
-    with DC reset and EOB-run clear); returns None for
-    arithmetic-coded / 16-bit-table variants."""
+    refinement), ARITHMETIC-coded (SOF9) files via the QM-coder path
+    (Annex D coder + Annex F conditioning, DAC-parsed or default
+    L=0/U=1/Kx=5), and restart intervals in ALL scan kinds (DRI/RSTn
+    with DC reset, EOB-run clear, and full coder/statistics re-init
+    for arithmetic); returns None for progressive-arithmetic (SOF10) /
+    hierarchical / 16-bit-table variants."""
     if not payload or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -1152,6 +1175,9 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     comps: list[tuple[int, int, int, int]] = []  # (id, ch, cv, qtab)
     scan: list[tuple[int, int, int]] = []  # (id, dc_table, ac_table)
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     prog_geom: dict[int, tuple[int, int, int, int, int, int]] = {}
     prog_coefs: dict[int, list[list[int]]] = {}
     prog_scans = 0
@@ -1190,10 +1216,12 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                 syms = list(seg[j + 17 : j + 17 + nsym])
                 huff[(cls, tid)] = _build_decode_table(bits, syms)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):
+            # SOF0 baseline / SOF2 progressive / SOF9 sequential arithmetic
             if seg[0] != 8:
                 return None
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -1203,8 +1231,19 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     return None  # sampling beyond 2x2: unsupported
                 comps.append((cid, ch, cv, tq))
-        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # arithmetic / hierarchical SOF: unsupported
+        elif marker == 0xCC:  # DAC: arithmetic conditioning values
+            j = 0
+            while j + 2 <= len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (seg[j + 1] & 0x0F, seg[j + 1] >> 4)
+                else:
+                    ac_cond[tb] = seg[j + 1]
+                j += 2
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8):
+            # remaining SOFs (progressive-arithmetic 0xCA, hierarchical,
+            # lossless, 12-bit extended): unsupported
+            return None
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
@@ -1310,6 +1349,79 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     }
     dc_prev = [0] * ncomp
     n_mcus = mcuy * mcux
+    if arith:
+        # SOF9 sequential arithmetic scan: same MCU walk and placement,
+        # entropy decisions via the QM-coder (Annex F conditioning). A
+        # restart boundary re-initializes the coder AND all statistics
+        # areas, DC contexts and predictors (spec restart semantics).
+        def _arith_seg_end(pos: int) -> int:
+            # next marker INCLUDING RSTn (unlike _entropy_end, which
+            # treats RSTs as in-scan — arithmetic restart intervals are
+            # hard segment boundaries: the coder re-initializes)
+            while pos + 1 < n:
+                if b[pos] == 0xFF and b[pos + 1] != 0x00:
+                    return pos
+                pos += 1
+            return n
+
+        seg_start = data_start
+        seg_end = _arith_seg_end(seg_start)
+        dec = _QMDecoder(b, seg_start, seg_end)
+        a_dc: dict[int, _ArithStats] = {}
+        a_ac: dict[int, _ArithStats] = {}
+        fixed = _fixed_stats()
+        dc_ctx = [0] * ncomp
+        for mcu_idx in range(n_mcus):
+            if dri and mcu_idx and mcu_idx % dri == 0:
+                if seg_end + 2 > n or b[seg_end] != 0xFF or not (
+                    0xD0 <= b[seg_end + 1] <= 0xD7
+                ):
+                    return None
+                seg_start = seg_end + 2
+                seg_end = _arith_seg_end(seg_start)
+                dec = _QMDecoder(b, seg_start, seg_end)
+                a_dc.clear()
+                a_ac.clear()
+                fixed = _fixed_stats()
+                dc_ctx = [0] * ncomp
+                dc_prev = [0] * ncomp
+            my, mx = divmod(mcu_idx, mcux)
+            for c, (cid, dct, act) in enumerate(scan):
+                qt = qtabs.get(comp_q.get(cid, 0))
+                geom = comp_geom.get(cid)
+                if qt is None or geom is None:
+                    return None
+                ch, cv = geom
+                dstat = a_dc.setdefault(dct, _ArithStats(_DC_STAT_BINS))
+                astat = a_ac.setdefault(act, _ArithStats(_AC_STAT_BINS))
+                cl, cu = dc_cond.get(dct, (0, 1))
+                kx = ac_cond.get(act, 5)
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        try:
+                            diff, dc_ctx[c] = _arith_dc(
+                                dec, dstat, dc_ctx[c], cl, cu, decode=True
+                            )
+                            dc_prev[c] += diff
+                            zz[0] = dc_prev[c]
+                            _arith_ac_decode(dec, astat, fixed, zz, kx)
+                        except ValueError:
+                            return None
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * qt
+                        block = block.reshape(8, 8)
+                        pix = _DCT.T @ block @ _DCT + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+        if seg_end >= n:
+            # zero-feed past the segment end is LEGAL mid-stream (the
+            # flush strips trailing zeros), so truncation can't be seen
+            # from the decisions — but a well-formed file always closes
+            # the final entropy segment with a real marker (EOI)
+            return None
+        n_mcus = 0  # skip the Huffman walk below
     for mcu_idx in range(n_mcus):
         if dri and mcu_idx and mcu_idx % dri == 0:
             # byte-aligned RSTn between restart intervals; DC resets
@@ -1379,6 +1491,501 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
         return None
     rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# JPEG arithmetic entropy coding (ITU T.81 Annex D QM-coder + Annex F
+# DCT-coefficient conditioning) — closes the last codec boundary: SOF9
+# (extended sequential, arithmetic) now ENCODES and DECODES for real.
+#
+# The probability state machine is Table D.3 of the public T.81 spec
+# (Qe value, Next_Index_MPS, Next_Index_LPS, Switch_MPS per state;
+# index 113 is the non-adapting ~0.5 state used for AC signs). Encoder
+# and decoder share this table and the exact interval/renormalization
+# discipline below, so the in-repo round trip is bit-exact by
+# construction; conformance to external arithmetic-JPEG streams rests
+# on the table/flowchart transcription (no codec library exists in
+# this environment to cross-check against — documented residual risk).
+# --------------------------------------------------------------------------
+
+#: T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) per state; 113 = fixed bin.
+_QM_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: Annex F statistics-area sizes and layout anchors (Table F.4 / F.5).
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+_DC_X1 = 20        # DC magnitude-category chain X1..X15 start
+_AC_X1_LOW = 189   # AC chain for k <= Kx
+_AC_X1_HIGH = 217  # AC chain for k > Kx
+_FIXED = 113       # non-adapting ~0.5 state (AC sign)
+
+
+class _ArithStats:
+    """One statistics area: per-cell (state index, MPS sense)."""
+
+    __slots__ = ("idx", "mps")
+
+    def __init__(self, n: int) -> None:
+        self.idx = bytearray(n)
+        self.mps = bytearray(n)
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder core: 16-bit interval register A
+    renormalized to keep A >= 0x8000, code register C with the output
+    byte at bits 19..26, carry propagated into already-buffered bytes,
+    and JPEG byte stuffing (0x00 after any 0xFF code byte) applied at
+    flush so no marker is emulated inside entropy data."""
+
+    __slots__ = ("a", "c", "ct", "raw")
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.raw: list[int] = []
+
+    def encode(self, stats: _ArithStats, i: int, bit: int) -> None:
+        sv = stats.idx[i]
+        mps = stats.mps[i]
+        qe, nmps, nlps, switch = _QM_TAB[sv]
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return  # no renorm -> no estimation update (D.1.5)
+            if self.a < qe:  # conditional exchange: MPS takes upper part
+                self.c += self.a
+                self.a = qe
+            stats.idx[i] = nmps
+        else:
+            if self.a >= qe:  # no exchange: LPS takes upper part
+                self.c += self.a
+                self.a = qe
+            if switch:
+                stats.mps[i] = 1 - mps
+            stats.idx[i] = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            self._carry()
+            t &= 0xFF
+        self.raw.append(t)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _carry(self) -> None:
+        j = len(self.raw) - 1
+        while j >= 0:
+            self.raw[j] = (self.raw[j] + 1) & 0xFF
+            if self.raw[j] != 0:
+                break
+            j -= 1
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: pick the code value in the final interval
+        with the most trailing zeros, emit the remaining bytes, strip
+        trailing zero bytes (the decoder feeds zeros past the segment
+        end), then byte-stuff."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c > 0x7FFFFFF:  # final carry out of bit 27
+            self._carry()
+            self.c &= 0x7FFFFFF
+        self.raw.append((self.c >> 19) & 0xFF)
+        self.raw.append((self.c >> 11) & 0xFF)
+        while self.raw and self.raw[-1] == 0:
+            self.raw.pop()
+        out = bytearray()
+        for byte in self.raw:
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class _QMDecoder:
+    """Annex D decoder mirroring :class:`_QMEncoder` exactly: the code
+    stream is the MSB-first binary expansion of the encoder's C sum at
+    16-bit alignment, so D holds the next 16 code bits minus the bases
+    already subtracted. Byte stuffing is undone on input; hitting a
+    real marker (0xFF followed by anything but 0x00) switches to
+    zero-feed, the spec's end-of-segment convention."""
+
+    __slots__ = ("data", "bp", "end", "d", "a", "bits", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int, end: int) -> None:
+        self.data = data
+        self.bp = pos
+        self.end = end
+        self.marker = False
+        self.bits = 0
+        self.nbits = 0
+        self.d = (self._next_byte() << 8) | self._next_byte()
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.marker or self.bp >= self.end:
+            self.marker = True
+            return 0
+        v = self.data[self.bp]
+        if v == 0xFF:
+            if self.bp + 1 < self.end and self.data[self.bp + 1] == 0x00:
+                self.bp += 2  # stuffed zero: literal 0xFF data byte
+                return 0xFF
+            self.marker = True
+            return 0
+        self.bp += 1
+        return v
+
+    def _next_bit(self) -> int:
+        if self.nbits == 0:
+            self.bits = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def decode(self, stats: _ArithStats, i: int) -> int:
+        sv = stats.idx[i]
+        mps = stats.mps[i]
+        qe, nmps, nlps, switch = _QM_TAB[sv]
+        t = self.a - qe
+        if self.d < t:
+            self.a = t
+            if t >= 0x8000:
+                return mps  # encoder's early return: no state update
+            bit = mps if t >= qe else 1 - mps
+        else:
+            self.d -= t
+            self.a = qe
+            bit = mps if t < qe else 1 - mps
+        if bit == mps:
+            stats.idx[i] = nmps
+        else:
+            if switch:
+                stats.mps[i] = 1 - mps
+            stats.idx[i] = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.d = (self.d << 1) | self._next_bit()
+        return bit
+
+
+def _arith_dc(
+    coder,
+    stats: _ArithStats,
+    ctx: int,
+    L: int,
+    U: int,
+    diff: int | None = None,
+    decode: bool = False,
+):
+    """DC difference coding per F.1.4.1 / F.2.4.1 (Table F.4 layout:
+    S0 = context base, SS = S0+1, SP = S0+2, SN = S0+3, X1 = 20,
+    magnitude bits at X-pointer+14). Returns ``(value, new_ctx)`` when
+    decoding, ``new_ctx`` when encoding."""
+    s0 = ctx
+    if not decode:
+        v = diff
+        if v == 0:
+            coder.encode(stats, s0, 0)
+            return 0
+        coder.encode(stats, s0, 1)
+        if v > 0:
+            coder.encode(stats, s0 + 1, 0)
+            st = s0 + 2
+            sign = 0
+        else:
+            coder.encode(stats, s0 + 1, 1)
+            st = s0 + 3
+            sign = 1
+            v = -v
+        m = 0
+        v -= 1
+        if v:
+            coder.encode(stats, st, 1)
+            m = 1
+            st = _DC_X1
+            v2 = v
+            while v2 >> 1:
+                coder.encode(stats, st, 1)
+                m <<= 1
+                st += 1
+                v2 >>= 1
+        coder.encode(stats, st, 0)
+        new_ctx = _dc_ctx_after(m, sign, L, U)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            coder.encode(stats, st, 1 if (mm & v) else 0)
+        return new_ctx
+    # decode
+    if coder.decode(stats, s0) == 0:
+        return 0, 0
+    sign = coder.decode(stats, s0 + 1)
+    st = s0 + 2 + sign
+    m = coder.decode(stats, st)
+    if m:
+        st = _DC_X1
+        while coder.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith DC magnitude overflow")
+            st += 1
+    new_ctx = _dc_ctx_after(m, sign, L, U)
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if coder.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), new_ctx
+
+
+def _dc_ctx_after(m: int, sign: int, L: int, U: int) -> int:
+    """F.1.4.4.1.2: conditioning category for the NEXT DC decision."""
+    if m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 12 + 4 * sign
+    return 4 + 4 * sign
+
+
+def _arith_ac_encode(
+    enc: _QMEncoder,
+    stats: _ArithStats,
+    fixed: _ArithStats,
+    zz,
+    K: int,
+) -> None:
+    """AC coefficients 1..63 per F.1.4.2 (Table F.5 layout: per-k
+    triplet (EOB, zero-run, mag>1) at 3*(k-1); X chains at 189/217 by
+    k <= Kx; magnitude bits at X-pointer+14; sign via the fixed bin)."""
+    eob = 63
+    while eob >= 1 and zz[eob] == 0:
+        eob -= 1
+    k = 1
+    while k <= eob:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            k += 1
+            st += 3
+        enc.encode(stats, st + 1, 1)
+        v = int(zz[k])
+        if v < 0:
+            enc.encode(fixed, 0, 1)
+            v = -v
+        else:
+            enc.encode(fixed, 0, 0)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            if v >> 1:
+                enc.encode(stats, st, 1)
+                m = 2
+                st = _AC_X1_LOW if k <= K else _AC_X1_HIGH
+                v2 = v >> 1
+                while v2 >> 1:
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+                    v2 >>= 1
+        enc.encode(stats, st, 0)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(stats, st, 1 if (mm & v) else 0)
+        k += 1
+    if eob < 63:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_ac_decode(
+    dec: _QMDecoder,
+    stats: _ArithStats,
+    fixed: _ArithStats,
+    zz,
+    K: int,
+) -> None:
+    """Decode twin of :func:`_arith_ac_encode` (F.2.4.2)."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            k += 1
+            st += 3
+            if k > 63:
+                raise ValueError("arith AC run past block end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m = 2
+                st = _AC_X1_LOW if k <= K else _AC_X1_HIGH
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def jpeg_arith_bytes_with_pixels(
+    pixels,
+    quant: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """ARITHMETIC-coded sequential JPEG encoder (SOF9, T.81 Annexes D +
+    F): same front half as the baseline encoder (shared
+    :func:`_jpeg_component_coeffs`), but entropy coding is the adaptive
+    QM-coder — DAC conditioning segment instead of DHT, default
+    conditioning (L=0, U=1, Kx=5), MCU-interleaved, with optional
+    restart intervals (each boundary flushes the coder, emits RSTn,
+    and resets ALL statistics areas, DC contexts and predictors — the
+    spec's restart semantics). Decode twin: :func:`decode_jpeg_pixels`
+    via the SOF9 path. Round-trip-fuzzed in tests/test_codecs.py."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    comps, qtab, coeffs, mcux, mcuy = _jpeg_component_coeffs(
+        px, quant, subsampling
+    )
+    ncomp = len(comps)
+    dc_L, dc_U, ac_K = 0, 1, 5
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes(int(qtab[i]) for i in range(64))
+    # SOF9: extended sequential DCT, arithmetic coding
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    # DAC: DC table 0 conditioning (U<<4|L), AC table 0 (Kx)
+    dac = bytes([0x00, (dc_U << 4) | dc_L, 0x10, ac_K])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC cond table 0 / AC cond table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def fresh():
+        return (
+            _QMEncoder(),
+            _ArithStats(_DC_STAT_BINS),
+            _ArithStats(_AC_STAT_BINS),
+            _fixed_stats(),
+        )
+
+    enc, dc_stats, ac_stats, fixed = fresh()
+    dc_prev = [0] * ncomp
+    dc_ctx = [0] * ncomp
+    rst_m = 0
+    n_mcus = mcuy * mcux
+    for idx in range(n_mcus):
+        my, mx = divmod(idx, mcux)
+        for c, (ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = (
+                        coeffs[c][my * cv + by, mx * ch + bx]
+                        .reshape(-1)[_ZIGZAG]
+                    )
+                    dc = int(zz[0])
+                    dc_ctx[c] = _arith_dc(
+                        enc, dc_stats, dc_ctx[c], dc_L, dc_U,
+                        diff=dc - dc_prev[c],
+                    )
+                    dc_prev[c] = dc
+                    _arith_ac_encode(enc, ac_stats, fixed, zz, ac_K)
+        if (
+            restart_interval
+            and idx + 1 < n_mcus
+            and (idx + 1) % restart_interval == 0
+        ):
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + rst_m])
+            rst_m = (rst_m + 1) & 7
+            enc, dc_stats, ac_stats, fixed = fresh()
+            dc_prev = [0] * ncomp
+            dc_ctx = [0] * ncomp
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _fixed_stats() -> _ArithStats:
+    s = _ArithStats(1)
+    s.idx[0] = _FIXED
+    return s
 
 
 # --------------------------------------------------------------------------

