@@ -63,6 +63,15 @@ PROBE_KEYS = [
     "q_token_budget",
     "q_ols_trend",
     "q_embedding_pca",
+    # round-8 additions: the graph/stream tail (r7 verdict task 5) —
+    # iterative graph ops are where 10× nonlinearity hides (frontier ×
+    # degree); events now replicates so the stream keys see real 10×.
+    "q_pagerank",
+    "q_label_propagation",
+    "q_part_triangles",
+    "q_khop_reach",
+    "q_join_discovery_sketch",
+    "q_stream_heavy_hitters",
 ]
 
 
@@ -150,15 +159,37 @@ def build(spark) -> None:
         "supplier",
         lambda df, r: df.withColumn("s_suppkey", F.col("s_suppkey") + r * OFF),
     )
-    # Tiny dims and the nanos-timestamp events file copy through as-is
-    # (region/nation are bounded at any SF; events is INT64
-    # TIMESTAMP(NANOS), unreadable by a plain spark.read — and the keys
-    # this tier watches don't scale with it).
-    for name in ("region", "nation", "events"):
+    # Tiny dims copy through as-is (bounded at any SF).
+    for name in ("region", "nation"):
         shutil.copy(
             os.path.join(SRC, f"{name}.parquet"),
             os.path.join(tmp, f"{name}.parquet"),
         )
+    # events replicates via PYARROW (round 8, for the stream-tail keys):
+    # the fixture's timestamp type must survive byte-exact in the footer
+    # (read_parquet keys its ns→µs conversion off it), which a Spark
+    # round trip would not preserve at every SF. user_id/event_id offset
+    # per replica — 10 disjoint user populations, i.e. "the stream grew
+    # 10×, per-user behavior unchanged"; timestamps unchanged so window
+    # grains hold.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    parts = []
+    for r in range(REPLICAS):
+        t = ev
+        for key in ("event_id", "user_id"):
+            t = t.set_column(
+                t.schema.get_field_index(key),
+                key,
+                pc.add(t[key], r * OFF),
+            )
+        parts.append(t)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(tmp, "events.parquet")
+    )
     if os.path.exists(OUT):
         shutil.rmtree(OUT)
     os.rename(tmp, OUT)
