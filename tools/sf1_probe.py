@@ -74,6 +74,19 @@ PROBE_KEYS = [
     "q_stream_heavy_hitters",
 ]
 
+#: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
+#: uniform tier, but one hot key absorbs ~20% of mass on each skew
+#: axis (supplier on lineitem, user on events, customer on orders,
+#: source on documents). `--skew` times these keys on BOTH tiers; the
+#: ratio isolates skew sensitivity at constant volume.
+SKEW_KEYS = [
+    "q_skew_salted_join",  # lineitem⋈supplier: the salted-join path itself
+    "q_table_diff",        # diff joins on the (still-unique) PK: expect flat
+    "q_sessionize",        # per-user windows: one user = 20% of the stream
+    "q_pack_context",      # per-source two-phase prefix sum: one hot source
+]
+SKEW_OUT = os.path.join(REPO, ".scratch", "sf1skew")
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
@@ -195,6 +208,118 @@ def build(spark) -> None:
     os.rename(tmp, OUT)
 
 
+def build_skew(spark) -> None:
+    """Skewed twin of :func:`build`: identical replication EXCEPT rows
+    whose original key ≡ 0 (mod 5) collapse onto ONE hot key across all
+    replicas (~20% of total mass on a single value), and every 5th
+    document's ``source`` becomes the single hot source. Dimensions and
+    non-skew columns replicate exactly like the uniform tier, so any
+    wall-clock delta vs the uniform tier is the skew, not the volume."""
+    from pyspark.sql import functions as F
+
+    tmp = SKEW_OUT + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def replicate(name: str, transform):
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = [transform(df, r) for r in range(REPLICAS)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{name}.parquet")
+        )
+
+    def hot(col: str, r: int):
+        # ~20% of rows (orig key % 5 == 0) onto the single key 1, which
+        # exists in the replicated dimension (replica 0 keeps original
+        # keys); the rest offset per replica like the uniform tier
+        return F.when(F.col(col) % 5 == 0, F.lit(1)).otherwise(
+            F.col(col) + r * OFF
+        )
+
+    replicate(
+        "lineitem",
+        lambda df, r: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + r * OFF
+        )
+        .withColumn("l_partkey", F.col("l_partkey") + r * OFF)
+        .withColumn("l_suppkey", hot("l_suppkey", r)),
+    )
+    replicate(
+        "orders",
+        lambda df, r: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + r * OFF
+        ).withColumn("o_custkey", hot("o_custkey", r)),
+    )
+    replicate(
+        "customer",
+        lambda df, r: df.withColumn("c_custkey", F.col("c_custkey") + r * OFF),
+    )
+    replicate(
+        "supplier",
+        lambda df, r: df.withColumn("s_suppkey", F.col("s_suppkey") + r * OFF),
+    )
+    replicate(
+        "part",
+        lambda df, r: df.withColumn("p_partkey", F.col("p_partkey") + r * OFF),
+    )
+    replicate(
+        "documents",
+        lambda df, r: df.select(
+            (F.col("doc_id") + r * OFF).alias("doc_id"),
+            "text",
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("hot_source"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            "n_chars",
+        ),
+    )
+    replicate(
+        "embeddings",
+        lambda df, r: df.withColumn("vec_id", F.col("vec_id") + r * OFF),
+    )
+    for name in ("region", "nation"):
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(tmp, f"{name}.parquet"),
+        )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    parts = []
+    for r in range(REPLICAS):
+        t = ev
+        t = t.set_column(
+            t.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(t["event_id"], r * OFF),
+        )
+        # numpy for the modulo remap (pyarrow.compute ships no mod kernel)
+        import numpy as np
+
+        uid = t["user_id"]
+        uid_np = uid.to_numpy()
+        new_uid = np.where(uid_np % 5 == 0, 1, uid_np + r * OFF)
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array(new_uid, type=uid.type),
+        )
+        parts.append(t)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(tmp, "events.parquet")
+    )
+    if os.path.exists(SKEW_OUT):
+        shutil.rmtree(SKEW_OUT)
+    os.rename(tmp, SKEW_OUT)
+
+
 def main() -> int:
     only = None
     if "--only" in sys.argv:
@@ -204,6 +329,43 @@ def main() -> int:
 
     load_all()
     spark = get_spark("sf1-probe")
+    if "--skew" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(SKEW_OUT):
+            t0 = time.perf_counter()
+            build_skew(spark)
+            print(f"built {SKEW_OUT} in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+        if not os.path.isdir(OUT):
+            build(spark)
+        results = {}
+        for q in SKEW_KEYS:
+            if only and q not in only:
+                continue
+            # untimed warm pass on each tier first: the query shape's
+            # one-time codegen/JIT otherwise lands on whichever tier
+            # runs first and fakes a skew delta
+            for d in (OUT, SKEW_OUT):
+                QUERIES[q](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            uniform = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            QUERIES[q](spark, SKEW_OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            skewed = round(time.perf_counter() - t0, 2)
+            results[q] = {
+                "sf1_uniform": uniform,
+                "sf1_skew": skewed,
+                "ratio": round(skewed / uniform, 2) if uniform else None,
+            }
+            print(json.dumps({q: results[q]}), file=sys.stderr)
+        print(json.dumps({"metric": "sf1_skew_probe", "results": results}))
+        return 0
     if "--rebuild" in sys.argv or not os.path.isdir(OUT):
         t0 = time.perf_counter()
         build(spark)
