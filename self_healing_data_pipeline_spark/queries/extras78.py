@@ -130,18 +130,25 @@ def q_set_intersect_all(spark, sf_dir):
     oracle=f"""
     SELECT l_suppkey FROM ({_SET_A})
     EXCEPT ALL
-    SELECT l_suppkey FROM ({_SET_B})
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_suppkey % 7 = 0 AND l_quantity BETWEEN 8 AND 12
+    )
     ORDER BY l_suppkey
     """,
 )
 def q_set_except_all(spark, sf_dir):
     """EXCEPT ALL — multiset difference keeping max(0, m_a − m_b)
-    copies per value; the ALL twin of §2.7's EXCEPT."""
+    copies per value; the ALL twin of §2.7's EXCEPT. The right side is
+    a NARROWER quantity band than the left (5 quantity values vs 10),
+    so per-supplier multiplicities genuinely differ in both directions
+    and the difference is non-empty — a right side that dominates
+    everywhere would make the key zero-signal."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_suppkey") % 7 == 0
     )
     a = li.filter(F.col("l_quantity") <= 10).select("l_suppkey")
-    b = li.filter(F.col("l_quantity") >= 8).select("l_suppkey")
+    b = li.filter(F.col("l_quantity").between(8, 12)).select("l_suppkey")
     return a.exceptAll(b).orderBy("l_suppkey")
 
 

@@ -149,4 +149,7 @@ def load_all() -> None:
         extras75,
         extras76,
         extras77,
+        extras78,
+        extras79,
+        extras80,
     )

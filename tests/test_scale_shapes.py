@@ -1481,3 +1481,58 @@ def test_extras77_plans_are_bounded(spark, sf_dir):
     pm = plan_of(spark, sf_dir, "q_agg_mode")
     assert "partial_" in pm
     assert "CartesianProduct" not in pm
+
+
+def test_extras78_plans_are_bounded(spark, sf_dir):
+    # distribution windows: ONE window exchange per query (both
+    # functions share the window spec), hash-partitioned by a group
+    # key — never a global sort of the data
+    for k in ("q_window_cume_dist", "q_window_ntile"):
+        p = plan_of(spark, sf_dir, k)
+        assert "CartesianProduct" not in p
+        assert p.count("Window") <= 2  # one Window node (+ header echo)
+    # multiset ops compile to aggregate + join on the value, with
+    # map-side partials — the raw stream never shuffles whole
+    for k in ("q_set_intersect_all", "q_set_except_all"):
+        p = plan_of(spark, sf_dir, k)
+        assert "partial_" in p
+        assert "CartesianProduct" not in p
+    # posexplode: row-local generate, no exchange before the sort
+    p = plan_of(spark, sf_dir, "q_explode_pos")
+    assert "Generate" in p and "CartesianProduct" not in p
+    # null-safe join: both sides pre-aggregated (partial_) and the
+    # ≤101-row frames broadcast — no sort-merge of raw rows
+    p = plan_of(spark, sf_dir, "q_join_null_safe")
+    assert "partial_" in p and "CartesianProduct" not in p
+
+
+def test_extras79_plans_are_bounded(spark, sf_dir):
+    # rolling actives: the explode fans out user-DAYS (already
+    # deduped), capped at 7×; distinct aggregates carry partials
+    p = plan_of(spark, sf_dir, "q_rolling_active_users")
+    assert "partial_" in p and "CartesianProduct" not in p
+    # audience overlap: per-type sizes broadcast back to pair counts
+    p = plan_of(spark, sf_dir, "q_type_user_overlap")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # hashing features: partial counts combine map-side (≤16 buckets
+    # per doc) before the shuffle
+    p = plan_of(spark, sf_dir, "q_text_hashing_features")
+    assert "partial_" in p
+    # burst minutes: the only single partition is the MINUTE frame
+    # (bounded by the time range), and the median broadcasts back
+    p = plan_of(spark, sf_dir, "q_events_burst_minutes")
+    assert "partial_" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_extras80_plans_are_bounded(spark, sf_dir):
+    # multi-measure pivot / grouping sets: one expand + hash aggregate
+    # with map-side partials, bounded output domains
+    for k in ("q_pivot_multi_agg", "q_grouping_id"):
+        p = plan_of(spark, sf_dir, k)
+        assert "partial_" in p
+        assert "CartesianProduct" not in p
+    # bit-exact embedding dedup: the join key is the 16-byte digest —
+    # no array-keyed shuffle of raw vectors, no cartesian
+    p = plan_of(spark, sf_dir, "q_embedding_dedup_bitexact")
+    assert "md5" in p and "CartesianProduct" not in p
