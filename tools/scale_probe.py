@@ -365,7 +365,15 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # one segment-partitioned window + bounded top-200
                   "q_window_nth",
                   # bounded-domain counts + rank over the tiny frame
-                  "q_agg_mode"]
+                  "q_agg_mode",
+                  # round-8 batches 61-63
+                  "q_window_cume_dist", "q_window_ntile",
+                  "q_set_intersect_all", "q_set_except_all",
+                  "q_explode_pos", "q_join_null_safe",
+                  "q_rolling_active_users", "q_type_user_overlap",
+                  "q_text_hashing_features", "q_events_burst_minutes",
+                  "q_pivot_multi_agg", "q_grouping_id",
+                  "q_embedding_dedup_bitexact"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
