@@ -458,9 +458,10 @@ def q_multimodal_features(spark, sf_dir):
     The fixture set carries no real media, so each document is encoded
     as a genuine image whose pixels derive deterministically from the
     document (a gradient seeded by doc_id): PNG (doc_id%4==0, stdlib
-    zlib), GIF (==1, real LZW), JPEG (==2 — baseline, or PROGRESSIVE
-    SOF2 when doc_id%8==6, canonical Huffman + DCT), BMP (==3) —
-    encoders in ``operators/codecs.py``. Extraction
+    zlib), GIF (==1, real LZW), JPEG (==2 — baseline, PROGRESSIVE SOF2
+    when doc_id%8==6, or ARITHMETIC SOF9 when doc_id%8==2 — all three
+    T.81 entropy layers), BMP (==3) — encoders in
+    ``operators/codecs.py``. Extraction
     then runs the real path end to end: Arrow-batched mapInPandas parses
     headers (format/width/height), computes byte entropy, and DECODES
     THE ACTUAL PIXELS (``operators.multimodal.decode_pixels``) for
@@ -476,6 +477,7 @@ def q_multimodal_features(spark, sf_dir):
     from self_healing_data_pipeline_spark.operators.codecs import (
         bmp_bytes_with_pixels,
         gif_bytes_with_pixels,
+        jpeg_arith_bytes_with_pixels,
         jpeg_bytes_with_pixels,
         jpeg_progressive_bytes_with_pixels,
     )
@@ -511,14 +513,15 @@ def q_multimodal_features(spark, sf_dir):
                     px, _gif_palette(), interlace=bool(d % 8 == 1)
                 )
             elif kind == 2:
-                # alternate baseline / progressive (round 5: SOF2 with
-                # spectral selection + successive approximation decodes
-                # for real too)
-                blob = (
-                    jpeg_progressive_bytes_with_pixels(px)
-                    if d % 8 == 6
-                    else jpeg_bytes_with_pixels(px)
-                )
+                # rotate baseline / progressive / ARITHMETIC (round 8:
+                # SOF9 QM-coder decodes for real too, so the in-pipeline
+                # rotation now exercises all three JPEG entropy layers)
+                if d % 8 == 6:
+                    blob = jpeg_progressive_bytes_with_pixels(px)
+                elif d % 8 == 2:
+                    blob = jpeg_arith_bytes_with_pixels(px)
+                else:
+                    blob = jpeg_bytes_with_pixels(px)
             else:
                 blob = bmp_bytes_with_pixels(px)
             payloads.append(blob)
