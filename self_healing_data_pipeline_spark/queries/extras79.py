@@ -206,20 +206,25 @@ def q_text_hashing_features(spark, sf_dir):
         FROM pm
       ) WHERE r = (c + 1) // 2
     )
-    SELECT pm.minute AS minute, pm.n AS n, med.median_n AS median_n
+    SELECT pm.minute AS minute, pm.n AS n, med.median_n AS median_n,
+           pm.n > 3 * med.median_n AS is_burst
     FROM pm, med
-    WHERE pm.n > 3 * med.median_n
-    ORDER BY minute
+    ORDER BY pm.n DESC, pm.minute
+    LIMIT 5
     """,
 )
 def q_events_burst_minutes(spark, sf_dir):
-    """Burst detection: minutes whose event count exceeds 3× the exact
-    median minute-count (the rate-anomaly gate a feed monitor runs —
-    median, not mean, so the baseline itself is burst-robust). The
-    minute grain bounds the aggregate frame by the time range, the
-    median is an exact lower-median rank selection over that bounded
-    frame, and the threshold broadcasts back — the event stream is
-    scanned exactly once."""
+    """Burst detection: the top-5 hottest minutes with their exact
+    median baseline and an ``is_burst`` flag (count > 3× the median
+    minute-count — median, not mean, so the baseline itself is
+    burst-robust; the rate-anomaly gate a feed monitor runs). Emitting
+    the ranked hot minutes rather than a bare filter keeps the key
+    signal-bearing at every SF — a quiet stream reports its hottest
+    minutes with is_burst=false instead of an empty frame. The minute
+    grain bounds the aggregate frame by the time range, the median is
+    an exact lower-median rank selection over that bounded frame, and
+    the threshold broadcasts back — the event stream is scanned
+    exactly once."""
     ev = read_table(spark, sf_dir, "events")
     pm = (
         ev.select(
@@ -245,7 +250,12 @@ def q_events_burst_minutes(spark, sf_dir):
     )
     return (
         pm.crossJoin(F.broadcast(med))
-        .filter(F.col("n") > 3 * F.col("median_n"))
-        .select("minute", "n", "median_n")
-        .orderBy("minute")
+        .select(
+            "minute",
+            "n",
+            "median_n",
+            (F.col("n") > 3 * F.col("median_n")).alias("is_burst"),
+        )
+        .orderBy(F.desc("n"), F.asc("minute"))
+        .limit(5)
     )

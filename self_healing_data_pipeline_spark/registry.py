@@ -152,4 +152,5 @@ def load_all() -> None:
         extras78,
         extras79,
         extras80,
+        extras81,
     )

@@ -1536,3 +1536,21 @@ def test_extras80_plans_are_bounded(spark, sf_dir):
     # no array-keyed shuffle of raw vectors, no cartesian
     p = plan_of(spark, sf_dir, "q_embedding_dedup_bitexact")
     assert "md5" in p and "CartesianProduct" not in p
+
+
+def test_extras81_plans_are_bounded(spark, sf_dir):
+    # two-phase sessionize: every events-grain window is
+    # (user_id, bucket)-partitioned — the plan must NOT contain a
+    # window partitioned by user_id alone at events grain (the skew
+    # cap is the whole point); the per-user ordered pass runs on the
+    # bucket-grain summary only
+    p = plan_of(spark, sf_dir, "q_sessionize_twophase")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    # LOCF ignore-nulls: one window exchange per user partition
+    p = plan_of(spark, sf_dir, "q_window_ignore_nulls")
+    assert "CartesianProduct" not in p
+    # histogram: broadcast one-row min/max scalar + bounded-domain agg
+    p = plan_of(spark, sf_dir, "q_histogram_bins")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_" in p

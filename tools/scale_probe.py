@@ -373,7 +373,10 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_rolling_active_users", "q_type_user_overlap",
                   "q_text_hashing_features", "q_events_burst_minutes",
                   "q_pivot_multi_agg", "q_grouping_id",
-                  "q_embedding_dedup_bitexact"]
+                  "q_embedding_dedup_bitexact",
+                  # round-8 batch 64
+                  "q_sessionize_twophase", "q_window_ignore_nulls",
+                  "q_histogram_bins"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the

@@ -83,6 +83,7 @@ SKEW_KEYS = [
     "q_skew_salted_join",  # lineitem⋈supplier: the salted-join path itself
     "q_table_diff",        # diff joins on the (still-unique) PK: expect flat
     "q_sessionize",        # per-user windows: one user = 20% of the stream
+    "q_sessionize_twophase",  # the chunked mitigation: same oracle, capped partitions
     "q_pack_context",      # per-source two-phase prefix sum: one hot source
 ]
 SKEW_OUT = os.path.join(REPO, ".scratch", "sf1skew")
