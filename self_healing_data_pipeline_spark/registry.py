@@ -153,4 +153,5 @@ def load_all() -> None:
         extras79,
         extras80,
         extras81,
+        extras82,
     )

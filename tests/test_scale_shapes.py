@@ -1554,3 +1554,21 @@ def test_extras81_plans_are_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_histogram_bins")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "partial_" in p
+
+
+def test_extras82_plans_are_bounded(spark, sf_dir):
+    # outer explode: row-local generate
+    p = plan_of(spark, sf_dir, "q_explode_outer")
+    assert "Generate" in p and "CartesianProduct" not in p
+    # HOF predicates: one collect aggregate, then row-local HOFs
+    p = plan_of(spark, sf_dir, "q_array_hof_predicates")
+    assert "partial_" in p or "ObjectHashAggregate" in p
+    assert "CartesianProduct" not in p
+    # OOV: vocab top-k must be the distributed TakeOrderedAndProject,
+    # never a vocab-sized single-partition window
+    p = plan_of(spark, sf_dir, "q_oov_rate")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # label balance: one-row scalar broadcast + bounded label grain
+    p = plan_of(spark, sf_dir, "q_label_balance")
+    assert "partial_" in p

@@ -376,7 +376,10 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_embedding_dedup_bitexact",
                   # round-8 batch 64
                   "q_sessionize_twophase", "q_window_ignore_nulls",
-                  "q_histogram_bins"]
+                  "q_histogram_bins",
+                  # round-8 batch 65
+                  "q_explode_outer", "q_array_hof_predicates",
+                  "q_try_divide", "q_oov_rate", "q_label_balance"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
