@@ -33,12 +33,16 @@ public algorithms implementable without codec libraries:
   Al=1 → per-component AC first → DC refine → AC refine), so the
   refinement path is round-trip-witnessed, not just parsed.
 
-- **Arithmetic-coded JPEG** (T.81 Annexes D + F, round 8): SOF9
-  extended-sequential with the adaptive QM-coder — Table D.3 state
-  machine, DAC conditioning, per-context statistics areas, AC signs on
-  the fixed ~0.5 bin — encoder twin + decoder, pixel-identical to the
-  Huffman twin on every fuzz case (same DCT chain, different entropy
-  layer). The last codec ``NotImplementedError`` boundary is closed.
+- **Arithmetic-coded JPEG** (T.81 Annexes D + F + G, round 8): SOF9
+  extended-sequential AND SOF10 progressive with the adaptive QM-coder
+  — Table D.3 state machine, DAC conditioning, per-context statistics
+  areas, AC signs on the fixed ~0.5 bin, progressive first/refinement
+  scans with per-scan coder+statistics segments — encoder twins +
+  decoders, pixel-identical to the corresponding Huffman twins on
+  every fuzz case (same DCT chain and scan script, different entropy
+  layer). The JPEG matrix is complete: all four {sequential,
+  progressive} × {Huffman, arithmetic} combinations encode and decode,
+  and the last codec ``NotImplementedError`` boundary is closed.
 
 Baseline, progressive AND arithmetic scans honor RESTART INTERVALS
 (DRI + RST0–7: byte alignment, marker consumption, DC-predictor reset,
@@ -46,8 +50,8 @@ EOB-run clear, and for arithmetic a full coder/statistics re-init —
 the error-resilience feature camera firmware emits), each with an
 encoder knob so all paths are round-trip-tested. Decoders return
 ``None`` (never raise) for the remaining unsupported variants —
-progressive-arithmetic SOF10, hierarchical, 12-bit, sampling beyond
-2×2 — so the Arrow-batched feature kernel degrades gracefully per row.
+hierarchical, lossless, 12-bit, sampling beyond 2×2 — so the
+Arrow-batched feature kernel degrades gracefully per row.
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py), so
 per-executor memory is bounded by Arrow batch size regardless of table
@@ -1158,12 +1162,12 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
     actually uses — and PROGRESSIVE (SOF2) files via the multi-scan
     coefficient-domain path (:func:`_jpeg_progressive_scan`, T.81 G.2:
     spectral selection + successive approximation, EOB runs, DC/AC
-    refinement), ARITHMETIC-coded (SOF9) files via the QM-coder path
-    (Annex D coder + Annex F conditioning, DAC-parsed or default
-    L=0/U=1/Kx=5), and restart intervals in ALL scan kinds (DRI/RSTn
-    with DC reset, EOB-run clear, and full coder/statistics re-init
-    for arithmetic); returns None for progressive-arithmetic (SOF10) /
-    hierarchical / 16-bit-table variants."""
+    refinement), ARITHMETIC-coded files — sequential SOF9 AND
+    progressive SOF10 — via the QM-coder path (Annex D coder + Annex
+    F/G conditioning, DAC-parsed or default L=0/U=1/Kx=5), and restart
+    intervals in ALL scan kinds (DRI/RSTn with DC reset, EOB-run
+    clear, and full coder/statistics re-init for arithmetic); returns
+    None for hierarchical / lossless / 16-bit-table variants."""
     if not payload or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -1216,12 +1220,13 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                 syms = list(seg[j + 17 : j + 17 + nsym])
                 huff[(cls, tid)] = _build_decode_table(bits, syms)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC2, 0xC9):
-            # SOF0 baseline / SOF2 progressive / SOF9 sequential arithmetic
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive / SOF9 sequential
+            # arithmetic / SOF10 progressive arithmetic
             if seg[0] != 8:
                 return None
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -1241,8 +1246,8 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
                     ac_cond[tb] = seg[j + 1]
                 j += 2
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8):
-            # remaining SOFs (progressive-arithmetic 0xCA, hierarchical,
-            # lossless, 12-bit extended): unsupported
+            # remaining SOFs (hierarchical, lossless, 12-bit
+            # extended): unsupported
             return None
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[:2], "big")
@@ -1281,10 +1286,18 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             ahal = seg[3 + 2 * ns]
             start = i + 2 + seglen
             end = _entropy_end(b, start)
-            if not _jpeg_progressive_scan(
-                b, start, end, scomps, ss_, se_, ahal >> 4, ahal & 0x0F,
-                huff, prog_geom, prog_coefs, dri,
-            ):
+            if arith:
+                ok = _jpeg_arith_progressive_scan(
+                    b, start, end, scomps, ss_, se_, ahal >> 4,
+                    ahal & 0x0F, dc_cond, ac_cond, prog_geom, prog_coefs,
+                    dri,
+                )
+            else:
+                ok = _jpeg_progressive_scan(
+                    b, start, end, scomps, ss_, se_, ahal >> 4,
+                    ahal & 0x0F, huff, prog_geom, prog_coefs, dri,
+                )
+            if not ok:
                 return None
             prog_scans += 1
             i = end
@@ -1799,29 +1812,41 @@ def _dc_ctx_after(m: int, sign: int, L: int, U: int) -> int:
     return 4 + 4 * sign
 
 
+def _trunc_al(v: int, al: int) -> int:
+    """AC successive-approximation point transform: sign-preserving
+    magnitude truncation by ``al`` bits (T.81 G.1.2.1 — DELIBERATELY
+    different from DC's arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
 def _arith_ac_encode(
     enc: _QMEncoder,
     stats: _ArithStats,
     fixed: _ArithStats,
     zz,
     K: int,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
 ) -> None:
-    """AC coefficients 1..63 per F.1.4.2 (Table F.5 layout: per-k
-    triplet (EOB, zero-run, mag>1) at 3*(k-1); X chains at 189/217 by
-    k <= Kx; magnitude bits at X-pointer+14; sign via the fixed bin)."""
-    eob = 63
-    while eob >= 1 and zz[eob] == 0:
+    """AC coefficients per F.1.4.2 (Table F.5 layout: per-k triplet
+    (EOB, zero-run, mag>1) at 3*(k-1); X chains at 189/217 by k <= Kx;
+    magnitude bits at X-pointer+14; sign via the fixed bin). With a
+    band + ``al`` this is also the progressive AC FIRST scan (G.1.3.3)
+    on point-transformed values — identical decision structure."""
+    eob = se
+    while eob >= ss and _trunc_al(int(zz[eob]), al) == 0:
         eob -= 1
-    k = 1
+    k = ss
     while k <= eob:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not EOB
-        while zz[k] == 0:
+        while _trunc_al(int(zz[k]), al) == 0:
             enc.encode(stats, st + 1, 0)
             k += 1
             st += 3
         enc.encode(stats, st + 1, 1)
-        v = int(zz[k])
+        v = _trunc_al(int(zz[k]), al)
         if v < 0:
             enc.encode(fixed, 0, 1)
             v = -v
@@ -1850,7 +1875,7 @@ def _arith_ac_encode(
             mm >>= 1
             enc.encode(stats, st, 1 if (mm & v) else 0)
         k += 1
-    if eob < 63:
+    if eob < se:
         enc.encode(stats, 3 * (k - 1), 1)  # EOB
 
 
@@ -1860,17 +1885,21 @@ def _arith_ac_decode(
     fixed: _ArithStats,
     zz,
     K: int,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
 ) -> None:
-    """Decode twin of :func:`_arith_ac_encode` (F.2.4.2)."""
-    k = 1
-    while k <= 63:
+    """Decode twin of :func:`_arith_ac_encode` (F.2.4.2 / G.2.3 AC
+    first): decoded values land as ±v << al."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return  # EOB
         while dec.decode(stats, st + 1) == 0:
             k += 1
             st += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("arith AC run past block end")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -1891,7 +1920,7 @@ def _arith_ac_decode(
             if dec.decode(stats, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
 
 
@@ -1986,6 +2015,361 @@ def _fixed_stats() -> _ArithStats:
     s = _ArithStats(1)
     s.idx[0] = _FIXED
     return s
+
+
+def _arith_ac_refine_encode(
+    enc: _QMEncoder,
+    stats: _ArithStats,
+    fixed: _ArithStats,
+    zz,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC REFINEMENT scan, encoder side (T.81 G.1.3.3,
+    Ah = al+1 → Al = al): per coefficient, already-nonzero coefficients
+    get one correction bit at st+2, newly-nonzero ones a decision at
+    st+1 plus a fixed-bin sign; the EOB decision at st fires only for
+    positions past the previous scan's end-of-block (kex)."""
+    ah = al + 1
+    ke = se  # EOB index at THIS precision
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke  # previous-stage EOB index
+    while kex >= ss and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(stats, st, 1)  # EOB
+                return
+            enc.encode(stats, st, 0)
+        while True:
+            full = int(zz[k])
+            a = abs(full)
+            if a >> ah:  # previously nonzero: one correction bit
+                enc.encode(stats, st + 2, (a >> al) & 1)
+                break
+            if a >> al:  # newly nonzero at this precision
+                enc.encode(stats, st + 1, 1)
+                enc.encode(fixed, 0, 1 if full < 0 else 0)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+
+
+def _arith_ac_refine_decode(
+    dec: _QMDecoder,
+    stats: _ArithStats,
+    fixed: _ArithStats,
+    zz,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Decode twin of :func:`_arith_ac_refine_encode` (G.2.3): the
+    stored coefficient state IS the previous-stage approximation, so
+    kex is simply the highest nonzero stored position."""
+    p1 = 1 << al
+    kex = se
+    while kex >= ss and int(zz[kex]) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats, st):
+            return  # EOB
+        while True:
+            cur = int(zz[k])
+            if cur:
+                if dec.decode(stats, st + 2):
+                    zz[k] = cur + p1 if cur > 0 else cur - p1
+                break
+            if dec.decode(stats, st + 1):
+                zz[k] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refine past band end")
+        k += 1
+
+
+def _jpeg_arith_progressive_scan(
+    b: bytes,
+    start: int,
+    end: int,
+    scomps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_cond,
+    ac_cond,
+    geom,
+    coefs,
+    dri: int = 0,
+) -> bool:
+    """Decode one ARITHMETIC progressive scan (SOF10, T.81 G.2 with
+    Annex D entropy) into the zigzag-domain coefficient store — the
+    QM twin of :func:`_jpeg_progressive_scan`, sharing its geometry
+    and store layout. Each scan gets a fresh coder and statistics;
+    a restart boundary re-initializes both plus the DC state."""
+
+    class _Seg:
+        """Per-scan segment state: coder + statistics, re-initialized
+        at every restart marker (the arithmetic restart contract)."""
+
+        def __init__(self, pos: int) -> None:
+            self.pos = pos
+            self.reset()
+
+        def reset(self) -> None:
+            n = len(b)
+            p = self.pos
+            while p + 1 < n:
+                if b[p] == 0xFF and b[p + 1] != 0x00:
+                    break
+                p += 1
+            else:
+                p = n
+            self.seg_end = p
+            self.dec = _QMDecoder(b, self.pos, self.seg_end)
+            self.dc_stats: dict[int, _ArithStats] = {}
+            self.ac_stats: dict[int, _ArithStats] = {}
+            self.fixed = _fixed_stats()
+            self.dc_pred: dict[int, int] = {}
+            self.dc_ctx: dict[int, int] = {}
+
+        def restart(self) -> bool:
+            if self.seg_end + 2 > len(b) or b[self.seg_end] != 0xFF or not (
+                0xD0 <= b[self.seg_end + 1] <= 0xD7
+            ):
+                return False
+            self.pos = self.seg_end + 2
+            self.reset()
+            return True
+
+    seg = _Seg(start)
+
+    def dc_block(cid: int, dct: int, block) -> bool:
+        try:
+            if ah == 0:
+                dstat = seg.dc_stats.setdefault(
+                    dct, _ArithStats(_DC_STAT_BINS)
+                )
+                cl, cu = dc_cond.get(dct, (0, 1))
+                diff, ctx = _arith_dc(
+                    seg.dec, dstat, seg.dc_ctx.get(cid, 0), cl, cu,
+                    decode=True,
+                )
+                seg.dc_ctx[cid] = ctx
+                seg.dc_pred[cid] = seg.dc_pred.get(cid, 0) + diff
+                block[0] = seg.dc_pred[cid] << al
+            else:
+                # G.2.2: one fixed-bin bit — the next two's-complement bit
+                if seg.dec.decode(seg.fixed, 0):
+                    block[0] |= 1 << al
+        except ValueError:
+            return False
+        return True
+
+    if ss == 0:  # ---- DC scan
+        if se != 0:
+            return False
+        if len(scomps) == 1:
+            cid, dct, _ = scomps[0]
+            _, _, bw_mcu, _, bw, bh = geom[cid]
+            unit = 0
+            for row in range(bh):
+                for col in range(bw):
+                    if dri and unit and unit % dri == 0:
+                        if not seg.restart():
+                            return False
+                    unit += 1
+                    if not dc_block(cid, dct, coefs[cid][row * bw_mcu + col]):
+                        return False
+            return seg.seg_end < len(b)
+        any_cid = scomps[0][0]
+        ch0, cv0, bw_mcu0, bh_mcu0, _, _ = geom[any_cid]
+        mcux, mcuy = bw_mcu0 // ch0, bh_mcu0 // cv0
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    if not seg.restart():
+                        return False
+                unit += 1
+                for cid, dct, _ in scomps:
+                    ch, cv, bw_mcu, _, _, _ = geom[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            idx = (my * cv + by) * bw_mcu + mx * ch + bx
+                            if not dc_block(cid, dct, coefs[cid][idx]):
+                                return False
+        return seg.seg_end < len(b)
+    # ---- AC scan: exactly one component, non-interleaved
+    if len(scomps) != 1 or se > 63 or ss > se:
+        return False
+    cid, _, act = scomps[0]
+    _, _, bw_mcu, _, bw, bh = geom[cid]
+    unit = 0
+    for row in range(bh):
+        for col in range(bw):
+            if dri and unit and unit % dri == 0:
+                if not seg.restart():
+                    return False
+            unit += 1
+            astat = seg.ac_stats.setdefault(act, _ArithStats(_AC_STAT_BINS))
+            kx = ac_cond.get(act, 5)
+            zz = coefs[cid][row * bw_mcu + col]
+            try:
+                if ah == 0:
+                    _arith_ac_decode(
+                        seg.dec, astat, seg.fixed, zz, kx, ss, se, al
+                    )
+                else:
+                    _arith_ac_refine_decode(
+                        seg.dec, astat, seg.fixed, zz, ss, se, al
+                    )
+            except ValueError:
+                return False
+    # zero-feed makes truncated decisions legal, so truncation is
+    # detected structurally: the final segment must close with a marker
+    return seg.seg_end < len(b)
+
+
+def jpeg_arith_progressive_bytes_with_pixels(
+    pixels, quant: int = 1, restart_interval: int = 0
+) -> bytes:
+    """PROGRESSIVE ARITHMETIC JPEG encoder (SOF10 = T.81 Annex G scan
+    scripting × Annex D QM entropy) for grayscale / RGB uint8 arrays,
+    4:4:4 — completing the JPEG matrix: all four
+    {sequential, progressive} × {Huffman, arithmetic} combinations now
+    encode AND decode in this module. Same libjpeg-style scan script
+    as the SOF2 twin (interleaved DC first Al=1 → per-component AC
+    first Al=1 → DC refine → per-component AC refine); every scan is
+    its own arithmetic segment (fresh coder + statistics, per spec),
+    as is every restart interval. Decode twin:
+    :func:`decode_jpeg_pixels` via the SOF10 path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    planes = (
+        [px.astype(np.float64)]
+        if gray
+        else [_rgb_to_ycbcr(px)[..., c] for c in range(3)]
+    )
+    ncomp = len(planes)
+    qtab = np.full(64, quant, dtype=np.int64)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    bh, bw = ph // 8, pw // 8
+    coeffs = []
+    for plane in planes:
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        fdct = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        q = np.round(fdct / qtab.reshape(8, 8)).astype(np.int64)
+        coeffs.append(q.reshape(bh * bw, 64)[:, _ZIGZAG])
+
+    dc_L, dc_U, ac_K = 0, 1, 5
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes(int(qtab[i]) for i in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof  # SOF10
+    dac = bytes([0x00, (dc_U << 4) | dc_L, 0x10, ac_K])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_ids = list(range(1, ncomp + 1))
+    ri = restart_interval
+
+    class _Enc:
+        """Per-scan encoder segment: coder + statistics, flushed and
+        re-initialized at restarts (mirrors the decoder's _Seg)."""
+
+        def __init__(self) -> None:
+            self.reset()
+            self.rst = 0
+            self.data = bytearray()
+
+        def reset(self) -> None:
+            self.enc = _QMEncoder()
+            self.dc_stats = _ArithStats(_DC_STAT_BINS)
+            self.ac_stats = _ArithStats(_AC_STAT_BINS)
+            self.fixed = _fixed_stats()
+            self.dc_prev: dict[int, int] = {}
+            self.dc_ctx: dict[int, int] = {}
+
+        def restart(self) -> None:
+            self.data += self.enc.flush()
+            self.data += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) & 7
+            self.reset()
+
+        def finish(self) -> bytes:
+            self.data += self.enc.flush()
+            return bytes(self.data)
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic shift per G.1.2.1)
+    e = _Enc()
+    for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            e.restart()
+        for c in range(ncomp):
+            val = int(coeffs[c][bi][0]) >> 1
+            diff = val - e.dc_prev.get(c, 0)
+            e.dc_prev[c] = val
+            e.dc_ctx[c] = _arith_dc(
+                e.enc, e.dc_stats, e.dc_ctx.get(c, 0), dc_L, dc_U, diff=diff
+            )
+    out += sos(all_ids, 0, 0, 0, 1) + e.finish()
+    # scans 2..: per-component AC first, Al=1
+    for c in range(ncomp):
+        e = _Enc()
+        for bi in range(bh * bw):
+            if ri and bi and bi % ri == 0:
+                e.restart()
+            _arith_ac_encode(
+                e.enc, e.ac_stats, e.fixed, coeffs[c][bi], ac_K, 1, 63, 1
+            )
+        out += sos([c + 1], 1, 63, 0, 1) + e.finish()
+    # DC refinement: one fixed-bin bit per block, interleaved
+    e = _Enc()
+    for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            e.restart()
+        for c in range(ncomp):
+            e.enc.encode(e.fixed, 0, int(coeffs[c][bi][0]) & 1)
+    out += sos(all_ids, 0, 0, 1, 0) + e.finish()
+    # per-component AC refinement, Ah=1 -> Al=0
+    for c in range(ncomp):
+        e = _Enc()
+        for bi in range(bh * bw):
+            if ri and bi and bi % ri == 0:
+                e.restart()
+            _arith_ac_refine_encode(
+                e.enc, e.ac_stats, e.fixed, coeffs[c][bi], 1, 63, 0
+            )
+        out += sos([c + 1], 1, 63, 1, 0) + e.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
 
 
 # --------------------------------------------------------------------------

@@ -458,9 +458,10 @@ def q_multimodal_features(spark, sf_dir):
     The fixture set carries no real media, so each document is encoded
     as a genuine image whose pixels derive deterministically from the
     document (a gradient seeded by doc_id): PNG (doc_id%4==0, stdlib
-    zlib), GIF (==1, real LZW), JPEG (==2 — baseline, PROGRESSIVE SOF2
-    when doc_id%8==6, or ARITHMETIC SOF9 when doc_id%8==2 — all three
-    T.81 entropy layers), BMP (==3) — encoders in
+    zlib), GIF (==1, real LZW), JPEG (==2 — rotating the FULL T.81
+    matrix: baseline, PROGRESSIVE SOF2 (doc_id%8==6), sequential
+    ARITHMETIC SOF9 (doc_id%16==2), progressive ARITHMETIC SOF10
+    (doc_id%16==10)), BMP (==3) — encoders in
     ``operators/codecs.py``. Extraction
     then runs the real path end to end: Arrow-batched mapInPandas parses
     headers (format/width/height), computes byte entropy, and DECODES
@@ -478,6 +479,7 @@ def q_multimodal_features(spark, sf_dir):
         bmp_bytes_with_pixels,
         gif_bytes_with_pixels,
         jpeg_arith_bytes_with_pixels,
+        jpeg_arith_progressive_bytes_with_pixels,
         jpeg_bytes_with_pixels,
         jpeg_progressive_bytes_with_pixels,
     )
@@ -513,10 +515,13 @@ def q_multimodal_features(spark, sf_dir):
                     px, _gif_palette(), interlace=bool(d % 8 == 1)
                 )
             elif kind == 2:
-                # rotate baseline / progressive / ARITHMETIC (round 8:
-                # SOF9 QM-coder decodes for real too, so the in-pipeline
-                # rotation now exercises all three JPEG entropy layers)
-                if d % 8 == 6:
+                # rotate the FULL JPEG matrix (round 8: the QM-coder
+                # decodes for real, so all four {sequential,
+                # progressive} x {Huffman, arithmetic} combinations run
+                # through the in-pipeline decode path)
+                if d % 16 == 10:
+                    blob = jpeg_arith_progressive_bytes_with_pixels(px)
+                elif d % 8 == 6:
                     blob = jpeg_progressive_bytes_with_pixels(px)
                 elif d % 8 == 2:
                     blob = jpeg_arith_bytes_with_pixels(px)

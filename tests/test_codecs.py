@@ -448,7 +448,9 @@ def test_jpeg_arith_truncation_and_sof10_return_none(rng):
     px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     blob, _ = _arith_pair(px)
     assert decode_jpeg_pixels(blob[: len(blob) // 2]) is None
-    # progressive-arithmetic (SOF10) stays an explicit None boundary
+    # relabeling the sequential stream as SOF10 leaves an invalid
+    # progressive scan header (Ss=0 with Se=63) -> clean None, never a
+    # misdecode
     assert decode_jpeg_pixels(blob.replace(b"\xff\xc9", b"\xff\xca")) is None
 
 
@@ -489,3 +491,64 @@ def test_decode_image_raises_only_for_unknown_formats(rng):
     assert decode_image(blob).shape == (8, 8)
     with pytest.raises(NotImplementedError):
         decode_image(b"not an image at all")
+
+
+# ------------------------------------------- JPEG progressive arithmetic
+
+
+def test_jpeg_arith_progressive_matches_huffman_progressive(rng):
+    """SOF10 completes the JPEG matrix: decoding the progressive-
+    arithmetic stream must give pixels IDENTICAL to decoding the SOF2
+    Huffman-progressive stream of the same image (same scan script and
+    coefficient chain, different entropy layer)."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_arith_progressive_bytes_with_pixels,
+        jpeg_progressive_bytes_with_pixels,
+    )
+
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for ri in (0, 3):
+        blob = jpeg_arith_progressive_bytes_with_pixels(
+            px, restart_interval=ri
+        )
+        got = decode_jpeg_pixels(blob)
+        base = decode_jpeg_pixels(
+            jpeg_progressive_bytes_with_pixels(px, restart_interval=ri)
+        )
+        assert got is not None and np.array_equal(got, base), ri
+        assert b"\xff\xca" in blob and b"\xff\xc4" not in blob
+    # truncation is detected structurally (zero-feed is otherwise legal)
+    assert decode_jpeg_pixels(blob[: len(blob) // 2]) is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(1, 18),
+        w=st.integers(1, 18),
+        rgb=st.booleans(),
+        ri=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_arith_progressive_round_trip_property(h, w, rgb, ri, seed):
+        from self_healing_data_pipeline_spark.operators.codecs import (
+            jpeg_arith_progressive_bytes_with_pixels,
+            jpeg_progressive_bytes_with_pixels,
+        )
+
+        r = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = r.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg_pixels(
+            jpeg_arith_progressive_bytes_with_pixels(px, restart_interval=ri)
+        )
+        base = decode_jpeg_pixels(
+            jpeg_progressive_bytes_with_pixels(px, restart_interval=ri)
+        )
+        assert got is not None and np.array_equal(got, base)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
