@@ -1146,7 +1146,9 @@ def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
     the Arrow feature kernel relies on."""
     try:
         return _decode_jpeg_unchecked(payload)
-    except (IndexError, ValueError, struct.error):
+    except (IndexError, KeyError, ValueError, struct.error):
+        # KeyError: a corrupted scan header can name a component id
+        # absent from the frame's geometry/coefficient maps
         return None
 
 
@@ -1344,7 +1346,6 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     if data_start is None or h is None or not comps or len(scan) != len(comps):
         return None
-    reader = _BitReaderMSB(b[data_start:])
     ncomp = len(comps)
     if ncomp == 1:
         # single-component scans are non-interleaved: one block per MCU
@@ -1435,6 +1436,10 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
             # the final entropy segment with a real marker (EOI)
             return None
         n_mcus = 0  # skip the Huffman walk below
+    else:
+        # Huffman-only: the arith path never reads this (and the slice
+        # would copy the whole remaining entropy stream for nothing)
+        reader = _BitReaderMSB(b[data_start:])
     for mcu_idx in range(n_mcus):
         if dri and mcu_idx and mcu_idx % dri == 0:
             # byte-aligned RSTn between restart intervals; DC resets

@@ -459,10 +459,10 @@ def q_multimodal_features(spark, sf_dir):
     as a genuine image whose pixels derive deterministically from the
     document (a gradient seeded by doc_id): PNG (doc_id%4==0, stdlib
     zlib), GIF (==1, real LZW), JPEG (==2 — rotating the FULL T.81
-    matrix: baseline, PROGRESSIVE SOF2 (doc_id%8==6), sequential
-    ARITHMETIC SOF9 (doc_id%16==2), progressive ARITHMETIC SOF10
-    (doc_id%16==10)), BMP (==3) — encoders in
-    ``operators/codecs.py``. Extraction
+    matrix, one residue per cell: sequential ARITHMETIC SOF9
+    (doc_id%16==2), PROGRESSIVE Huffman SOF2 (==6), progressive
+    ARITHMETIC SOF10 (==10), BASELINE SOF0 (==14)), BMP (==3) —
+    encoders in ``operators/codecs.py``. Extraction
     then runs the real path end to end: Arrow-batched mapInPandas parses
     headers (format/width/height), computes byte entropy, and DECODES
     THE ACTUAL PIXELS (``operators.multimodal.decode_pixels``) for
@@ -518,14 +518,16 @@ def q_multimodal_features(spark, sf_dir):
                 # rotate the FULL JPEG matrix (round 8: the QM-coder
                 # decodes for real, so all four {sequential,
                 # progressive} x {Huffman, arithmetic} combinations run
-                # through the in-pipeline decode path)
-                if d % 16 == 10:
-                    blob = jpeg_arith_progressive_bytes_with_pixels(px)
-                elif d % 8 == 6:
-                    blob = jpeg_progressive_bytes_with_pixels(px)
-                elif d % 8 == 2:
+                # through the in-pipeline decode path). kind==2 means
+                # d%16 ∈ {2, 6, 10, 14}: map one residue to each cell
+                # so every path — including baseline — stays reachable.
+                if d % 16 == 2:
                     blob = jpeg_arith_bytes_with_pixels(px)
-                else:
+                elif d % 16 == 6:
+                    blob = jpeg_progressive_bytes_with_pixels(px)
+                elif d % 16 == 10:
+                    blob = jpeg_arith_progressive_bytes_with_pixels(px)
+                else:  # d % 16 == 14
                     blob = jpeg_bytes_with_pixels(px)
             else:
                 blob = bmp_bytes_with_pixels(px)

@@ -56,16 +56,20 @@ def q_pivot_multi_agg(spark, sf_dir):
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(
-            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+            F.sum("cents").alias("cents"),
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # Empty pivot cells come back NULL (Spark skips the aggregate for a
+    # missing (group, value) cell entirely — a coalesce INSIDE the agg
+    # never runs), while the oracle's CASE form yields 0: zero-fill
+    # AFTER the pivot so absent combinations match at every SF.
     return p.select(
         "l_returnflag",
-        F.col("F_cents").alias("f_cents"),
-        F.col("F_n").alias("f_n"),
-        F.col("O_cents").alias("o_cents"),
-        F.col("O_n").alias("o_n"),
+        F.coalesce("F_cents", F.lit(0)).alias("f_cents"),
+        F.coalesce("F_n", F.lit(0)).alias("f_n"),
+        F.coalesce("O_cents", F.lit(0)).alias("o_cents"),
+        F.coalesce("O_n", F.lit(0)).alias("o_n"),
     ).orderBy("l_returnflag")
 
 

@@ -22,12 +22,15 @@ corpus). Per batch:
    — under a "suppressed docs also suppress" shortcut, a chain A~B~C
    (A≁C) would drop C in one batch but keep it when cut in two. The
    rule is order-sequential only WITHIN a connected component of the
-   pair graph, so the resolution is distributed: components via
-   ``operators.dedup.connected_components`` (size-dispatched
-   union-find / min-label propagation), then the greedy pass runs
+   pair graph, so the resolution dispatches by size like
+   ``q_dedup_clusters``: components via
+   ``operators.dedup.connected_components`` (driver union-find below
+   its 2M-edge broadcastable threshold, distributed min-label
+   propagation above — so pair-list driver memory is bounded by the
+   same constant Spark uses for broadcast sides, never by batch dup
+   density), then the order-sequential greedy pass ALWAYS runs
    per-component in executors (``applyInPandas``) — components are
-   near-dup clusters, bounded by the bucket caps, and no pair list
-   ever collects to the driver;
+   near-dup clusters, bounded by the bucket caps;
 5. append survivors' signatures to the registry and emit them to the
    accepted output, both idempotent ``batch=<epoch>`` writes with
    strictly-prior-epoch reads (``streaming.snapshots``) — replay-safe
@@ -187,15 +190,17 @@ def apply_neardup_batch(
             .filter(_sig_agreement("__lsig", "__rsig") >= threshold)
             .select("__l", "__r")
         )
-        # Distributed greedy survivor pass. The rule ("a doc is
-        # suppressed only by an EARLIER doc that itself survived") is
-        # sequential only within a connected component of the verified
-        # pair graph: components are independent, so resolve components
-        # distributed (size-dispatched union-find / min-label
-        # propagation — the same operator q_dedup_clusters uses), then
-        # run the order-sequential loop per component in executors.
-        # Components are near-dup clusters bounded by the bucket caps;
-        # nothing here collects a pair list to the driver.
+        # Greedy survivor pass. The rule ("a doc is suppressed only by
+        # an EARLIER doc that itself survived") is sequential only
+        # within a connected component of the verified pair graph:
+        # components are independent, so component resolution uses the
+        # same size-dispatched operator as q_dedup_clusters (driver
+        # union-find while the edge list is broadcast-sized ≤2M,
+        # distributed min-label propagation above — driver memory is
+        # bounded by that constant, not by batch dup density), and the
+        # order-sequential greedy loop itself always runs distributed,
+        # per component, in executors. Components are near-dup
+        # clusters bounded by the bucket caps.
         from pyspark.sql import types as T
 
         from self_healing_data_pipeline_spark.operators.dedup import (

@@ -552,3 +552,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_jpeg_decode_never_raises_on_byte_flips(rng):
+    """Review finding (round 8): a corrupted scan header can name a
+    component id absent from the frame geometry — every decoder entry
+    must degrade to None, never raise, under arbitrary single-byte
+    corruption (the per-row contract the Arrow feature kernel relies
+    on)."""
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        jpeg_arith_bytes_with_pixels,
+        jpeg_arith_progressive_bytes_with_pixels,
+        jpeg_progressive_bytes_with_pixels,
+    )
+
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    for enc in (
+        jpeg_bytes_with_pixels,
+        jpeg_progressive_bytes_with_pixels,
+        jpeg_arith_bytes_with_pixels,
+        jpeg_arith_progressive_bytes_with_pixels,
+    ):
+        blob = bytearray(enc(px))
+        for i in range(2, len(blob)):
+            mut = bytes(blob[:i]) + bytes([blob[i] ^ 0x0F]) + bytes(
+                blob[i + 1 :]
+            )
+            decode_jpeg_pixels(mut)  # None or pixels — never an exception

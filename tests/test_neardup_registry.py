@@ -208,11 +208,13 @@ def test_registry_side_degenerate_bucket_cap(spark, tmp_path):
 
 
 def test_dup_heavy_adversarial_batch(spark, tmp_path):
-    """r7 verdict task: the survivor pass must stay correct (and fully
-    distributed — no pair-list collect) on a batch that is almost
-    entirely duplicates: 3 exact-copy families of one text each plus a
-    history match. Expected survivors: the first id of each family;
-    the family duplicating history is suppressed entirely."""
+    """r7 verdict task: the survivor pass must stay correct on a batch
+    that is almost entirely duplicates (3 exact-copy families of one
+    text each plus a history match), with the order-sequential greedy
+    loop running distributed per component and driver pair-list memory
+    bounded by connected_components' 2M-edge broadcast threshold — not
+    by batch dup density. Expected survivors: the first id of each
+    family; the family duplicating history is suppressed entirely."""
     a, _, _ = _chain_texts()
     fam2 = _distinct_text(11)
     fam3 = _distinct_text(12)
