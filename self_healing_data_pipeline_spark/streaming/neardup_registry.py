@@ -212,6 +212,20 @@ def apply_neardup_batch(
         # flagged edge list — checkpoint it so the bucket-join +
         # signature-verify upstream runs exactly once.
         pairs = pairs.localCheckpoint(eager=True)
+        # Fast path: no verified in-batch pairs (the common case on a
+        # real stream — most batches carry no internal near-dups) means
+        # no greedy pass at all; isEmpty on the checkpointed frame is a
+        # one-block peek, and skipping the component resolution +
+        # grouped-map stage saves several Spark jobs per batch.
+        if pairs.isEmpty():
+            survivors = sigs
+            if matched_hist is not None:
+                survivors = survivors.join(matched_hist, "__id", "left_anti")
+            _write_outputs(
+                spark, batch, survivors, registry, id_col,
+                accepted_dir, registry_dir, epoch_id,
+            )
+            return
         # Per-endpoint history flag rides along on the edges so the
         # per-component pass needs no side lookup. A hist-matched doc
         # is seeded SUPPRESSED and therefore does NOT suppress later
@@ -282,27 +296,45 @@ def apply_neardup_batch(
         if matched_hist is not None:
             survivors = survivors.join(matched_hist, "__id", "left_anti")
         survivors = survivors.join(batch_suppressed, "__id", "left_anti")
-        accepted = batch.join(
-            survivors.select(F.col("__id").alias(id_col)), id_col
-        )
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"batch={epoch_id}")
-        )
-        new_entries = survivors.select(
-            F.col("__id").alias("doc_id"),
-            F.col("__sig").alias("sig"),
-            F.lit(epoch_id).cast("long").alias("first_epoch"),
-        )
-        merged = (
-            registry.unionByName(new_entries)
-            if registry is not None
-            else new_entries
-        )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(registry_dir, f"batch={epoch_id}")
+        _write_outputs(
+            spark, batch, survivors, registry, id_col,
+            accepted_dir, registry_dir, epoch_id,
         )
     finally:
         sigs.unpersist(blocking=False)
+
+
+def _write_outputs(
+    spark: SparkSession,
+    batch: DataFrame,
+    survivors: DataFrame,
+    registry: DataFrame | None,
+    id_col: str,
+    accepted_dir: str,
+    registry_dir: str,
+    epoch_id: int,
+) -> None:
+    """Emit the epoch's accepted rows and the merged registry snapshot
+    (both idempotent ``batch=<epoch>`` overwrites)."""
+    accepted = batch.join(
+        survivors.select(F.col("__id").alias(id_col)), id_col
+    )
+    accepted.write.mode("overwrite").parquet(
+        os.path.join(accepted_dir, f"batch={epoch_id}")
+    )
+    new_entries = survivors.select(
+        F.col("__id").alias("doc_id"),
+        F.col("__sig").alias("sig"),
+        F.lit(epoch_id).cast("long").alias("first_epoch"),
+    )
+    merged = (
+        registry.unionByName(new_entries)
+        if registry is not None
+        else new_entries
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(registry_dir, f"batch={epoch_id}")
+    )
 
 
 def read_neardup_registry(
