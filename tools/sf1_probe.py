@@ -85,6 +85,9 @@ SKEW_KEYS = [
     "q_sessionize",        # per-user windows: one user = 20% of the stream
     "q_sessionize_twophase",  # the chunked mitigation: same oracle, capped partitions
     "q_pack_context",      # per-source two-phase prefix sum: one hot source
+    # round-8 batch-62 keys under the hot user / hot source
+    "q_rolling_active_users",  # 7x fan-out of (day,user) grain: hot user dedups first
+    "q_oov_rate",              # token counts + hot source in the source-grain agg
 ]
 SKEW_OUT = os.path.join(REPO, ".scratch", "sf1skew")
 
