@@ -189,3 +189,46 @@ def streaming_ohlc_bars(
             "volume_cents",
         )
     )
+
+
+def streaming_rolling_actives(
+    events,
+    ts: str = "ts",
+    user: str = "user_id",
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "0 seconds",
+):
+    """Continuous trailing-window distinct actives — the streaming twin
+    of ``q_rolling_active_users`` (rolling DAU/WAU): each finalized
+    sliding window reports how many distinct users were active in it.
+
+    Streaming forbids COUNT(DISTINCT), so the exact form is CHAINED
+    windowed aggregations (a Spark 4 multiple-stateful-operator plan,
+    append mode): first collapse to (window, user) grain — the same
+    dedup-then-count decomposition the batch query uses — then count
+    rows per finalized window. State is (window × active user) keys,
+    evicted by the watermark as each window closes; the sliding
+    ``window()`` fans each event into window/slide rows exactly like
+    the batch form's bounded explode.
+
+    Append-mode caveat (inherent): a window emits only once the
+    watermark passes its END, so the trailing partial windows of a
+    bounded replay stay unemitted — the batch twin is the source of
+    truth for the open tail."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    w = F.window(F.col(ts), window, slide)
+    per_user = (
+        events.withWatermark(ts, watermark)
+        .groupBy(w.alias("w"), F.col(user))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "active_users",
+        )
+    )

@@ -433,3 +433,46 @@ def test_streaming_ohlc_matches_batch_twin(spark, sf_dir, events_stream_path):
         for r in entrymod.queries()["q_ohlc_bars"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_rolling_actives_matches_batch(
+    spark, sf_dir, events_stream_path
+):
+    """Chained windowed aggregations (Spark 4 multiple stateful
+    operators, append mode): every window the stream FINALIZES must
+    carry exactly the batch q_rolling_active_users count for the
+    trailing day it ends on (batch day d = the 7-day window ending at
+    day d+1; both align sliding windows at the epoch)."""
+    from self_healing_data_pipeline_spark.registry import QUERIES, load_all
+    from self_healing_data_pipeline_spark.streaming.windows import (
+        streaming_rolling_actives,
+    )
+
+    load_all()
+    batch_ev = read_table(spark, sf_dir, "events")
+    stream_ev = spark.readStream.schema(batch_ev.schema).parquet(
+        events_stream_path
+    )
+    q = (
+        streaming_rolling_actives(stream_ev)
+        .writeStream.format("memory")
+        .queryName("t_rolling")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        int(r["window_end"].timestamp()) // 86400 - 1: r["active_users"]
+        for r in spark.table("t_rolling").collect()
+    }
+    assert stream_rows, "no window finalized"
+    batch_rows = {
+        r["day"]: r["active_7d"]
+        for r in QUERIES["q_rolling_active_users"](spark, sf_dir).collect()
+    }
+    # every finalized streaming window must match the batch count for
+    # its trailing day; the open tail (append-mode caveat) is absent
+    for day, n in stream_rows.items():
+        assert batch_rows.get(day) == n, (day, n, batch_rows.get(day))
+    assert len(stream_rows) >= len(batch_rows) - 8  # only the tail open
