@@ -88,6 +88,10 @@ SKEW_KEYS = [
     # round-8 batch-62 keys under the hot user / hot source
     "q_rolling_active_users",  # 7x fan-out of (day,user) grain: hot user dedups first
     "q_oov_rate",              # token counts + hot source in the source-grain agg
+    # per-user/per-key folds and aggregates under the hot user/customer
+    "q_ema",             # secondary-sort mapInPandas fold per user partition
+    "q_heavy_hitters",   # Misra-Gries partials: hot user IS the heavy hitter
+    "q_customer_rfm",    # value-bucket NTILE cut points under a hot customer
 ]
 SKEW_OUT = os.path.join(REPO, ".scratch", "sf1skew")
 
