@@ -33,7 +33,10 @@ def _day(col):
     oracle=f"""
     WITH ud AS (
       SELECT DISTINCT EPOCH_US(ts) // {_DAY_US} AS day, user_id FROM events
-    ), days AS (SELECT DISTINCT day FROM ud)
+    ), days AS (
+      SELECT UNNEST(generate_series((SELECT MIN(day) FROM ud),
+                                    (SELECT MAX(day) FROM ud))) AS day
+    )
     SELECT d.day AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
     FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
     GROUP BY d.day ORDER BY d.day
@@ -46,14 +49,21 @@ def q_rolling_active_users(spark, sf_dir):
     day; the scale-safe decomposition here is: dedup to (day, user)
     grain ONCE, fan each user-day out to the ≤7 window days it
     contributes to (a bounded explode — shuffle is 7× user-days, tiny
-    vs the event stream), then one exact COUNT(DISTINCT) per day.
+    vs the event stream), then one exact COUNT(DISTINCT) per day. The
+    report covers EVERY calendar day in [min_day, max_day] — a gap day
+    still has a trailing-window count from the days before it (the
+    convention the streaming twin shares, so finalized stream windows
+    and batch rows are 1:1; only all-empty windows are absent from
+    both).
 
     The oracle computes the same windows with a range join — at
     fixture scale DuckDB can; the explode form is what survives when
     user-days alone are billions."""
     ev = read_table(spark, sf_dir, "events")
     ud = ev.select(_day("ts").alias("day"), "user_id").distinct()
-    days = ud.select("day").distinct()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
     fanned = ud.select(
         F.explode(
             F.sequence(F.col("day"), F.col("day") + 6)
@@ -61,7 +71,8 @@ def q_rolling_active_users(spark, sf_dir):
         "user_id",
     )
     return (
-        fanned.join(days, "day", "left_semi")
+        fanned.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("hi"))
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .orderBy("day")

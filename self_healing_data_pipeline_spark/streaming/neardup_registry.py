@@ -201,111 +201,116 @@ def apply_neardup_batch(
         # order-sequential greedy loop itself always runs distributed,
         # per component, in executors. Components are near-dup
         # clusters bounded by the bucket caps.
-        from pyspark.sql import types as T
-
-        from self_healing_data_pipeline_spark.operators.dedup import (
-            connected_components,
-        )
-
-        id_type = sigs.schema["__id"].dataType
+        #
         # The pair list feeds both the component resolution and the
         # flagged edge list — checkpoint it so the bucket-join +
-        # signature-verify upstream runs exactly once.
+        # signature-verify upstream runs exactly once. Fast path: no
+        # verified in-batch pairs (the common case on a real stream —
+        # most batches carry no internal near-dups) means no greedy
+        # pass at all; isEmpty on the checkpointed frame is a one-block
+        # peek, and skipping the component resolution + grouped-map
+        # stage saves several Spark jobs per batch. Both paths share
+        # the single survivors/output tail below.
         pairs = pairs.localCheckpoint(eager=True)
-        # Fast path: no verified in-batch pairs (the common case on a
-        # real stream — most batches carry no internal near-dups) means
-        # no greedy pass at all; isEmpty on the checkpointed frame is a
-        # one-block peek, and skipping the component resolution +
-        # grouped-map stage saves several Spark jobs per batch.
-        if pairs.isEmpty():
-            survivors = sigs
-            if matched_hist is not None:
-                survivors = survivors.join(matched_hist, "__id", "left_anti")
-            _write_outputs(
-                spark, batch, survivors, registry, id_col,
-                accepted_dir, registry_dir, epoch_id,
-            )
-            return
-        # Per-endpoint history flag rides along on the edges so the
-        # per-component pass needs no side lookup. A hist-matched doc
-        # is seeded SUPPRESSED and therefore does NOT suppress later
-        # in-batch docs (same as the old driver loop): the registry
-        # copy that matched it is what stands in the corpus, and any
-        # later doc near-matching that copy is caught by its own
-        # history join, not transitively through the dropped doc.
-        if matched_hist is not None:
-            hflag = matched_hist.select(
-                "__id", F.lit(True).alias("__h")
-            )
-            pairs_flagged = (
-                pairs.join(
-                    hflag.select(
-                        F.col("__id").alias("__l"),
-                        F.col("__h").alias("l_hist"),
-                    ),
-                    "__l",
-                    "left",
-                )
-                .join(
-                    hflag.select(
-                        F.col("__id").alias("__r"),
-                        F.col("__h").alias("r_hist"),
-                    ),
-                    "__r",
-                    "left",
-                )
-                .fillna(False, ["l_hist", "r_hist"])
-            )
-        else:
-            pairs_flagged = pairs.withColumn(
-                "l_hist", F.lit(False)
-            ).withColumn("r_hist", F.lit(False))
-        comp = connected_components(pairs, "__l", "__r").select(
-            F.col("node").alias("__l"), "cluster_id"
-        )
-        comp_edges = pairs_flagged.join(comp, "__l")
-
-        out_schema = T.StructType([T.StructField("__id", id_type)])
-
-        def _greedy_component(pdf):
-            import pandas as pd
-
-            edges: dict = {}
-            suppressed: set = set()
-            for lid, rid, lh, rh in zip(
-                pdf["__l"], pdf["__r"], pdf["l_hist"], pdf["r_hist"]
-            ):
-                edges.setdefault(rid, []).append(lid)
-                if lh:
-                    suppressed.add(lid)
-                if rh:
-                    suppressed.add(rid)
-            dropped: list = []
-            for rid in sorted(edges):
-                if rid in suppressed:
-                    continue
-                if any(lid not in suppressed for lid in edges[rid]):
-                    suppressed.add(rid)
-                    dropped.append(rid)
-            return pd.DataFrame({"__id": dropped})
-
-        batch_suppressed = comp_edges.groupBy("cluster_id").applyInPandas(
-            _greedy_component, out_schema
+        batch_suppressed = (
+            None
+            if pairs.isEmpty()
+            else _resolve_suppressed(pairs, sigs, matched_hist)
         )
         survivors = sigs
         if matched_hist is not None:
             survivors = survivors.join(matched_hist, "__id", "left_anti")
-        survivors = survivors.join(batch_suppressed, "__id", "left_anti")
+        if batch_suppressed is not None:
+            survivors = survivors.join(batch_suppressed, "__id", "left_anti")
         _write_outputs(
-            spark, batch, survivors, registry, id_col,
+            batch, survivors, registry, id_col,
             accepted_dir, registry_dir, epoch_id,
         )
     finally:
         sigs.unpersist(blocking=False)
 
 
+def _resolve_suppressed(
+    pairs: DataFrame, sigs: DataFrame, matched_hist: DataFrame | None
+) -> DataFrame:
+    """Ids suppressed by the in-batch greedy survivor rule, as a
+    single-column (__id) frame: connected components over the verified
+    pairs, then the order-sequential greedy loop per component in
+    executors."""
+    from pyspark.sql import types as T
+
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Per-endpoint history flag rides along on the edges so the
+    # per-component pass needs no side lookup. A hist-matched doc is
+    # seeded SUPPRESSED and therefore does NOT suppress later in-batch
+    # docs (same as the old driver loop): the registry copy that
+    # matched it is what stands in the corpus, and any later doc
+    # near-matching that copy is caught by its own history join, not
+    # transitively through the dropped doc.
+    if matched_hist is not None:
+        hflag = matched_hist.select("__id", F.lit(True).alias("__h"))
+        pairs_flagged = (
+            pairs.join(
+                hflag.select(
+                    F.col("__id").alias("__l"),
+                    F.col("__h").alias("l_hist"),
+                ),
+                "__l",
+                "left",
+            )
+            .join(
+                hflag.select(
+                    F.col("__id").alias("__r"),
+                    F.col("__h").alias("r_hist"),
+                ),
+                "__r",
+                "left",
+            )
+            .fillna(False, ["l_hist", "r_hist"])
+        )
+    else:
+        pairs_flagged = pairs.withColumn(
+            "l_hist", F.lit(False)
+        ).withColumn("r_hist", F.lit(False))
+    comp = connected_components(pairs, "__l", "__r").select(
+        F.col("node").alias("__l"), "cluster_id"
+    )
+    comp_edges = pairs_flagged.join(comp, "__l")
+    out_schema = T.StructType(
+        [T.StructField("__id", sigs.schema["__id"].dataType)]
+    )
+
+    def _greedy_component(pdf):
+        import pandas as pd
+
+        edges: dict = {}
+        suppressed: set = set()
+        for lid, rid, lh, rh in zip(
+            pdf["__l"], pdf["__r"], pdf["l_hist"], pdf["r_hist"]
+        ):
+            edges.setdefault(rid, []).append(lid)
+            if lh:
+                suppressed.add(lid)
+            if rh:
+                suppressed.add(rid)
+        dropped: list = []
+        for rid in sorted(edges):
+            if rid in suppressed:
+                continue
+            if any(lid not in suppressed for lid in edges[rid]):
+                suppressed.add(rid)
+                dropped.append(rid)
+        return pd.DataFrame({"__id": dropped})
+
+    return comp_edges.groupBy("cluster_id").applyInPandas(
+        _greedy_component, out_schema
+    )
+
+
 def _write_outputs(
-    spark: SparkSession,
     batch: DataFrame,
     survivors: DataFrame,
     registry: DataFrame | None,

@@ -192,13 +192,13 @@ def streaming_ohlc_bars(
 
 
 def streaming_rolling_actives(
-    events,
+    events: DataFrame,
     ts: str = "ts",
     user: str = "user_id",
     window: str = "7 days",
     slide: str = "1 day",
-    watermark: str = "0 seconds",
-):
+    watermark: str = "1 day",
+) -> DataFrame:
     """Continuous trailing-window distinct actives — the streaming twin
     of ``q_rolling_active_users`` (rolling DAU/WAU): each finalized
     sliding window reports how many distinct users were active in it.
@@ -212,10 +212,13 @@ def streaming_rolling_actives(
     ``window()`` fans each event into window/slide rows exactly like
     the batch form's bounded explode.
 
-    Append-mode caveat (inherent): a window emits only once the
+    Append-mode caveats (inherent): a window emits only once the
     watermark passes its END, so the trailing partial windows of a
     bounded replay stay unemitted — the batch twin is the source of
-    truth for the open tail."""
+    truth for the open tail — and events later than the watermark
+    delay are DROPPED from their windows (the default tolerates a full
+    day of lateness, matching the slide grain; tighten it only when
+    the feed is near-ordered)."""
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     w = F.window(F.col(ts), window, slide)
     per_user = (

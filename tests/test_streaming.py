@@ -453,8 +453,11 @@ def test_streaming_rolling_actives_matches_batch(
     stream_ev = spark.readStream.schema(batch_ev.schema).parquet(
         events_stream_path
     )
+    # watermark 0s is safe ONLY here: availableNow processes the whole
+    # fixture in one micro-batch, so nothing is ever "late"; it lets the
+    # test finalize (and therefore check) the maximum number of windows
     q = (
-        streaming_rolling_actives(stream_ev)
+        streaming_rolling_actives(stream_ev, watermark="0 seconds")
         .writeStream.format("memory")
         .queryName("t_rolling")
         .outputMode("append")
