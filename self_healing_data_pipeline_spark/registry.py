@@ -154,4 +154,5 @@ def load_all() -> None:
         extras80,
         extras81,
         extras82,
+        extras83,
     )

@@ -32,6 +32,7 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_agg_approx_distinct": ["within_5pct"],
     "q_agg_approx_percentile": ["within_bounds", "rank_ok"],
     "q_ann_recall_at_k": ["witness_ok"],
+    "q_doc_compression_ratio": ["ratios_in_range", "compressible_corpus"],
     "q_embedding_pca": ["witness_ok"],
     "q_embedding_quantize": ["witness_ok"],
     "q_image_dhash": ["is_planted"],

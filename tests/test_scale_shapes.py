@@ -1572,3 +1572,15 @@ def test_extras82_plans_are_bounded(spark, sf_dir):
     # label balance: one-row scalar broadcast + bounded label grain
     p = plan_of(spark, sf_dir, "q_label_balance")
     assert "partial_" in p
+
+
+def test_extras83_plans_are_bounded(spark, sf_dir):
+    # table checksum: one scan + one partial-aggregated fold per table,
+    # NO sort and no row shuffle (the exchange carries one partial sum
+    # per partition) — order independence is the operator's contract
+    p = plan_of(spark, sf_dir, "q_table_checksum")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # compressibility: narrow Arrow projection + language-grain partials
+    p = plan_of(spark, sf_dir, "q_doc_compression_ratio")
+    assert "ArrowEvalPython" in p and "partial_" in p

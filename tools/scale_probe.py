@@ -379,7 +379,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_histogram_bins",
                   # round-8 batch 65
                   "q_explode_outer", "q_array_hof_predicates",
-                  "q_try_divide", "q_oov_rate", "q_label_balance"]
+                  "q_try_divide", "q_oov_rate", "q_label_balance",
+                  # round-8 batch 66
+                  "q_table_checksum", "q_doc_compression_ratio"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
