@@ -1523,7 +1523,12 @@ def _decode_jpeg_unchecked(payload: bytes | None) -> np.ndarray | None:
 # discipline below, so the in-repo round trip is bit-exact by
 # construction; conformance to external arithmetic-JPEG streams rests
 # on the table/flowchart transcription (no codec library exists in
-# this environment to cross-check against — documented residual risk).
+# this environment to cross-check against — documented residual risk;
+# re-evaluated round 9: libjpeg.so.62 is on disk but ships no CLI and
+# its compress/decompress structs are version/build-specific, so a
+# ctypes cross-check would be guessing field offsets — a known-good
+# external arithmetic-JPEG byte fixture remains the right gate the
+# day one can be imported).
 # --------------------------------------------------------------------------
 
 #: T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) per state; 113 = fixed bin.

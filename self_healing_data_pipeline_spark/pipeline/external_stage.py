@@ -38,6 +38,12 @@ from self_healing_data_pipeline_spark.pipeline.runner import Stage
 _FENCE_RE = re.compile(r"^```[a-zA-Z0-9_-]*[ \t]*\n?|^```[ \t]*$",
                        re.MULTILINE)
 
+# Bounds for the balanced-substring fallback scan over UNTRUSTED model
+# output (see extract_json): without them a degenerate reply of many
+# unmatched openers makes the fallback quadratic.
+_MAX_SCAN_CHARS = 1 << 20  # 1 MiB of reply is plenty for any payload
+_MAX_CANDIDATES = 256  # opener occurrences attempted per bracket type
+
 
 def strip_fences(text: str) -> str:
     """Remove markdown code fences (```json / ```sql / bare ```) — the
@@ -63,12 +69,25 @@ def extract_json(text: str) -> Any:
         except (json.JSONDecodeError, TypeError):
             pass
     stripped = strip_fences(text)
+    # Untrusted-output bounds (round-8 ADVICE): each opener occurrence
+    # costs an O(n) balance scan, so degenerate output (tens of
+    # thousands of unmatched '{') is O(n^2) — a practical hang on a
+    # pathological reply. Bound BOTH axes: the fallback scans only the
+    # first _MAX_SCAN_CHARS of the reply (a real payload buried deeper
+    # than 1 MB into a broken reply is not worth healing; direct and
+    # fence-stripped parses above still see the full text), and at most
+    # _MAX_CANDIDATES opener occurrences are attempted per bracket type.
+    if len(stripped) > _MAX_SCAN_CHARS:
+        stripped = stripped[:_MAX_SCAN_CHARS]
     for opener, closer in (("{", "}"), ("[", "]")):
-        # Try EVERY opener occurrence, not just the first: a preamble
-        # like ``note {not json} then {"a": 1}`` has a balanced-but-
-        # invalid first candidate, and the valid payload comes later.
+        # Try opener occurrences in order, not just the first: a
+        # preamble like ``note {not json} then {"a": 1}`` has a
+        # balanced-but-invalid first candidate, and the valid payload
+        # comes later.
+        attempts = 0
         start = stripped.find(opener)
-        while start >= 0:
+        while start >= 0 and attempts < _MAX_CANDIDATES:
+            attempts += 1
             depth = 0
             in_str = False
             esc = False

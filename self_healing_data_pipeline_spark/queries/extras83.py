@@ -143,7 +143,11 @@ def q_doc_compression_ratio(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     sized = d.select(
         "lang",
-        F.length(F.col("text")).cast("long").alias("raw_len"),
+        # octet_length, not length: the UDF compresses UTF-8 BYTES, so
+        # raw_len must be bytes too or multi-byte text would inflate
+        # per-doc ratios ~3x and flip the ratios_in_range witness
+        # (round-8 ADVICE; identical on the ASCII fixture).
+        F.octet_length(F.col("text")).cast("long").alias("raw_len"),
         deflate_len(F.col("text")).alias("zip_len"),
     ).select(
         "lang",

@@ -133,3 +133,18 @@ def test_extract_json_non_string_raises_value_error():
 def test_strip_fences_leaves_mid_line_backticks():
     ddl = "CREATE TABLE t (x INT); -- see ```docs```"
     assert strip_fences(ddl) == ddl
+
+
+def test_extract_json_pathological_openers_bounded():
+    """Degenerate untrusted output (tens of thousands of unmatched
+    openers) must fail FAST, not hang O(n^2) (round-8 ADVICE): the
+    balanced-substring fallback caps opener attempts and scan length."""
+    import time
+
+    bad = "{" * 50_000
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        extract_json(bad)
+    assert time.perf_counter() - t0 < 5.0
+    # payload still found when the junk prefix is within the cap
+    assert extract_json("{" * 100 + '"x" ' + '{"a": 2}') == {"a": 2}
