@@ -340,7 +340,6 @@ def q_dedup_registry(spark, sf_dir):
     "q_neardup_registry",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           TRUE AS cuts_agree,
            TRUE AS accepted_in_range,
            TRUE AS registry_matches_accepted
     FROM documents WHERE doc_id % 4 = 0
@@ -351,24 +350,29 @@ def q_neardup_registry(spark, sf_dir):
     ORACLE-BACKED witness row (the q_distinct_sketch_accuracy
     discipline: every column SQL-derivable, witnesses expected TRUE, so
     the driver's hash gate verifies the machinery's contract instead of
-    recording a row count). The same thinned document stream is driven
-    through ``streaming.neardup_registry`` twice — once as a single
-    epoch, once cut into two id-ordered epochs — and the row reports:
+    recording a row count). A thinned document stream is driven through
+    ``streaming.neardup_registry`` as one epoch and the row reports:
 
     - ``n_docs``: documents considered (oracle: COUNT(*) of the thin);
-    - ``cuts_agree``: both runs accepted the IDENTICAL id set — the
-      batch-cut-invariance contract (a suppressed doc suppressing on
-      its canonical's behalf, replay leakage, or registry drift all
-      flip it false);
     - ``accepted_in_range``: 1 ≤ |accepted| ≤ n_docs;
     - ``registry_matches_accepted``: the registry's signature ids equal
-      the accepted output ids for the single-epoch run (state and
-      output never diverge).
+      the accepted output ids (state and output never diverge).
+
+    The batch-cut-invariance contract (two id-ordered epochs accept the
+    IDENTICAL id set as one epoch) lived here through round 8 as a
+    ``cuts_agree`` column, which re-ran the machinery two more times
+    per bench pass — 9.1 s, 2.6% of the whole suite, spent re-proving
+    an invariant per round (round-8 verdict task #7). It now runs once
+    per CI in ``tests/test_neardup_registry.py`` — both the synthetic
+    ``test_batch_cuts_are_invisible`` and the fixture-data
+    ``test_batch_cut_invariance_on_fixture`` (same %4 thin + half-cut
+    as this view, at sf0.001) — identical contract coverage, off the
+    bench's hot path.
 
     Per-document decisions stay covered by tests/test_neardup_registry
     (signatures are blake2b + affine minhash — not SQL-expressible).
-    Documents are thinned to doc_id%4==0 so the two materialization
-    passes stay bench-friendly."""
+    Documents are thinned to doc_id%4==0 so the materialization pass
+    stays bench-friendly."""
     import os
 
     from self_healing_data_pipeline_spark.streaming.neardup_registry import (
@@ -383,7 +387,6 @@ def q_neardup_registry(spark, sf_dir):
         .filter(F.col("doc_id") % 4 == 0)
         .select("doc_id", "text")
     )
-    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
     from self_healing_data_pipeline_spark.session import scratch_dir
 
     scratch = scratch_dir("neardup", sf_dir)
@@ -406,10 +409,6 @@ def q_neardup_registry(spark, sf_dir):
         return ids
 
     one = run("one", [F.lit(True)])
-    half = max_id // 2
-    two = run(
-        "two", [F.col("doc_id") <= half, F.col("doc_id") > half]
-    )
     n_docs = d.count()
     from self_healing_data_pipeline_spark.streaming.neardup_registry import (
         read_neardup_registry,
@@ -425,12 +424,11 @@ def q_neardup_registry(spark, sf_dir):
         [
             (
                 int(n_docs),
-                one == two,
                 1 <= len(one) <= n_docs,
                 reg_ids == one,
             )
         ],
-        "n_docs bigint, cuts_agree boolean, accepted_in_range boolean,"
+        "n_docs bigint, accepted_in_range boolean,"
         " registry_matches_accepted boolean",
     )
 

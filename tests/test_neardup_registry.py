@@ -237,3 +237,36 @@ def test_dup_heavy_adversarial_batch(spark, tmp_path):
     assert _accepted_ids(spark, adir) == [1, 20, 30]
     reg = read_neardup_registry(spark, rdir)
     assert sorted(r["doc_id"] for r in reg.collect()) == [1, 20, 30]
+
+
+def test_batch_cut_invariance_on_fixture(spark, tmp_path):
+    """Cut-invariance on REAL fixture documents — the exact contract
+    q_neardup_registry's benched view carried as a ``cuts_agree``
+    column through round 8 (same doc_id%4 thin, same half-cut), moved
+    here so the bench stops re-running the machinery 3x per pass
+    (round-8 verdict task #7). sf0.001 keeps it a ~seconds test."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    d = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    half = max_id // 2
+
+    def run(tag, cuts):
+        rdir = str(tmp_path / tag / "reg")
+        adir = str(tmp_path / tag / "acc")
+        for epoch, pred in enumerate(cuts):
+            apply_neardup_batch(
+                spark, d.filter(pred), rdir, adir, epoch, threshold=0.8
+            )
+        return set(_accepted_ids(spark, adir))
+
+    one = run("one", [F.lit(True)])
+    two = run("two", [F.col("doc_id") <= half, F.col("doc_id") > half])
+    assert one == two
+    assert 1 <= len(one) <= d.count()
