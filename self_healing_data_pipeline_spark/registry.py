@@ -155,4 +155,5 @@ def load_all() -> None:
         extras81,
         extras82,
         extras83,
+        extras84,
     )

@@ -1584,3 +1584,22 @@ def test_extras83_plans_are_bounded(spark, sf_dir):
     # compressibility: narrow Arrow projection + language-grain partials
     p = plan_of(spark, sf_dir, "q_doc_compression_ratio")
     assert "ArrowEvalPython" in p and "partial_" in p
+
+
+def test_extras84_plans_are_bounded(spark, sf_dir):
+    # lateral aggregate decorrelates: partial-aggregated equi-join, no
+    # per-outer-row nested-loop re-execution of the subquery
+    p = plan_of(spark, sf_dir, "q_join_lateral")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # QUALIFY rewrite compiles to WindowGroupLimit: map-side per-group
+    # top-k BEFORE the shuffle — the exchange carries O(groups x k),
+    # not the table
+    p = plan_of(spark, sf_dir, "q_window_qualify")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    # both sampling plans are narrow single scans (hash filter is a
+    # pushable-shape predicate + one-row aggregate; native sample adds
+    # a Sample node, never a shuffle of the unsampled table)
+    p = plan_of(spark, sf_dir, "q_tablesample_stable")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
