@@ -381,7 +381,10 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_explode_outer", "q_array_hof_predicates",
                   "q_try_divide", "q_oov_rate", "q_label_balance",
                   # round-8 batch 66
-                  "q_table_checksum", "q_doc_compression_ratio"]
+                  "q_table_checksum", "q_doc_compression_ratio",
+                  # round-9 batch 67
+                  "q_join_lateral", "q_tablesample_stable",
+                  "q_window_qualify"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
