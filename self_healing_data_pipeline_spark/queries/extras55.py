@@ -27,8 +27,107 @@ _N_CENTROIDS = 16
 _RECALL_FLOOR = 0.5
 _SHIP_SLA_DAYS = 365
 
+# Sequential-fold dot product of two float32 lists, mirroring
+# functions.vector.dot_product bit-for-bit: per element a float32
+# product (FLOAT * FLOAT stays FLOAT in DuckDB, as zip_with does on
+# array<float>), cast to DOUBLE, accumulated strictly left-to-right
+# (list_reduce's left fold == F.aggregate's; the 0.0 init is a no-op).
+def _dot32(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
 
-@query("q_ann_recall_at_k")  # rows-only: float ranking, witness in-row
+
+# Same fold over DOUBLE lists (the assignment path uses full-precision
+# centroids, matching ivf_assignments' float64 matmul).
+def _dot64(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH ed AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv
+  FROM embeddings WHERE vec_id % 50 = 0
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         list_transform(x, v -> v / (CASE WHEN nrm = 0 THEN 1.0
+                                          ELSE nrm END)) AS cd
+  FROM (SELECT vec_id, x,
+               SQRT(list_reduce(list_transform(x, u -> u * u),
+                                (a, b) -> a + b)) AS nrm
+        FROM (SELECT vec_id, x FROM ed ORDER BY vec_id LIMIT {_N_CENTROIDS}))
+), cent32 AS (
+  SELECT centroid_id, list_transform(cd, v -> CAST(v AS FLOAT)) AS cf
+  FROM cent
+), exact AS (
+  SELECT probe_id, vec_id AS exact_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+             ORDER BY {_dot32('e.embedding', 'p.pv')} DESC, e.vec_id) AS rn
+    FROM embeddings e, probes p) WHERE rn <= {_K}
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT ed.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY ed.vec_id
+             ORDER BY {_dot64('ed.x', 'cent.cd')} DESC,
+                      cent.centroid_id) AS rn
+    FROM ed, cent) WHERE rn = 1
+), pc AS (
+  SELECT probe_id, centroid_id FROM (
+    SELECT p.probe_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+             ORDER BY {_dot32('p.pv', 'c.cf')} DESC, c.centroid_id) AS rn
+    FROM probes p, cent32 c) WHERE rn <= {_N_PROBE}
+), ann AS (
+  SELECT probe_id, vec_id AS ann_id FROM (
+    SELECT pc.probe_id, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY pc.probe_id
+             ORDER BY {_dot32('e2.embedding', 'p.pv')} DESC, a.vec_id) AS rn
+    FROM assign a
+    JOIN pc ON a.centroid_id = pc.centroid_id
+    JOIN probes p ON p.probe_id = pc.probe_id
+    JOIN embeddings e2 ON e2.vec_id = a.vec_id) WHERE rn <= {_K}
+), hits AS (
+  SELECT ex.probe_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(COUNT(an.ann_id) AS BIGINT) AS n_overlap
+  FROM exact ex LEFT JOIN ann an
+    ON ex.probe_id = an.probe_id AND ex.exact_id = an.ann_id
+  GROUP BY ex.probe_id
+)
+SELECT probe_id, n_exact, n_overlap,
+       CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_k,
+       CAST(n_overlap AS DOUBLE) >=
+         {_RECALL_FLOOR} * CAST(n_exact AS DOUBLE) AS witness_ok
+FROM hits ORDER BY probe_id
+"""
+
+
+@query(
+    "q_ann_recall_at_k",
+    # Oracle-backed since round 9 (was rows-only; round-8 verdict task
+    # #4): every stage — seed centroids, float64 argmax assignment,
+    # float32 probe-cell ranking, candidate top-k, recall — is
+    # deterministic arithmetic over the fixture, so DuckDB replays the
+    # WHOLE IVF eval pipeline and the driver hash-verifies recall
+    # itself, not just a bounds witness. Float chains mirror
+    # functions.vector.dot_product token-for-token (float32 products,
+    # strict left-fold double accumulation); the one non-mirrored chain
+    # is numpy's pairwise/BLAS summation inside ivf_assignments and
+    # np.linalg.norm vs the oracle's sequential fold — a last-ulp
+    # difference that only matters if two centroid dots tie within
+    # ~1e-14 (never on this fixture; verified bit-green at sf0.001,
+    # sf0.01 AND sf0.1).
+    oracle=_ANN_RECALL_ORACLE,
+)
 def q_ann_recall_at_k(spark, sf_dir):
     """ANN RECALL@10 over a probe panel (every 50th vector): IVF with
     a deterministic coarse quantizer probes its 8 nearest of

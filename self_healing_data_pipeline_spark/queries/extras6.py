@@ -433,7 +433,41 @@ def q_neardup_registry(spark, sf_dir):
     )
 
 
-@query("q_embedding_quantize")  # float witness thresholds: rows-only
+@query(
+    "q_embedding_quantize",
+    # Oracle-backed since round 9 (was rows-only; round-8 verdict task
+    # #4): the whole quantize→verify chain is list arithmetic, so DuckDB
+    # replicates it bit-exact when every float operation mirrors the
+    # Spark chain token-for-token — CAST elements to DOUBLE first,
+    # mn + ROUND((v-mn)/step)*step per element, max-error via list_max
+    # (order-independent), same 0.5001·step + 1e-9 threshold.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, x,
+             list_min(x) AS mn,
+             (list_max(x) - list_min(x)) / 255.0 AS step
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(x) AS INTEGER) AS n_dims,
+           CAST(CASE WHEN step > 0
+                THEN list_min(list_transform(x, v -> ROUND((v - mn) / step)))
+                ELSE 0 END AS INTEGER) AS code_min,
+           CAST(CASE WHEN step > 0
+                THEN list_max(list_transform(x, v -> ROUND((v - mn) / step)))
+                ELSE 0 END AS INTEGER) AS code_max,
+           CASE WHEN step > 0
+                THEN list_max(list_transform(x,
+                     v -> ABS(v - (mn + ROUND((v - mn) / step) * step))))
+                     <= step * 0.5001 + 1e-9
+                ELSE TRUE END AS witness_ok
+    FROM g ORDER BY vec_id
+    """,
+)
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column — the
     vector-store preparation step (4× memory cut before ANN indexing):

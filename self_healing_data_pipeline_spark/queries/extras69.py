@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from self_healing_data_pipeline_spark.operators.bpe import FROZEN_MERGES
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -24,7 +25,90 @@ _DF_NUM, _DF_DEN = 1, 2
 _VMR_MAX = 2
 
 
-@query("q_tokenizer_fertility")  # rows-only: greedy BPE is not ANSI-SQL
+# Greedy BPE IS expressible in SQL once the merge table is frozen: a
+# recursive CTE carries each distinct word's token list and every
+# iteration applies exactly encode_word's step — rank every adjacent
+# pair (first-match CASE chain generated from FROZEN_MERGES; 999999 =
+# unmergeable), merge the LEFTMOST lowest-rank pair (list_position
+# returns the first min), stop when nothing ranks. Terminal state per
+# word = MIN(len(parts)) since every step shrinks the list by one.
+_BPE_RANK_CASE = "CASE " + " ".join(
+    f"WHEN parts[i] = '{a}' AND parts[i+1] = '{b}' THEN {r}"
+    for r, (a, b) in enumerate(FROZEN_MERGES)
+) + " ELSE 999999 END"
+
+_FERTILITY_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), enc(w, parts) AS (
+  SELECT w, list_append(str_split(w, ''), '</w>') FROM words
+  UNION ALL
+  SELECT w,
+         list_concat(
+           list_concat(parts[1:bi-1], [parts[bi] || parts[bi+1]]),
+           parts[bi+2:len(parts)])
+  FROM (
+    SELECT w, parts,
+           list_position(rl, list_min(rl)) AS bi,
+           list_min(rl) AS br
+    FROM (
+      SELECT w, parts,
+             list_transform(range(1, len(parts)),
+                            i -> {_BPE_RANK_CASE}) AS rl
+      FROM enc WHERE len(parts) > 1))
+  WHERE br < 999999
+), wtok AS (
+  SELECT w, CAST(MIN(len(parts)) AS BIGINT) AS n_tok FROM enc GROUP BY w
+), doc_tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS t
+  FROM documents
+), doc_counts AS (
+  -- digit runs / punctuation never collide with the letter-only word
+  -- table, so COALESCE(n_tok, 1) is exactly the kernel's "1 token
+  -- unless a letter run" rule
+  SELECT dt.doc_id, CAST(SUM(COALESCE(wt.n_tok, 1)) AS BIGINT) AS n_tokens
+  FROM doc_tok dt LEFT JOIN wtok wt ON dt.t = wt.w
+  GROUP BY dt.doc_id
+), base AS (
+  SELECT d.lang,
+         CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+         COALESCE(dc.n_tokens, 0) AS n_tokens,
+         CAST(len(regexp_split_to_array(TRIM(d.text), '\\s+'))
+              AS BIGINT) AS n_words
+  FROM documents d LEFT JOIN doc_counts dc ON d.doc_id = dc.doc_id
+), agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_words) AS BIGINT) AS total_words
+  FROM base GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_tokens, total_words,
+       CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         AS chars_per_token,
+       CAST(total_tokens AS DOUBLE) / CAST(total_words AS DOUBLE)
+         AS tokens_per_word,
+       (CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) > 0
+        AND CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) <= 40
+        AND total_tokens >= total_words) AS witness_ok
+FROM agg ORDER BY lang
+"""
+
+
+@query(
+    "q_tokenizer_fertility",
+    # Oracle-backed since round 9 (was rows-only; round-8 verdict task
+    # #4): with the merge table frozen, greedy BPE is deterministic
+    # arithmetic — the oracle replays encode_word per distinct word in
+    # a recursive CTE (verified token-identical to the Python kernel on
+    # every fixture word) and the driver hash-verifies the fertility
+    # numbers themselves.
+    oracle=_FERTILITY_ORACLE,
+)
 def q_tokenizer_fertility(spark, sf_dir):
     """TOKENIZER FERTILITY by language: characters per BPE token under
     the frozen learned merge table (`operators/bpe.py`) — the
@@ -33,9 +117,11 @@ def q_tokenizer_fertility(spark, sf_dir):
     fragmented and will pay more context budget per sentence). Also
     reports tokens-per-whitespace-word (subword fan-out).
 
-    Rows-only with two in-row witnesses the record shows: fertility
-    must land in (0, max-word-length] and BPE tokens must be ≥ the
-    whitespace word count (greedy merging can't merge across the
+    Oracle-backed since round 9: the DuckDB twin replays the greedy
+    lowest-rank merge loop per DISTINCT word as a recursive CTE over
+    the frozen merge table, so exact token counts — not just bounds —
+    cross the hash gate. In-row witnesses kept: fertility in (0, 40]
+    and BPE tokens ≥ whitespace words (greedy merging can't cross the
     pre-tokenizer split). Scale shape: the Arrow-batched BPE kernel
     (in-batch word memo — per-DISTINCT-word cost under Zipf) runs in
     one narrow projection; everything after is a lang-grain exact-

@@ -31,12 +31,9 @@ registry.load_all()
 ALL_TRUE: dict[str, list[str]] = {
     "q_agg_approx_distinct": ["within_5pct"],
     "q_agg_approx_percentile": ["within_bounds", "rank_ok"],
-    "q_ann_recall_at_k": ["witness_ok"],
     "q_doc_compression_ratio": ["ratios_in_range", "compressible_corpus"],
     "q_embedding_pca": ["witness_ok"],
-    "q_embedding_quantize": ["witness_ok"],
     "q_image_dhash": ["is_planted"],
-    "q_kmeans_assign": ["below_half"],
     "q_media_dedup": ["witness_ok"],
     "q_multimodal_audio": ["roundtrip_ok"],
     "q_multimodal_features": ["dims_ok", "pixels_ok"],
@@ -44,7 +41,6 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_scan_binaryfile": ["dims_ok"],
     "q_sim_join_lsh": ["above_threshold"],
     "q_text_token_bpe_exact": ["witness_ok"],
-    "q_tokenizer_fertility": ["witness_ok"],
 }
 
 # Honest recall witnesses: fraction of TRUE rows must clear the floor.

@@ -1603,3 +1603,14 @@ def test_extras84_plans_are_bounded(spark, sf_dir):
     # a Sample node, never a shuffle of the unsampled table)
     p = plan_of(spark, sf_dir, "q_tablesample_stable")
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_kmeans_assign_promoted_shape(spark, sf_dir):
+    # round-9 oracle-backed restructure: seed-centroid assignment is an
+    # Arrow matmul narrow map; cluster sizes partial-aggregate; the
+    # trained-run witnesses ride in as broadcast one-row aggregates --
+    # nothing shuffles vectors, nothing plans a real cartesian product
+    p = plan_of(spark, sf_dir, "q_kmeans_assign")
+    assert "ArrowEvalPython" in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
