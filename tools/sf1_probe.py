@@ -72,6 +72,17 @@ PROBE_KEYS = [
     "q_khop_reach",
     "q_join_discovery_sketch",
     "q_stream_heavy_hitters",
+    # round-9 additions (r8 verdict task 5): batches 61-66 at true 10×
+    # of sf0.1 — rolling distinct is frontier×window-sized, the
+    # order-independent checksum fold at 10×, multi-measure pivot
+    # state, the set-intersection audience overlap, and the skew-safe
+    # sessionization twin on the uniform tier (its skew story is the
+    # SKEW_KEYS row).
+    "q_sessionize_twophase",
+    "q_rolling_active_users",
+    "q_table_checksum",
+    "q_pivot_multi_agg",
+    "q_type_user_overlap",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
