@@ -106,6 +106,69 @@ SKEW_KEYS = [
 ]
 SKEW_OUT = os.path.join(REPO, ".scratch", "sf1skew")
 
+#: Boilerplate-skew tier (r8 verdict task 6): the dedup prefix filters'
+#: worst case is not a hot JOIN key but a hot SHINGLE — site chrome
+#: shared by a large corpus fraction inflating posting lists (df) and
+#: LSH buckets. This tier prepends ONE fixed 16-word boilerplate run to
+#: every 5th document of the uniform sf1 tier (~20% of docs across ALL
+#: replicas share its word-5-grams — deliberately crossing the replica
+#: salting, the worst case the salting otherwise prevents). The guards
+#: under test: rare-first (df, sh) prefix order pushes hot shingles out
+#: of every prefix (prefix_rows), and max_bucket drops degenerate LSH
+#: buckets (pairs_within_buckets).
+BOILER_KEYS = [
+    "q_dedup_containment",
+    "q_dedup_jaccard_prefix",
+    "q_dedup_minhash",
+    "q_dedup_substring",
+]
+BOILER_OUT = os.path.join(REPO, ".scratch", "sf1boiler")
+BOILERPLATE = (
+    "this site uses cookies accept our policy terms privacy contact "
+    "about home navigation menu search login subscribe"
+)
+
+
+def build_boiler(spark) -> None:
+    """Boilerplate twin of the uniform sf1 tier: identical tables, but
+    every 5th document gets the fixed BOILERPLATE run PREPENDED (hot
+    shingles with df ≈ 20% of the corpus, position-aligned so the
+    stride-sampled substring spans collide too). Volume is constant vs
+    the uniform tier, so any wall delta is the hot-shingle skew."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(OUT):
+        build(spark)
+    tmp = BOILER_OUT + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    d = spark.read.parquet(os.path.join(OUT, "documents.parquet"))
+    text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(BOILERPLATE + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    d.select(
+        "doc_id",
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        src = os.path.join(OUT, f"{name}.parquet")
+        dst = os.path.join(tmp, f"{name}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    if os.path.exists(BOILER_OUT):
+        shutil.rmtree(BOILER_OUT)
+    os.rename(tmp, BOILER_OUT)
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
@@ -348,6 +411,38 @@ def main() -> int:
 
     load_all()
     spark = get_spark("sf1-probe")
+    if "--boiler" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(BOILER_OUT):
+            t0 = time.perf_counter()
+            build_boiler(spark)
+            print(f"built {BOILER_OUT} in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+        results = {}
+        for q in BOILER_KEYS:
+            if only and q not in only:
+                continue
+            for d in (OUT, BOILER_OUT):  # untimed warm pass per tier
+                QUERIES[q](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            uniform = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            QUERIES[q](spark, BOILER_OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            boiler = round(time.perf_counter() - t0, 2)
+            results[q] = {
+                "sf1_uniform": uniform,
+                "sf1_boiler": boiler,
+                "ratio": round(boiler / uniform, 2) if uniform else None,
+            }
+            print(json.dumps({q: results[q]}), file=sys.stderr)
+        print(json.dumps({"metric": "sf1_boiler_probe", "results": results}))
+        return 0
     if "--skew" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(SKEW_OUT):
             t0 = time.perf_counter()
