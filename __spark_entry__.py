@@ -31,15 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q_agg_groupby"](spark, "/root/testdata/sf0.001")
 
 
-def _latest_verdicts() -> dict[str, tuple[bool, int]]:
+def _latest_verdicts() -> dict[str, tuple[bool, int, bool]]:
     """Latest per-key driver verdict from CORRECTNESS_r*.json files, as
-    ``key -> (green, round)`` where ``round`` is the round of the MOST
-    RECENT verdict (its vintage). green=True means hash-verified, or
-    rows-only-by-design with rows recorded; False = the verdict failed.
-    Keys never checked are absent.
+    ``key -> (green, round, rows_only)`` where ``round`` is the round
+    of the MOST RECENT verdict (its vintage). green=True means
+    hash-verified, or rows-only-by-design with rows recorded; False =
+    the verdict failed. rows_only=True means that latest verdict was
+    the weaker no-oracle record. Keys never checked are absent.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, tuple[bool, int]] = {}
+    latest: dict[str, tuple[bool, int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -53,11 +54,12 @@ def _latest_verdicts() -> dict[str, tuple[bool, int]]:
         rnd = int(digits) if digits else 0
         for key, v in data.items():
             if isinstance(v, dict):
-                green = bool(v.get("hash_match")) or (
+                rows_only = (
                     v.get("err") == "no_oracle"
                     and v.get("spark_rows") is not None
                 )
-                latest[key] = (green, rnd)
+                green = bool(v.get("hash_match")) or rows_only
+                latest[key] = (green, rnd, rows_only)
     return latest
 
 
@@ -89,12 +91,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for k, f in qs.items()
         if k not in verdicts and k not in registry.ORACLE
     }
+    # Keys PROMOTED to oracle-backed since their last verdict (latest
+    # record is the weaker rows-only kind but the key now carries an
+    # oracle) re-verify before vintage-ordered greens: their claimed
+    # contract is stronger than their recorded evidence, so they'd
+    # otherwise wait behind the whole r1/r2 tail for a hash verdict.
+    promoted_keys = sorted(
+        (
+            k
+            for k in qs
+            if k in verdicts
+            and verdicts[k][0]
+            and verdicts[k][2]
+            and k in registry.ORACLE
+        ),
+        key=lambda k: verdicts[k][1],
+    )
+    promoted = {k: qs[k] for k in promoted_keys}
     green_keys = sorted(
-        (k for k in qs if k in verdicts and verdicts[k][0]),
+        (
+            k
+            for k in qs
+            if k in verdicts and verdicts[k][0] and k not in promoted
+        ),
         key=lambda k: verdicts[k][1],  # oldest vintage first; stable
     )
     green = {k: qs[k] for k in green_keys}
-    return {**failed, **unchecked_oracle, **unchecked_rows_only, **green}
+    return {
+        **failed,
+        **unchecked_oracle,
+        **unchecked_rows_only,
+        **promoted,
+        **green,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
