@@ -156,4 +156,5 @@ def load_all() -> None:
         extras82,
         extras83,
         extras84,
+        extras85,
     )

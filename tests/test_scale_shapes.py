@@ -1614,3 +1614,26 @@ def test_kmeans_assign_promoted_shape(spark, sf_dir):
     assert "ArrowEvalPython" in p
     assert "partial_" in p
     assert "CartesianProduct" not in p
+
+
+def test_extras85_plans_are_bounded(spark, sf_dir):
+    # DISTINCT ON rewrite: WindowGroupLimit forwards one row per
+    # segment per map task -- the exchange is O(groups), not the table
+    p = plan_of(spark, sf_dir, "q_distinct_on")
+    assert "WindowGroupLimit" in p
+    # FILTER-clause aggregates: ONE scan, one partial-aggregated
+    # exchange -- conditional accumulators never add passes
+    p = plan_of(spark, sf_dir, "q_agg_filter")
+    assert "partial_" in p
+    # formatted explain names each scan twice (tree + details):
+    # exactly one physical scan == two mentions
+    assert p.count("Scan parquet") == 2
+    # bounded listagg: rank-limit BEFORE the string aggregate
+    p = plan_of(spark, sf_dir, "q_string_agg")
+    assert "WindowGroupLimit" in p
+    assert "partial_" in p
+    # native percentile_cont: partial-aggregated ordered-set aggregate,
+    # no global sort of the input
+    p = plan_of(spark, sf_dir, "q_percentile_within_group")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
