@@ -384,7 +384,10 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   "q_table_checksum", "q_doc_compression_ratio",
                   # round-9 batch 67
                   "q_join_lateral", "q_tablesample_stable",
-                  "q_window_qualify"]
+                  "q_window_qualify",
+                  # round-9 batch 68
+                  "q_distinct_on", "q_agg_filter", "q_string_agg",
+                  "q_percentile_within_group"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
