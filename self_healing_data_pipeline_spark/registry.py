@@ -157,4 +157,5 @@ def load_all() -> None:
         extras83,
         extras84,
         extras85,
+        extras86,
     )

@@ -1637,3 +1637,17 @@ def test_extras85_plans_are_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_percentile_within_group")
     assert "partial_" in p
     assert "CartesianProduct" not in p
+
+
+def test_extras86_plans_are_bounded(spark, sf_dir):
+    # EXCLUDE rewrite: both window specs hash-partition on event_type
+    # -- one real exchange feeds two window passes, no join, no
+    # cartesian product
+    p = plan_of(spark, sf_dir, "q_window_exclude")
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "Window" in p
+    # injected-PII redaction: one narrow JVM regexp projection, no
+    # Python, no shuffle before the declared output sort
+    p = plan_of(spark, sf_dir, "q_pii_redact_injected")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
