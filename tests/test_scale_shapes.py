@@ -1640,12 +1640,15 @@ def test_extras85_plans_are_bounded(spark, sf_dir):
 
 
 def test_extras86_plans_are_bounded(spark, sf_dir):
-    # EXCLUDE rewrite: both window specs hash-partition on event_type
-    # -- one real exchange feeds two window passes, no join, no
-    # cartesian product
+    # EXCLUDE rewrite, two-phase value-grain form: the RANGE window
+    # runs over (type, value) GROUPS (bounded by the value domain, not
+    # rows -- Spark re-sums sliding RANGE buffers per row, so the
+    # row-grain form was O(rows x frame_density)); rows join back on
+    # the group key; partial aggregation feeds the group build
     p = plan_of(spark, sf_dir, "q_window_exclude")
-    assert "CartesianProduct" not in p and "Join" not in p
+    assert "CartesianProduct" not in p
     assert "Window" in p
+    assert "partial_" in p
     # injected-PII redaction: one narrow JVM regexp projection, no
     # Python, no shuffle before the declared output sort
     p = plan_of(spark, sf_dir, "q_pii_redact_injected")
