@@ -83,6 +83,10 @@ PROBE_KEYS = [
     "q_table_checksum",
     "q_pivot_multi_agg",
     "q_type_user_overlap",
+    # round-9 batch 69: the two-phase EXCLUDE rewrite's whole claim is
+    # that the window input is bounded by the value DOMAIN — at 10×
+    # rows the frame densifies but the group grain doesn't grow.
+    "q_window_exclude",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
