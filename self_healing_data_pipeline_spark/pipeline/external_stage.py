@@ -40,9 +40,15 @@ _FENCE_RE = re.compile(r"^```[a-zA-Z0-9_-]*[ \t]*\n?|^```[ \t]*$",
 
 # Bounds for the balanced-substring fallback scan over UNTRUSTED model
 # output (see extract_json): without them a degenerate reply of many
-# unmatched openers makes the fallback quadratic.
-_MAX_SCAN_CHARS = 1 << 20  # 1 MiB of reply is plenty for any payload
+# unmatched openers makes the fallback quadratic. The WALL-TIME bound
+# is the total-scanned-chars budget — a candidate cap alone still
+# permits candidates × reply_len character work (review finding), and
+# a hard prefix truncation alone bisects a payload that merely ENDS
+# past the cut (review finding) — so the budget is spent on actual
+# scan work and the first candidates always get a full-length scan.
+_MAX_SCAN_CHARS = 8 << 20  # hard cap: replies past 8 MiB are truncated
 _MAX_CANDIDATES = 256  # opener occurrences attempted per bracket type
+_MAX_TOTAL_SCANNED = 32 << 20  # chars of balance-scan work per call
 
 
 def strip_fences(text: str) -> str:
@@ -69,16 +75,20 @@ def extract_json(text: str) -> Any:
         except (json.JSONDecodeError, TypeError):
             pass
     stripped = strip_fences(text)
-    # Untrusted-output bounds (round-8 ADVICE): each opener occurrence
-    # costs an O(n) balance scan, so degenerate output (tens of
-    # thousands of unmatched '{') is O(n^2) — a practical hang on a
-    # pathological reply. Bound BOTH axes: the fallback scans only the
-    # first _MAX_SCAN_CHARS of the reply (a real payload buried deeper
-    # than 1 MB into a broken reply is not worth healing; direct and
-    # fence-stripped parses above still see the full text), and at most
-    # _MAX_CANDIDATES opener occurrences are attempted per bracket type.
+    # Untrusted-output bounds (round-8 ADVICE + round-9 review): each
+    # opener occurrence costs an O(n) balance scan, so degenerate
+    # output (tens of thousands of unmatched '{') is O(n^2) — a
+    # practical hang. Three bounds: a hard 8 MiB cap on the scanned
+    # text (a reply that size is pathological; direct and
+    # fence-stripped parses above still see the full text), at most
+    # _MAX_CANDIDATES opener attempts per bracket type, and a TOTAL
+    # scanned-chars budget shared by all attempts — the actual
+    # wall-time bound. A payload that merely ENDS past 1 MiB (the old
+    # truncation point) heals fine now: the first candidate always
+    # gets a full-length scan out of the budget.
     if len(stripped) > _MAX_SCAN_CHARS:
         stripped = stripped[:_MAX_SCAN_CHARS]
+    budget = _MAX_TOTAL_SCANNED
     for opener, closer in (("{", "}"), ("[", "]")):
         # Try opener occurrences in order, not just the first: a
         # preamble like ``note {not json} then {"a": 1}`` has a
@@ -86,11 +96,12 @@ def extract_json(text: str) -> Any:
         # comes later.
         attempts = 0
         start = stripped.find(opener)
-        while start >= 0 and attempts < _MAX_CANDIDATES:
+        while start >= 0 and attempts < _MAX_CANDIDATES and budget > 0:
             attempts += 1
             depth = 0
             in_str = False
             esc = False
+            i = start - 1
             for i in range(start, len(stripped)):
                 ch = stripped[i]
                 if in_str:
@@ -112,6 +123,7 @@ def extract_json(text: str) -> Any:
                             return json.loads(stripped[start : i + 1])
                         except json.JSONDecodeError:
                             break
+            budget -= i - start + 1
             start = stripped.find(opener, start + 1)
     raise ValueError(f"no parseable JSON in model output: {text[:80]!r}")
 

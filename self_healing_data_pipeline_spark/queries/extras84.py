@@ -95,8 +95,11 @@ def q_tablesample_stable(spark, sf_dir):
     exact row set depends on file-split layout — reproducible within a
     session but not across engines or layouts; it is therefore
     witnessed only as ``native_sample_in_range`` (sampled fraction in
-    [3%, 20%] — ±4σ of Binomial(n, 0.1) even at sf0.001's n=150,
-    expected TRUE at every SF).
+    [1.5%, 25%]: at the worst case, sf0.001's n=150, Binomial(150,
+    0.1) has mean 15 and σ≈3.67, so the lower bound 2.25 sits 3.5σ out
+    and the upper 6σ — P(flip) ≈ 1e-4 per fresh partition layout, and
+    the count is DETERMINISTIC for any fixed layout; a review pass
+    caught the original [3%, 20%] band's lower edge at only 2.9σ).
 
     The exact columns come from the md5-prefix hash sample (first two
     hex digits < '1a' ≈ 10.2%) — partition-invariant, layout-invariant,
@@ -107,7 +110,7 @@ def q_tablesample_stable(spark, sf_dir):
     n_total = c.count()
     n_native = c.sample(fraction=0.10, seed=42).count()
     in_range = bool(
-        30 <= (n_native * 1000) // max(n_total, 1) <= 200
+        15 <= (n_native * 1000) // max(n_total, 1) <= 250
     )
     hs = c.filter(
         F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)

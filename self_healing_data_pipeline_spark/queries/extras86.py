@@ -42,6 +42,7 @@ _RANGE_CENTS = 1000  # ±10.00 of value around the current row
       SELECT event_id, event_type,
              CAST(ROUND(value * 100) AS BIGINT) AS value_cents
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT event_id, event_type, value_cents,
            CAST(SUM(value_cents) OVER (
@@ -86,11 +87,24 @@ def q_window_exclude(spark, sf_dir):
     GROUP grain — the window input is bounded by the value DOMAIN, not
     the row count — and rows join back on the group key. peer_sum /
     peer_cnt are the group's own aggregates, so the peers window
-    disappears entirely. Integer cents keep every sum exact."""
-    e = read_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    disappears entirely. Integer cents keep every sum exact.
+
+    NULL values are filtered EXPLICITLY on both sides (review finding:
+    the join-back is null-unsafe — null != null — so a NULL value row
+    would silently vanish from the rewrite while the oracle emitted it
+    with NULL sums; the fixture has no NULL values, but the mirrored
+    WHERE makes the semantics identical by construction, not by
+    fixture luck)."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias(
+                "value_cents"
+            ),
+        )
     )
     g = e.groupBy("event_type", "value_cents").agg(
         F.sum("value_cents").alias("peer_sum"),

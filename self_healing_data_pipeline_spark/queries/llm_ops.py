@@ -540,9 +540,14 @@ def q_text_docfreq(spark, sf_dir):
     # #4): assignment against FIXED seed centroids is pure arithmetic —
     # DuckDB rebuilds the seeds (16 lowest-id vectors, L2-normalized)
     # and the argmax-dot assignment (ties → lowest centroid_id, the
-    # np.argmax first-max rule) with double math, so cluster sizes and
-    # shares hash-match. The float-iterative Lloyd TRAINING run stays
-    # in the plan and is recorded as expected-TRUE witness columns.
+    # np.argmax first-max rule) with double math. Same residual as
+    # q_ann_recall_at_k (extras55.py): numpy's pairwise/BLAS summation
+    # (matmul, np.linalg.norm) vs the oracle's sequential list_reduce
+    # fold differs in the last ulp, which only matters if two centroid
+    # dots tie within ~1e-14 — never on this fixture; verified
+    # bit-green at sf0.001, sf0.01 AND sf0.1. The float-iterative Lloyd
+    # TRAINING run stays in the plan and is recorded as expected-TRUE
+    # witness columns.
     oracle="""
     WITH e AS (
       SELECT vec_id,

@@ -148,3 +148,30 @@ def test_extract_json_pathological_openers_bounded():
     assert time.perf_counter() - t0 < 5.0
     # payload still found when the junk prefix is within the cap
     assert extract_json("{" * 100 + '"x" ' + '{"a": 2}') == {"a": 2}
+
+
+def test_extract_json_total_scan_budget(monkeypatch):
+    """The wall-time bound is the TOTAL scanned-chars budget, not the
+    candidate cap alone (round-9 review): with the budget shrunk, a
+    long all-opener reply stops after a handful of scans instead of
+    running all 256 candidates."""
+    import time
+
+    from self_healing_data_pipeline_spark.pipeline import external_stage
+
+    monkeypatch.setattr(external_stage, "_MAX_TOTAL_SCANNED", 200_000)
+    bad = "{" * 100_000
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        external_stage.extract_json(bad)
+    # 200k budget / 100k-char scans = ~2 attempts per bracket type;
+    # far under the 5s the uncapped 256 attempts would approach
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_extract_json_payload_ending_past_old_truncation():
+    """A payload that STARTS before but ENDS after the old 1 MiB hard
+    truncation point must still heal (round-9 review: truncation
+    bisected it; the budget form scans full length)."""
+    payload = '{"k": "' + "x" * (1 << 20) + '"}'
+    assert extract_json("junk " + payload)["k"].startswith("xxx")
