@@ -158,4 +158,5 @@ def load_all() -> None:
         extras84,
         extras85,
         extras86,
+        extras87,
     )

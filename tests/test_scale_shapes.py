@@ -1654,3 +1654,16 @@ def test_extras86_plans_are_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_pii_redact_injected")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_extras87_plans_are_bounded(spark, sf_dir):
+    # two-stage retrieval: broadcast-probe scans + per-probe rank
+    # windows; the only "cross" join is the broadcast probe panel
+    p = plan_of(spark, sf_dir, "q_ann_two_stage")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
+    # MRL ablation: ONE scored scan exploded to the three prefix dims,
+    # per-(dim, probe) windows, dim-grain aggregate
+    p = plan_of(spark, sf_dir, "q_ann_mrl_ablation")
+    assert "SinglePartition" not in p
+    assert "partial_" in p
