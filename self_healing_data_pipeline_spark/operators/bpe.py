@@ -239,3 +239,46 @@ FROZEN_MERGES: list[tuple[str, str]] = [
     ('th', 'e</w>'),
     ('s', 'par'),
 ]
+
+
+def bpe_wtok_ctes() -> str:
+    """DuckDB CTE block replaying :func:`encode_word` per DISTINCT
+    corpus word under ``FROZEN_MERGES`` (round 9; shared by the
+    q_tokenizer_fertility and q_text_token_bpe_exact oracles, verified
+    token-identical to the Python kernel on every fixture word).
+
+    A recursive CTE carries each word's token list; every iteration
+    applies exactly encode_word's step — rank every adjacent pair
+    (first-match CASE chain generated from FROZEN_MERGES; 999999 =
+    unmergeable), merge the LEFTMOST lowest-rank pair (list_position
+    returns the first min), stop when nothing ranks. Terminal state
+    per word = MIN(len(parts)) since every step shrinks the list by
+    one. Defines CTEs ``words``, ``enc`` and ``wtok(w, n_tok)``; the
+    caller must open with WITH RECURSIVE."""
+    rank_case = "CASE " + " ".join(
+        f"WHEN parts[i] = '{a}' AND parts[i+1] = '{b}' THEN {r}"
+        for r, (a, b) in enumerate(FROZEN_MERGES)
+    ) + " ELSE 999999 END"
+    return f"""words AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), enc(w, parts) AS (
+  SELECT w, list_append(str_split(w, ''), '{EOW}') FROM words
+  UNION ALL
+  SELECT w,
+         list_concat(
+           list_concat(parts[1:bi-1], [parts[bi] || parts[bi+1]]),
+           parts[bi+2:len(parts)])
+  FROM (
+    SELECT w, parts,
+           list_position(rl, list_min(rl)) AS bi,
+           list_min(rl) AS br
+    FROM (
+      SELECT w, parts,
+             list_transform(range(1, len(parts)),
+                            i -> {rank_case}) AS rl
+      FROM enc WHERE len(parts) > 1))
+  WHERE br < 999999
+), wtok AS (
+  SELECT w, CAST(MIN(len(parts)) AS BIGINT) AS n_tok FROM enc GROUP BY w
+)"""

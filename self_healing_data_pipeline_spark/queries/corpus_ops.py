@@ -243,7 +243,39 @@ def q_text_token_bpe(spark, sf_dir):
     )
 
 
-@query("q_text_token_bpe_exact")
+def _bpe_exact_oracle() -> str:
+    from self_healing_data_pipeline_spark.operators.bpe import (
+        bpe_wtok_ctes,
+    )
+
+    lexer = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return f"""
+    WITH RECURSIVE {bpe_wtok_ctes()}, doc_tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{lexer}')) AS t
+      FROM documents
+    ), doc_counts AS (
+      SELECT dt.doc_id,
+             CAST(SUM(COALESCE(wt.n_tok, 1)) AS BIGINT) AS bpe_tokens
+      FROM doc_tok dt LEFT JOIN wtok wt ON dt.t = wt.w
+      GROUP BY dt.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(dc.bpe_tokens, 0) AS bpe_tokens,
+           CAST(len(regexp_extract_all(lower(d.text), '{lexer}'))
+                AS BIGINT) AS est_tokens,
+           COALESCE(dc.bpe_tokens, 0)
+             - CAST(len(regexp_extract_all(lower(d.text), '{lexer}'))
+                    AS BIGINT) AS bpe_minus_est,
+           COALESCE(dc.bpe_tokens, 0)
+             >= CAST(len(regexp_extract_all(lower(d.text), '{lexer}'))
+                     AS BIGINT) AS witness_ok
+    FROM documents d LEFT JOIN doc_counts dc ON d.doc_id = dc.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_text_token_bpe_exact", oracle=_bpe_exact_oracle())
 def q_text_token_bpe_exact(spark, sf_dir):
     """EXACT subword token counts from a real learned BPE merge table
     (``operators/bpe.py`` — public Sennrich-2015 algorithm trained on
@@ -253,10 +285,16 @@ def q_text_token_bpe_exact(spark, sf_dir):
     words fragment; ``witness_ok`` asserts exact ≥ estimate per row,
     which greedy merging guarantees since a letter run is ≥ 1 token).
 
-    Rows-only by design: greedy merge application is iterative and not
-    ANSI-SQL-expressible. Arrow-batched pandas UDF with an in-batch
-    word memo — per-row cost is per-DISTINCT-word in practice (Zipf),
-    and nothing shuffles: one narrow projection over documents."""
+    Oracle-backed since round 9 (was rows-only): the DuckDB twin
+    replays the greedy lowest-rank merge loop per DISTINCT word as a
+    recursive CTE over the frozen merges
+    (``operators.bpe.bpe_wtok_ctes``, shared with
+    q_tokenizer_fertility's oracle and verified token-identical to the
+    Python kernel on every fixture word), so the driver hash-verifies
+    the per-document counts themselves. Arrow-batched pandas UDF with
+    an in-batch word memo — per-row cost is per-DISTINCT-word in
+    practice (Zipf), and nothing shuffles: one narrow projection over
+    documents."""
     from pyspark.sql.functions import pandas_udf
 
     from self_healing_data_pipeline_spark.operators.bpe import (

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from self_healing_data_pipeline_spark.operators.bpe import FROZEN_MERGES
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -25,42 +24,14 @@ _DF_NUM, _DF_DEN = 1, 2
 _VMR_MAX = 2
 
 
-# Greedy BPE IS expressible in SQL once the merge table is frozen: a
-# recursive CTE carries each distinct word's token list and every
-# iteration applies exactly encode_word's step — rank every adjacent
-# pair (first-match CASE chain generated from FROZEN_MERGES; 999999 =
-# unmergeable), merge the LEFTMOST lowest-rank pair (list_position
-# returns the first min), stop when nothing ranks. Terminal state per
-# word = MIN(len(parts)) since every step shrinks the list by one.
-_BPE_RANK_CASE = "CASE " + " ".join(
-    f"WHEN parts[i] = '{a}' AND parts[i+1] = '{b}' THEN {r}"
-    for r, (a, b) in enumerate(FROZEN_MERGES)
-) + " ELSE 999999 END"
+# Greedy BPE IS expressible in SQL once the merge table is frozen —
+# the recursive-CTE replay of encode_word lives in
+# operators.bpe.bpe_wtok_ctes() (shared with the
+# q_text_token_bpe_exact oracle since the round-9 promotion of both).
+from self_healing_data_pipeline_spark.operators.bpe import bpe_wtok_ctes
 
 _FERTILITY_ORACLE = f"""
-WITH RECURSIVE words AS (
-  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-  FROM documents
-), enc(w, parts) AS (
-  SELECT w, list_append(str_split(w, ''), '</w>') FROM words
-  UNION ALL
-  SELECT w,
-         list_concat(
-           list_concat(parts[1:bi-1], [parts[bi] || parts[bi+1]]),
-           parts[bi+2:len(parts)])
-  FROM (
-    SELECT w, parts,
-           list_position(rl, list_min(rl)) AS bi,
-           list_min(rl) AS br
-    FROM (
-      SELECT w, parts,
-             list_transform(range(1, len(parts)),
-                            i -> {_BPE_RANK_CASE}) AS rl
-      FROM enc WHERE len(parts) > 1))
-  WHERE br < 999999
-), wtok AS (
-  SELECT w, CAST(MIN(len(parts)) AS BIGINT) AS n_tok FROM enc GROUP BY w
-), doc_tok AS (
+WITH RECURSIVE {bpe_wtok_ctes()}, doc_tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text),
                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS t

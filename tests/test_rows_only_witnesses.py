@@ -40,7 +40,6 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_multimodal_video": ["roundtrip_ok"],
     "q_scan_binaryfile": ["dims_ok"],
     "q_sim_join_lsh": ["above_threshold"],
-    "q_text_token_bpe_exact": ["witness_ok"],
 }
 
 # Honest recall witnesses: fraction of TRUE rows must clear the floor.
