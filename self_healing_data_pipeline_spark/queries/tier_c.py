@@ -193,11 +193,91 @@ def q_sim_join_lsh(spark, sf_dir):
     )
 
 
-@query("q_sim_ivf")  # approximate: probes a subset of inverted lists → rows-only
+def _sim_ivf_oracle() -> str:
+    """Full SQL replay of q_sim_ivf (round-9 promotion #6, the
+    q_ann_recall_at_k technique): deterministic seed centroids, probe
+    selection, argmax assignment, candidate scoring and the exact
+    baseline are all arithmetic over the fixture; dot products mirror
+    functions.vector.dot_product (float32 products, strict left-fold
+    double accumulation). Same numpy-pairwise-vs-sequential-fold
+    last-ulp residual as q_kmeans_assign — only matters at argmax/
+    probe-rank ties; verified bit-green at all three SFs."""
+
+    def dot32(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def dot64(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT embedding AS qv,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qd
+      FROM embeddings WHERE vec_id = 0
+    ), ed AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             list_transform(x, v -> v / (CASE WHEN nrm = 0 THEN 1.0
+                                              ELSE nrm END)) AS cd
+      FROM (SELECT vec_id, x,
+                   SQRT(list_reduce(list_transform(x, u -> u * u),
+                                    (a, b) -> a + b)) AS nrm
+            FROM (SELECT vec_id, x FROM ed ORDER BY vec_id LIMIT 16))
+    ), probe AS (
+      SELECT centroid_id FROM (
+        SELECT cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {dot64('cent.cd', 'q.qd')} DESC,
+                          cent.centroid_id) AS rn
+        FROM cent, q) WHERE rn <= 4
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT ed.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY ed.vec_id
+                 ORDER BY {dot64('ed.x', 'cent.cd')} DESC,
+                          cent.centroid_id) AS rn
+        FROM ed, cent) WHERE rn = 1
+    ), ann AS (
+      SELECT e.vec_id, {dot32('e.embedding', 'q.qv')} AS score
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+      ORDER BY score DESC, e.vec_id LIMIT 10
+    ), exact AS (
+      SELECT vec_id AS exact_id FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {dot32('e.embedding', 'q.qv')} DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, q) WHERE rn <= 10
+    )
+    SELECT a.vec_id, a.score,
+           (e.exact_id IS NOT NULL) AS in_exact_topk
+    FROM ann a LEFT JOIN exact e ON a.vec_id = e.exact_id
+    ORDER BY a.vec_id
+    """
+
+
+@query("q_sim_ivf", oracle=_sim_ivf_oracle())
 def q_sim_ivf(spark, sf_dir):
     """IVF-style ANN (coarse quantizer + probed inverted lists) — the
     partition-pruned alternative to LSH bucketing. Carries the same
-    ``in_exact_topk`` recall witness as q_sim_ann_lsh."""
+    ``in_exact_topk`` recall witness as q_sim_ann_lsh. Oracle-backed
+    since round 9 (promotion #6): the entire pipeline — seed centroids,
+    probe selection, argmax assignment, candidate scoring, exact
+    baseline — is deterministic arithmetic, replayed in DuckDB with
+    mirrored float chains, so the driver hash-verifies the ANN answer
+    and its scores, not just a recall bound."""
     emb = read_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ann = ivf_topk(emb, list(qvec), k=10)

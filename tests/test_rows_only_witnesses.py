@@ -48,7 +48,6 @@ ALL_TRUE: dict[str, list[str]] = {
 # the ~k/n chance level.)
 MIN_FRACTION: dict[str, tuple[str, float]] = {
     "q_sim_ann_lsh": ("in_exact_topk", 0.5),
-    "q_sim_ivf": ("in_exact_topk", 0.5),
     "q_embedding_pq": ("in_exact_topk", 0.5),
 }
 
