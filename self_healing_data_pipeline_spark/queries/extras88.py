@@ -1,0 +1,112 @@
+"""Round-9 batch 71 (SURVEY.md §2.5 window parity closer): the
+SQL:2011 GROUPS frame mode — the last of the standard window frame
+features Spark's parser lacks (QUALIFY, DISTINCT ON and frame EXCLUDE
+landed in batches 67–69). ``GROUPS BETWEEN 1 PRECEDING AND 1
+FOLLOWING`` frames by PEER GROUPS of the ORDER BY value (current
+group ± one whole neighboring group, however many rows each holds).
+
+Neither engine parses GROUPS (DuckDB 1.0: "not implemented yet"), so
+BOTH sides run the canonical two-phase rewrite — which is also the
+100 TB-correct shape (same reasoning as q_window_exclude's fix):
+collapse rows to (partition, order-value) GROUP grain, run a plain
+ROWS frame over the group rows (1 group-row = 1 peer group, so ROWS
+±1 over groups IS GROUPS ±1 over rows), and join rows back on the
+group key. The window input is bounded by the value DOMAIN, not the
+row count, and integer-cents sums make the twin hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_spark.registry import query
+from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "q_window_groups_mode",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      FROM events
+      WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, value_cents,
+             CAST(SUM(value_cents) AS BIGINT) AS peer_sum,
+             CAST(COUNT(*) AS BIGINT) AS peer_cnt
+      FROM v GROUP BY event_type, value_cents
+    ), gf AS (
+      SELECT event_type, value_cents,
+             CAST(SUM(peer_sum) OVER (
+                  PARTITION BY event_type ORDER BY value_cents
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                  AS BIGINT) AS groups_sum_cents,
+             CAST(SUM(peer_cnt) OVER (
+                  PARTITION BY event_type ORDER BY value_cents
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                  AS BIGINT) AS rows_in_frame
+      FROM g
+    )
+    SELECT v.event_id, v.event_type, v.value_cents,
+           gf.groups_sum_cents, gf.rows_in_frame
+    FROM v JOIN gf
+      ON v.event_type = gf.event_type
+     AND v.value_cents = gf.value_cents
+    ORDER BY v.event_id
+    """,
+)
+def q_window_groups_mode(spark, sf_dir):
+    """SQL:2011 GROUPS frame mode — per event, the sum (and row count)
+    of its peer group ± one neighboring peer group of the value
+    ordering. Spark has no GROUPS frames, so this is the canonical
+    group-grain rewrite: one group-row per distinct (type, value), a
+    plain ROWS ±1 frame over group rows (exactly GROUPS ±1 over the
+    original rows), rows joined back on the group key. Same two-phase
+    shape that fixed q_window_exclude — the window input is bounded by
+    the value domain at any corpus size, and Spark's no-retraction
+    sliding frames never see a dense row-grain buffer. NULL values are
+    filtered explicitly on both sides (the join-back is null-unsafe).
+    Integer cents throughout — hash-exact."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias(
+                "value_cents"
+            ),
+        )
+    )
+    g = e.groupBy("event_type", "value_cents").agg(
+        F.sum("value_cents").alias("peer_sum"),
+        F.count(F.lit(1)).alias("peer_cnt"),
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rowsBetween(-1, 1)
+    )
+    gf = g.select(
+        "event_type",
+        "value_cents",
+        F.sum("peer_sum").over(frame).cast("bigint").alias(
+            "groups_sum_cents"
+        ),
+        F.sum("peer_cnt").over(frame).cast("bigint").alias(
+            "rows_in_frame"
+        ),
+    )
+    return (
+        e.join(gf, ["event_type", "value_cents"])
+        .select(
+            "event_id",
+            "event_type",
+            "value_cents",
+            "groups_sum_cents",
+            "rows_in_frame",
+        )
+        .orderBy("event_id")
+    )

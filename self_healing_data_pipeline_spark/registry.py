@@ -159,4 +159,5 @@ def load_all() -> None:
         extras85,
         extras86,
         extras87,
+        extras88,
     )

@@ -1667,3 +1667,13 @@ def test_extras87_plans_are_bounded(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_ann_mrl_ablation")
     assert "SinglePartition" not in p
     assert "partial_" in p
+
+
+def test_extras88_plans_are_bounded(spark, sf_dir):
+    # GROUPS-mode rewrite: same two-phase value-grain shape as
+    # q_window_exclude -- partial-aggregated group build, ROWS frame
+    # over group rows, join-back; never a dense row-grain frame
+    p = plan_of(spark, sf_dir, "q_window_groups_mode")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "partial_" in p

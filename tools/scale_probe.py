@@ -391,7 +391,9 @@ FIXTURE_PROBES = ["q_dq_fk_orphans", "q_customer_rfm", "q_pareto_frontier",
                   # round-9 batch 69
                   "q_window_exclude", "q_pii_redact_injected",
                   # round-9 batch 70
-                  "q_ann_two_stage", "q_ann_mrl_ablation"]
+                  "q_ann_two_stage", "q_ann_mrl_ablation",
+                  # round-9 batch 71
+                  "q_window_groups_mode"]
 # q_sim_join_lsh has a FIXED bucket grid (4 tables × 4 bits), so bucket
 # population — and candidate pairs — grow with n: pairwise family. The
 # corpus-scale mitigation is more bits/tables (bucket count ∝ n) — the
