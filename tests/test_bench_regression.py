@@ -1,5 +1,5 @@
 """Per-query bench regression tripwire (round-3 judge task; mechanism
-hardened round 9).
+hardened round 9, isolation fixed round 10).
 
 The driver's 2x gate is on the suite TOTAL, so a single badly-regressed
 plan can hide inside a green total. This test compares the latest bench
@@ -9,62 +9,114 @@ last-accepted reference (``tools/bench_baseline.json``).
 
 Rounds 6, 7, and 8 each ended with exactly one untouched key >1.5x in
 the driver's end-of-round run that an isolated re-time showed to be
-host-contention noise (±0.5-1.5 s run-to-run jitter under the 374-query
+host-contention noise (±0.5-1.5 s run-to-run jitter under the ~380-query
 suite). A static threshold therefore can't distinguish "plan regressed"
-from "driver's run was noisy", and the adjudicate-then-refresh loop was
-structurally one round behind. Round-9 mechanism — noise self-adjudicates
-instead of reddening the committed tree:
+from "driver's run was noisy", so noise self-adjudicates:
 
 1. **Suspect detection** stays sensitive: ratio >= 1.5x AND absolute
    move >= 0.5 s AND either side >= 0.3 s. (An earlier draft ignored
    keys where both sides were < 1 s; that would have made a genuine
    0.15 s -> 0.95 s plan regression permanently invisible — review
    finding. Sub-second suspects are cheap to adjudicate instead.)
-2. **Live re-time**: every suspect is re-timed IN ISOLATION (min of 3
-   passes after the standard bench warm-up — ``tools/retime.py``, the
-   same protocol used for every accepted adjudication since round 6)
-   and fails ONLY if the isolated time still breaches the same rule.
-   A genuinely regressed plan re-times slow and still fails;
-   end-of-round contention noise re-times fast and the tree stays
-   green. Keys present in the JSON files but no longer registered
-   (renames) are reported as stale instead of KeyError-ing.
+   Keys listed in the baseline's ``isolated_keys`` were frozen from an
+   isolated min-of-3 (systematically faster than contended suite runs),
+   so they get a protocol-aware threshold of 1.8x — see the provenance
+   rule in ``tools/retime.py``'s docstring.
+2. **Live re-time in a SUBPROCESS**: every suspect is re-timed in a
+   fresh process running ``tools/retime.py`` (min of 3 passes after the
+   standard bench warm-up) and fails ONLY if the isolated time still
+   breaches the same rule. A genuinely regressed plan re-times slow and
+   still fails; end-of-round contention noise re-times fast and the
+   tree stays green. The subprocess is load-bearing: ``getOrCreate()``
+   cannot change master at runtime, so an in-process call under pytest
+   inherits conftest's ``local[4]`` / 4-shuffle-partition session and
+   re-judges 32-core baselines on 4 cores (the round-9 false red on
+   q_multimodal_features: 2.21 s on 4 cores vs 1.40 s idle-32-core).
+   The retime JSON reports the actual ``sparkContext.master`` and this
+   test asserts it is the bench one; ``test_retime_subprocess_is_isolated``
+   pins the property even on rounds with no suspects.
 
-Workflow: after perf-relevant changes run ``python bench.py`` then
-pytest; when a round's numbers are accepted, refresh the baseline with
-``cp bench_queries.json tools/bench_baseline.json`` (only ever from a
-clean, idle-host run).
+BASELINE REFRESH PROCEDURE (round-10 rule, applied from r10 on): accept
+a clean idle-host suite run via ``cp bench_queries.json
+tools/bench_baseline.json`` — but first re-time any key that moved
+>1.3x in either direction through ``python tools/retime.py
+--patch-baseline <keys>``, which freezes the isolated min-of-3 and tags
+the key in ``isolated_keys``. This stops a single lucky suite run from
+setting an unbeatable floor (the r8 q_multimodal_features 1.43 s trap —
+its natural band is 1.4-3.0 s) and keeps the baseline's mixed protocols
+explicit instead of silent.
 """
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
+import subprocess
+import sys
 
 import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 THRESHOLD = 1.5
+ISOLATED_THRESHOLD = 1.8  # baseline frozen from isolated min-of-3 (faster)
 NOISE_FLOOR_SEC = 0.3  # sub-0.3s on both sides: scheduler jitter only
 MIN_DELTA_SEC = 0.5  # a regression must also move this much wall time
 
 
-def _load(path: str) -> dict[str, float]:
+def _load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
         data = json.load(f)
     if isinstance(data.get("parsed"), dict):
         data = data["parsed"]
-    return {k: float(v) for k, v in data["queries"].items()}
+    return (
+        {k: float(v) for k, v in data["queries"].items()},
+        set(data.get("isolated_keys", [])),
+    )
 
 
-def _breaches(old: float, new: float) -> bool:
+def _breaches(old: float, new: float, threshold: float = THRESHOLD) -> bool:
     return (
         max(old, new) >= NOISE_FLOOR_SEC
         and old > 0
-        and new / old >= THRESHOLD
+        and new / old >= threshold
         and new - old >= MIN_DELTA_SEC
     )
+
+
+def _run_retime(extra_args: list[str], timeout: int) -> dict:
+    """Run tools/retime.py in a FRESH process (fresh JVM -> bench session,
+    local[$SPARK_GRAFT_CPUS]); parse the last stdout line as JSON and
+    assert the session really is the bench one, not an inherited test
+    session."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "retime.py"), *extra_args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"tools/retime.py failed (rc={proc.returncode}):\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    info = json.loads(lines[-1])
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    assert info["master"] == f"local[{cpus}]", (
+        f"retime subprocess ran on master={info['master']!r}, expected "
+        f"local[{cpus}] — adjudication on the wrong session is the round-9 "
+        "false-red bug"
+    )
+    return info
+
+
+def test_retime_subprocess_is_isolated():
+    """The adjudication mechanism itself: a retime subprocess must get a
+    fresh bench-config JVM (local[$SPARK_GRAFT_CPUS]) even while pytest
+    owns a local[4] session in THIS process. --probe starts the session
+    and reports master without timing any query."""
+    _run_retime(["--probe"], timeout=300)
 
 
 def test_no_per_query_bench_regression():
@@ -72,26 +124,19 @@ def test_no_per_query_bench_regression():
     baseline_path = os.path.join(REPO, "tools", "bench_baseline.json")
     if not os.path.exists(current_path):
         pytest.skip("no bench_queries.json — run `python bench.py` first")
-    current = _load(current_path)
-    baseline = _load(baseline_path)
+    current, _ = _load(current_path)
+    baseline, isolated = _load(baseline_path)
     suspects = {
         k: (baseline[k], current[k])
         for k in set(baseline) & set(current)
-        if _breaches(baseline[k], current[k])
+        if _breaches(
+            baseline[k],
+            current[k],
+            ISOLATED_THRESHOLD if k in isolated else THRESHOLD,
+        )
     }
     if not suspects:
         return
-    # Self-adjudicate: isolated min-of-3 re-time of just the suspects.
-    # Noise re-times fast (tree stays green); a real plan regression
-    # re-times slow and fails below with all three numbers shown.
-    # Import by file path — no sys.path mutation leaking into the rest
-    # of the test session (review finding).
-    spec = importlib.util.spec_from_file_location(
-        "retime", os.path.join(REPO, "tools", "retime.py")
-    )
-    retime_mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(retime_mod)
-
     from self_healing_data_pipeline_spark import registry
 
     registry.load_all()
@@ -102,15 +147,23 @@ def test_no_per_query_bench_regression():
         f"{stale} — re-run `python bench.py` and refresh "
         "tools/bench_baseline.json"
     )
-    fresh = retime_mod.retime(live, passes=3)
+    # Self-adjudicate in a SUBPROCESS (fresh JVM, bench session) — never
+    # in-process, which would inherit conftest's local[4] session.
+    info = _run_retime(live, timeout=120 + 180 * len(live))
+    fresh = info["queries"]
     regressed = {
         k: {"baseline": suspects[k][0], "suite_run": suspects[k][1],
             "isolated_retime": fresh[k]}
         for k in live
-        if _breaches(suspects[k][0], fresh[k])
+        if _breaches(
+            suspects[k][0],
+            fresh[k],
+            ISOLATED_THRESHOLD if k in isolated else THRESHOLD,
+        )
     }
     assert not regressed, (
-        f"queries regressed >= {THRESHOLD}x vs tools/bench_baseline.json "
-        f"even after isolated min-of-3 re-time: {regressed} — investigate "
-        "with tools/bench_diff.py; refresh the baseline only after accepting"
+        f"queries regressed vs tools/bench_baseline.json even after "
+        f"isolated min-of-3 subprocess re-time: {regressed} — investigate "
+        "with tools/bench_diff.py; refresh the baseline only after accepting "
+        "(volatile keys: tools/retime.py --patch-baseline)"
     )
