@@ -14,13 +14,15 @@ reference exposes) still unexercised by a registered key:
   driver-checkable: Spark's native seeded Bernoulli sample
   (`df.sample(fraction, seed)` — the `TABLESAMPLE (10 PERCENT)
   REPEATABLE (42)` plan) is per-partition-seeded, so its exact row
-  set is layout-dependent and can NEVER cross engines; it is
-  witnessed as a bounds boolean (sampled fraction within [3%, 20%]
-  per-mille band, expected TRUE at every SF), while the
-  deterministic twin — the repo's md5-prefix hash filter
-  (portable, partition-invariant, the form a reproducible 100 TB
-  pipeline should actually use) — carries the exact oracle-matched
-  stats.
+  set is layout-dependent and can NEVER cross engines; the sample
+  still RUNS inside the registered query (the surface is exercised
+  on every bench/correctness pass), but its [1.5%, 25%] fraction
+  band is asserted in tests/test_extras84_witnesses.py, NOT in the
+  hash-gated columns — a ~1e-4-per-fresh-layout Binomial tail flip
+  must never read as a correctness red (round-9 advisor item). The
+  deterministic twin — the repo's md5-prefix hash filter (portable,
+  partition-invariant, the form a reproducible 100 TB pipeline
+  should actually use) — carries the exact oracle-matched stats.
 - **q_window_qualify** — QUALIFY semantics (filter on a window
   function in the same SELECT): Spark has no QUALIFY keyword, so the
   engine side is the canonical window + rank-filter rewrite — which
@@ -81,8 +83,7 @@ def q_join_lateral(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_hash_sample,
            CAST(SUM(bal_cents) AS BIGINT) AS hash_bal_cents,
            CAST(COUNT(*) * 1000 //
-                (SELECT COUNT(*) FROM customer) AS BIGINT) AS hash_frac_pm,
-           TRUE AS native_sample_in_range
+                (SELECT COUNT(*) FROM customer) AS BIGINT) AS hash_frac_pm
     FROM hs
     """,
 )
@@ -91,15 +92,17 @@ def q_tablesample_stable(spark, sf_dir):
 
     The native path runs Spark's seeded Bernoulli sampler
     (``df.sample(0.10, seed=42)`` — the plan of ``TABLESAMPLE (10
-    PERCENT) REPEATABLE (42)``). Its seed derives per PARTITION, so the
-    exact row set depends on file-split layout — reproducible within a
-    session but not across engines or layouts; it is therefore
-    witnessed only as ``native_sample_in_range`` (sampled fraction in
-    [1.5%, 25%]: at the worst case, sf0.001's n=150, Binomial(150,
-    0.1) has mean 15 and σ≈3.67, so the lower bound 2.25 sits 3.5σ out
-    and the upper 6σ — P(flip) ≈ 1e-4 per fresh partition layout, and
-    the count is DETERMINISTIC for any fixed layout; a review pass
-    caught the original [3%, 20%] band's lower edge at only 2.9σ).
+    PERCENT) REPEATABLE (42)``) on every invocation, so the surface is
+    exercised in the verified/benched path. Its seed derives per
+    PARTITION, so the exact row set depends on file-split layout —
+    reproducible within a session but not across engines or layouts.
+    Round-9 advisor item: its [1.5%, 25%] fraction band used to ride in
+    the hash-gated output with the oracle hard-coding TRUE; a Binomial
+    tail flip (~1e-4 per fresh layout at sf0.001's n=150) would then
+    read as a correctness red with no plan bug. The band now lives in
+    ``tests/test_extras84_witnesses.py::test_native_sample_band`` (same
+    [1.5%, 25%] bound, documented σ margins) and the hash gate carries
+    only layout-invariant columns.
 
     The exact columns come from the md5-prefix hash sample (first two
     hex digits < '1a' ≈ 10.2%) — partition-invariant, layout-invariant,
@@ -108,10 +111,9 @@ def q_tablesample_stable(spark, sf_dir):
     q_sample_hash). Both sampling plans are single narrow scans."""
     c = read_table(spark, sf_dir, "customer")
     n_total = c.count()
-    n_native = c.sample(fraction=0.10, seed=42).count()
-    in_range = bool(
-        15 <= (n_native * 1000) // max(n_total, 1) <= 250
-    )
+    # Exercise the native TABLESAMPLE plan (layout-dependent count —
+    # band-asserted in tests, deliberately NOT in the hash-gated output).
+    c.sample(fraction=0.10, seed=42).count()
     hs = c.filter(
         F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
         < F.lit("1a")
@@ -125,7 +127,6 @@ def q_tablesample_stable(spark, sf_dir):
         F.expr(f"CAST(COUNT(1) * 1000 DIV {int(n_total)} AS BIGINT)").alias(
             "hash_frac_pm"
         ),
-        F.lit(in_range).alias("native_sample_in_range"),
     )
 
 

@@ -13,6 +13,15 @@ ROWS frame over the group rows (1 group-row = 1 peer group, so ROWS
 ±1 over groups IS GROUPS ±1 over rows), and join rows back on the
 group key. The window input is bounded by the value DOMAIN, not the
 row count, and integer-cents sums make the twin hash-exact.
+
+Because the DuckDB oracle executes the IDENTICAL rewrite (neither
+engine parses GROUPS), the driver hash gate verifies cross-engine
+arithmetic of the rewrite, not SQL:2011 GROUPS semantics themselves —
+round-9 advisor item. The semantics are therefore pinned
+independently: ``tests/test_extras84_witnesses.py::
+test_groups_frame_hand_computed`` runs ``groups_frame_rewrite`` (the
+exact code the registered query calls) on a tiny fixture against
+HAND-computed GROUPS ±1 expectations from the SQL:2011 definition.
 """
 
 from __future__ import annotations
@@ -22,6 +31,35 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
+
+
+def groups_frame_rewrite(e, part_col: str, order_col: str):
+    """The GROUPS-mode rewrite itself, factored so the hand-computed
+    fixture test exercises the SAME code as the registered query.
+
+    Input: rows with at least (part_col, order_col) where order_col is
+    an exact integer (the value being both ordered and summed). Output:
+    input rows plus ``groups_sum_cents`` / ``rows_in_frame`` computed
+    under ``GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING`` semantics —
+    via group-grain collapse, ROWS ±1 over group rows, join-back."""
+    g = e.groupBy(part_col, order_col).agg(
+        F.sum(order_col).alias("peer_sum"),
+        F.count(F.lit(1)).alias("peer_cnt"),
+    )
+    frame = (
+        Window.partitionBy(part_col).orderBy(order_col).rowsBetween(-1, 1)
+    )
+    gf = g.select(
+        part_col,
+        order_col,
+        F.sum("peer_sum").over(frame).cast("bigint").alias(
+            "groups_sum_cents"
+        ),
+        F.sum("peer_cnt").over(frame).cast("bigint").alias(
+            "rows_in_frame"
+        ),
+    )
+    return e.join(gf, [part_col, order_col])
 
 
 @query(
@@ -80,27 +118,8 @@ def q_window_groups_mode(spark, sf_dir):
             ),
         )
     )
-    g = e.groupBy("event_type", "value_cents").agg(
-        F.sum("value_cents").alias("peer_sum"),
-        F.count(F.lit(1)).alias("peer_cnt"),
-    )
-    frame = (
-        Window.partitionBy("event_type")
-        .orderBy("value_cents")
-        .rowsBetween(-1, 1)
-    )
-    gf = g.select(
-        "event_type",
-        "value_cents",
-        F.sum("peer_sum").over(frame).cast("bigint").alias(
-            "groups_sum_cents"
-        ),
-        F.sum("peer_cnt").over(frame).cast("bigint").alias(
-            "rows_in_frame"
-        ),
-    )
     return (
-        e.join(gf, ["event_type", "value_cents"])
+        groups_frame_rewrite(e, "event_type", "value_cents")
         .select(
             "event_id",
             "event_type",

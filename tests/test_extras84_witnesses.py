@@ -1,0 +1,83 @@
+"""Round-10 advisor closures for the batch-67/71 keys.
+
+1. The native TABLESAMPLE fraction band used to ride in
+   q_tablesample_stable's hash-gated output (oracle hard-coded TRUE);
+   a per-partition-seeded Binomial tail flip (~1e-4 per fresh layout)
+   would then read as a driver correctness red with no plan bug. The
+   band is asserted HERE instead — in CI, where a flake is a visible
+   test failure with the observed count in the message, not a silent
+   cross-engine hash mismatch.
+
+2. q_window_groups_mode's DuckDB oracle executes the identical
+   two-phase rewrite (neither engine parses GROUPS), so the hash gate
+   proves cross-engine arithmetic of the rewrite against itself.
+   SQL:2011 GROUPS-mode SEMANTICS are pinned here against a
+   hand-computed fixture, running groups_frame_rewrite — the exact
+   function the registered query calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_native_sample_band(spark, sf_dir):
+    # Same band q_tablesample_stable documents: sampled fraction of a
+    # seeded 10% Bernoulli sample within [1.5%, 25%] per-mille. At
+    # sf0.001 (n=150, the worst case) the lower bound sits 3.5 sigma
+    # out and the upper 6 sigma; the count is deterministic for a
+    # fixed partition layout.
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    n_total = c.count()
+    n_native = c.sample(fraction=0.10, seed=42).count()
+    frac_pm = (n_native * 1000) // max(n_total, 1)
+    assert 15 <= frac_pm <= 250, (
+        f"native seeded sample drew {n_native}/{n_total} rows "
+        f"({frac_pm} per-mille) — outside the documented [1.5%, 25%] band"
+    )
+
+
+def test_groups_frame_hand_computed(spark):
+    # SQL:2011 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING, computed by
+    # hand from the standard's definition (frame = current peer group
+    # plus one whole neighboring peer group on each side, however many
+    # rows each holds):
+    #
+    # partition 'a', values [10, 10, 20, 30, 30, 30, 40]
+    #   peer groups: {10: 2 rows, sum 20}, {20: 1, 20}, {30: 3, 90},
+    #                {40: 1, 40}
+    #   value 10 -> groups {10,20}:    sum  40, rows 3
+    #   value 20 -> groups {10,20,30}: sum 130, rows 6
+    #   value 30 -> groups {20,30,40}: sum 150, rows 5
+    #   value 40 -> groups {30,40}:    sum 130, rows 4
+    # partition 'b', single value [5] -> frame is just its own group.
+    from self_healing_data_pipeline_spark.queries.extras88 import (
+        groups_frame_rewrite,
+    )
+
+    rows = [("a", v) for v in (10, 10, 20, 30, 30, 30, 40)] + [("b", 5)]
+    e = spark.createDataFrame(rows, "event_type string, value_cents long")
+    got = {
+        (r.event_type, r.value_cents): (r.groups_sum_cents, r.rows_in_frame)
+        for r in groups_frame_rewrite(e, "event_type", "value_cents")
+        .distinct()
+        .collect()
+    }
+    assert got == {
+        ("a", 10): (40, 3),
+        ("a", 20): (130, 6),
+        ("a", 30): (150, 5),
+        ("a", 40): (130, 4),
+        ("b", 5): (5, 1),
+    }
+    # row multiplicity is preserved by the join-back (2 rows at a/10,
+    # 3 at a/30)
+    cnt = (
+        groups_frame_rewrite(e, "event_type", "value_cents")
+        .groupBy("event_type", "value_cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mult = {(r.event_type, r.value_cents): r.n for r in cnt.collect()}
+    assert mult[("a", 10)] == 2 and mult[("a", 30)] == 3
