@@ -9,7 +9,8 @@ from self_healing_data_pipeline_spark.functions.scalar import dsum
 from self_healing_data_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_udf,
-    simhash_signatures,
+    simhash_md5_sql,
+    simhash_signatures_md5,
 )
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
@@ -271,12 +272,18 @@ def q_map_funcs(spark, sf_dir):
     )
 
 
-@query("q_dedup_simhash")  # bit-level fingerprint → rows-only
+@query("q_dedup_simhash", oracle=simhash_md5_sql("documents", ngram=3))
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints over 3-gram shingles; near-dups differ
-    in few bits (banded Hamming join is the scale path)."""
+    in few bits (banded Hamming join is the scale path). PROMOTED to
+    oracle-backed (round-10): the term hash is md5-derived (two 32-bit
+    halves — integer arithmetic both engines share bit-for-bit), so
+    DuckDB replays the whole sign-sum pipeline and the driver hash gate
+    checks every one of the 64 bits of every signature. The Arrow
+    SipHash kernel (``simhash_signatures``) remains the engine-internal
+    fast path used by ``q_dedup_simhash_pairs``."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "doc_id", "text", ngram=3)
+    return simhash_signatures_md5(docs, "doc_id", "text", ngram=3)
 
 
 @query("q_dedup_simhash_pairs")  # hash-specific fingerprints → rows-only
@@ -293,7 +300,16 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 def q_dedup_ngram_verify(spark, sf_dir):
     """The full near-dup pipeline: MinHash-LSH candidates → exact n-gram
     Jaccard verification ≥ 0.5. Candidates are O(collisions); the exact
-    check touches only candidate pairs, never n²."""
+    check touches only candidate pairs, never n².
+
+    Deliberately rows-only (round-10 promotion triage): a "complete
+    pairs ≥ 0.5" oracle would assert 100% LSH recall, which the 8×4
+    banding does not promise at J=0.5 (collision prob ≈ 0.40 there) —
+    and a measured sweep found exactly one true pair escaping the bands
+    at sf0.1 (255/256 caught; 28/28 and 25/25 at sf0.001/sf0.01). The
+    exact-verification arithmetic itself IS oracle-covered by
+    q_dedup_jaccard_prefix, whose complete shared-shingle twin proves
+    the same set arithmetic with a lossless candidate generator."""
     docs = read_table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, "doc_id", "text")
     l = docs.select(F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"))

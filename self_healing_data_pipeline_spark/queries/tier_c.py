@@ -19,7 +19,6 @@ from self_healing_data_pipeline_spark.operators.similarity import (
     similarity_join,
 )
 from self_healing_data_pipeline_spark.operators.text import (
-    fingerprint64,
     lang_id,
     quality_score,
     token_count,
@@ -413,11 +412,32 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
-@query("q_text_fingerprint")  # xxhash64 is Spark-specific → rows-only
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST('0x' || SUBSTR(MD5({_NORM_SQL.format(c='text')}), 1, 15)
+                AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
 def q_text_fingerprint(spark, sf_dir):
-    """64-bit content fingerprints (xxhash64 of normalized text)."""
+    """64-bit content fingerprints of normalized text — PROMOTED to
+    oracle-backed (round-10): the fingerprint is now the first 15 hex
+    digits (60 bits, always in signed-BIGINT range) of md5(normalized
+    text), an algorithm both engines share bit-for-bit, instead of
+    Spark-private xxhash64 (still available as
+    ``operators.text.fingerprint64`` for engine-internal fast paths).
+    Same narrow no-shuffle map either way; md5-vs-xxhash cost is
+    irrelevant next to the scan. Spark converts hex via ``conv(...,16,
+    10)``; DuckDB casts the '0x'-prefixed literal."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint64("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(normalize_text("text")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fingerprint"),
+    )
 
 
 def _marker_counts_sql() -> str:

@@ -78,8 +78,6 @@ def _one_sig_per_doc(col):
 # Structural invariants where no single column is the witness.
 STRUCTURAL = {
     "q_dedup_minhash": _minhash_canonical,
-    "q_dedup_simhash": _one_sig_per_doc("simhash"),
-    "q_text_fingerprint": _one_sig_per_doc("fingerprint"),
 }
 
 
