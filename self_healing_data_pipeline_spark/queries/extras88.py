@@ -62,6 +62,45 @@ def groups_frame_rewrite(e, part_col: str, order_col: str):
     return e.join(gf, [part_col, order_col])
 
 
+def groups_exclude_frame(e, part_col: str, order_col: str):
+    """GROUPS ±1 frame COMPOSED with EXCLUDE GROUP / EXCLUDE TIES
+    (batch-72 ``q_window_groups_exclude``; fixture-tested alongside
+    :func:`groups_frame_rewrite`). Same group-grain collapse and ROWS
+    ±1 window; the exclusions are closed-form arithmetic on the
+    group's own aggregates:
+
+      excl_group_sum = groups_sum − peer_sum   (NULL when the frame is
+                        exactly the peer group — row-count guard, not a
+                        sum guard, since sums can collide)
+      excl_ties_sum  = groups_sum − peer_sum + value  (current row kept)
+    """
+    g = e.groupBy(part_col, order_col).agg(
+        F.sum(order_col).alias("peer_sum"),
+        F.count(F.lit(1)).alias("peer_cnt"),
+    )
+    frame = (
+        Window.partitionBy(part_col).orderBy(order_col).rowsBetween(-1, 1)
+    )
+    gf = g.select(
+        part_col,
+        order_col,
+        "peer_sum",
+        "peer_cnt",
+        F.sum("peer_sum").over(frame).cast("bigint").alias("groups_sum"),
+        F.sum("peer_cnt").over(frame).cast("bigint").alias("groups_cnt"),
+    )
+    return e.join(gf, [part_col, order_col]).select(
+        e["*"],
+        F.when(
+            F.col("groups_cnt") > F.col("peer_cnt"),
+            F.col("groups_sum") - F.col("peer_sum"),
+        ).alias("excl_group_sum"),
+        (F.col("groups_sum") - F.col("peer_sum") + F.col(order_col))
+        .cast("bigint")
+        .alias("excl_ties_sum"),
+    )
+
+
 @query(
     "q_window_groups_mode",
     oracle="""

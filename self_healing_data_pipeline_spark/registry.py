@@ -160,4 +160,5 @@ def load_all() -> None:
         extras86,
         extras87,
         extras88,
+        extras89,
     )

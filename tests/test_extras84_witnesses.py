@@ -81,3 +81,32 @@ def test_groups_frame_hand_computed(spark):
     )
     mult = {(r.event_type, r.value_cents): r.n for r in cnt.collect()}
     assert mult[("a", 10)] == 2 and mult[("a", 30)] == 3
+
+
+def test_groups_exclude_hand_computed(spark):
+    # GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING composed with
+    # EXCLUDE GROUP / EXCLUDE TIES, hand-computed from SQL:2011 on the
+    # same fixture (batch-72 q_window_groups_exclude). E.g. value 30's
+    # frame rows are {20,30,30,30,40}: EXCLUDE GROUP drops the whole
+    # current peer group -> {20,40} sums 60; EXCLUDE TIES drops peers
+    # but keeps the row itself -> {30,20,40} sums 90. A single-group
+    # partition ('b') has an EMPTY frame under EXCLUDE GROUP -> NULL.
+    from self_healing_data_pipeline_spark.queries.extras88 import (
+        groups_exclude_frame,
+    )
+
+    rows = [("a", v) for v in (10, 10, 20, 30, 30, 30, 40)] + [("b", 5)]
+    e = spark.createDataFrame(rows, "event_type string, value_cents long")
+    got = {
+        (r.event_type, r.value_cents): (r.excl_group_sum, r.excl_ties_sum)
+        for r in groups_exclude_frame(e, "event_type", "value_cents")
+        .distinct()
+        .collect()
+    }
+    assert got == {
+        ("a", 10): (20, 30),
+        ("a", 20): (110, 130),
+        ("a", 30): (60, 90),
+        ("a", 40): (90, 130),
+        ("b", 5): (None, 5),
+    }

@@ -1677,3 +1677,26 @@ def test_extras88_plans_are_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Window" in p
     assert "partial_" in p
+
+
+def test_extras89_plans_are_bounded(spark, sf_dir):
+    # window-FILTER rewrite: BOTH filtered aggregates ride ONE Window
+    # node over ONE exchange (same partition+order) -- the FILTER
+    # rewrite never adds a second shuffle
+    p = plan_of(spark, sf_dir, "q_window_agg_filter")
+    # formatted explain names each node twice (tree + details):
+    # exactly one physical Window == two mentions
+    assert p.count("Window") == 2
+    assert "CartesianProduct" not in p
+    # WITH ORDINALITY twin: a narrow Generate (posexplode), no shuffle
+    # before the driver-compare sort, no join
+    p = plan_of(spark, sf_dir, "q_unnest_ordinality")
+    assert "Generate" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # GROUPS+EXCLUDE composition: the q_window_exclude two-phase shape
+    # (group-grain window + join-back), exclusions as closed-form
+    # arithmetic -- ONE window total, never one per exclusion variant
+    p = plan_of(spark, sf_dir, "q_window_groups_exclude")
+    assert p.count("Window") >= 1
+    assert "partial_" in p  # group-grain collapse partial-aggregates
+    assert "CartesianProduct" not in p
