@@ -579,3 +579,67 @@ def test_jpeg_decode_never_raises_on_byte_flips(rng):
                 blob[i + 1 :]
             )
             decode_jpeg_pixels(mut)  # None or pixels — never an exception
+
+
+# ------------------------------------------- QM-coder conformance status
+#
+# EXTERNAL-CONFORMANCE WAIVER (r8 advisor item, re-evaluated r9, closed
+# r10 per the verdict's fallback): the arithmetic-JPEG path is verified
+# by (a) pixel-identity against the independently-implemented Huffman
+# twin on the same quantized coefficients (the entropy layer is the
+# ONLY difference), (b) encode->decode round-trip property tests incl.
+# restart intervals and subsampling, and (c) byte-flip fuzz that must
+# never raise. What it is NOT verified against is an external
+# known-good SOF9 bitstream (ITU T.83 test data): this container has no
+# network, no second arithmetic-JPEG decoder (no PIL/cv2; JDK ImageIO
+# lacks arithmetic coding), and the T.83 vectors are not reproducible
+# from memory without risking a FABRICATED "known-good" fixture — which
+# would be strictly worse than no fixture. If a T.83 vector or a second
+# decoder ever lands in the environment, decode it pixel-exact here and
+# delete this paragraph.
+#
+# What CI pins instead: a committed golden transcript of the Annex D
+# coder core on a fixed biased bit sequence. This is a REGRESSION PIN
+# (any edit to the Qe table, renorm, byte-out/stuffing, or D.1.8 flush
+# changes these bytes), not external conformance — labeled as such.
+
+_QM_GOLDEN_BITS_SEED = 0x2545F4914F6CDD1D
+_QM_GOLDEN_BLOB = bytes.fromhex(
+    "8b10107e3d87bd6305ff00953c5605dfb526d8614b30faa50856b59a3d8b3984"
+    "4a6ec67cf8f8"
+)
+
+
+def _qm_golden_bits(n=512):
+    s = _QM_GOLDEN_BITS_SEED
+    out = []
+    for _ in range(n):
+        s = (6364136223846793005 * s + 1442695040888963407) & (2**64 - 1)
+        out.append(1 if (s >> 61) == 7 else 0)  # biased p(1) ~= 1/8
+    return out
+
+
+def test_qm_coder_golden_transcript_regression_pin():
+    from self_healing_data_pipeline_spark.operators.codecs import (
+        _ArithStats,
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    bits = _qm_golden_bits()
+    assert sum(bits) == 64  # the fixture itself is deterministic
+    enc = _QMEncoder()
+    st = _ArithStats(4)
+    for j, b in enumerate(bits):
+        enc.encode(st, j % 4, b)
+    blob = enc.flush()
+    # the stream exercises byte stuffing (a stuffed 0xff 0x00 pair)
+    assert b"\xff\x00" in blob
+    assert blob == _QM_GOLDEN_BLOB, (
+        "Annex D coder output changed — if the change is an intentional "
+        "fix, re-freeze the golden blob AND re-run the Huffman-twin "
+        "pixel-identity suite"
+    )
+    dec = _QMDecoder(blob, 0, len(blob))
+    st2 = _ArithStats(4)
+    assert [dec.decode(st2, j % 4) for j in range(len(bits))] == bits

@@ -87,6 +87,26 @@ PROBE_KEYS = [
     # that the window input is bounded by the value DOMAIN — at 10×
     # rows the frame densifies but the group grain doesn't grow.
     "q_window_exclude",
+    # round-10 additions (r9 verdict task 5): batches 67-68, 70-71 at
+    # true 10× — the decorrelated LATERAL aggregate join, the
+    # WindowGroupLimit DISTINCT ON path, bounded listagg state,
+    # percentile_cont's two rank-probe rows per group, the two-stage
+    # ANN whose shortlist L = n/10 grows LINEARLY (the probe confirms
+    # the exact rerank term, not the truth eval, dominates), and the
+    # GROUPS-mode group-grain rewrite (window input bounded by the
+    # value domain, like q_window_exclude).
+    "q_join_lateral",
+    "q_distinct_on",
+    "q_string_agg",
+    "q_percentile_within_group",
+    "q_ann_two_stage",
+    "q_window_groups_mode",
+    # round-10 batch 72 lands in the same family: the composed
+    # GROUPS+EXCLUDE arithmetic shares the group-grain bound, and the
+    # window-FILTER key is a plain running frame over per-customer
+    # partitions (expect flat).
+    "q_window_groups_exclude",
+    "q_window_agg_filter",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
