@@ -29,6 +29,38 @@ _K = 10
 _COARSE_DIMS = 16
 _MRL_DIMS = (8, 16, 32)
 
+#: Probe-panel cap (round-10 sf1 fix): the eval workload is the FIRST
+#: 40 sampled probe ids, not every 50th vector forever — an uncapped
+#: panel made |probes| ∝ n and every eval term quadratic (measured
+#: 8.6× wall at 10× data; the rerank term dominated). At the driver
+#: SFs the panel is unchanged (10/10/40 probes at sf0.001/0.01/0.1 —
+#: the cap only binds beyond sf0.1), so all recorded hashes are
+#: bit-identical; at scale the eval cost is |panel| × n — linear.
+_PROBE_CAP = 40
+
+_PROBES_SQL = f"""
+  SELECT probe_id, pv FROM (
+    SELECT vec_id AS probe_id, embedding AS pv,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS prn
+    FROM embeddings WHERE vec_id % 50 = 0
+  ) WHERE prn <= {_PROBE_CAP}"""
+
+
+def _probe_panel(emb):
+    """The fixed eval workload: the first :data:`_PROBE_CAP` sampled
+    probe vectors (every-50th id, lowest ids first). ``orderBy +
+    limit`` plans as TakeOrderedAndProject — distributed, bounded
+    driver state. SQL twin: :data:`_PROBES_SQL`."""
+    return (
+        emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+        )
+        .orderBy("probe_id")
+        .limit(_PROBE_CAP)
+    )
+
 
 def _dot32_prefix(a: str, b: str, dims: str) -> str:
     """DuckDB twin of dot_product over the first ``dims`` elements:
@@ -41,9 +73,7 @@ def _dot32_prefix(a: str, b: str, dims: str) -> str:
 
 
 _TWO_STAGE_ORACLE = f"""
-WITH probes AS (
-  SELECT vec_id AS probe_id, embedding AS pv
-  FROM embeddings WHERE vec_id % 50 = 0
+WITH probes AS ({_PROBES_SQL}
 ), n AS (
   SELECT COUNT(*) AS n_vecs FROM embeddings
 ), exact AS (
@@ -103,12 +133,14 @@ def q_ann_two_stage(spark, sf_dir):
     the rerank touches |probes| × L rows only. Shortlist size scales
     ∝ n because near-uniform random vectors (the fixture) shrink
     coarse/full score gaps as n grows — fixed L would decay to chance
-    recall at scale."""
+    recall at scale. The probe PANEL, by contrast, is capped (first
+    ``_PROBE_CAP`` sampled ids via TakeOrderedAndProject — an eval
+    workload is a fixed sample, not a corpus fraction): uncapped it
+    made every term quadratic, measured 8.6× wall at 10× data; capped,
+    the eval is |panel| × n linear, and at the driver SFs the panel —
+    hence every recorded hash — is unchanged (round-10 sf1 fix)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pv"),
-    )
+    probes = _probe_panel(emb)
     n_vecs = emb.count()
     shortlist_l = max(50, n_vecs // 10)
     wp = Window.partitionBy("probe_id").orderBy(
@@ -191,9 +223,7 @@ _MRL_UNION = "\nUNION ALL\n".join(
 )
 
 _MRL_ORACLE = f"""
-WITH probes AS (
-  SELECT vec_id AS probe_id, embedding AS pv
-  FROM embeddings WHERE vec_id % 50 = 0
+WITH probes AS ({_PROBES_SQL}
 ), exact AS (
   SELECT probe_id, vec_id AS exact_id FROM (
     SELECT p.probe_id, e.vec_id,
@@ -234,12 +264,10 @@ def q_ann_mrl_ablation(spark, sf_dir):
     Plan: ONE broadcast-probe crossJoin scored at every prefix width
     in the same pass (the prefix dots reuse the row), per-(dim, probe)
     rank windows, then an exact-overlap count at dim grain — integer
-    counts and one final division, hash-exact."""
+    counts and one final division, hash-exact. Probe panel capped like
+    q_ann_two_stage's (same round-10 sf1 fix; same unchanged hashes)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pv"),
-    )
+    probes = _probe_panel(emb)
     scored = emb.crossJoin(F.broadcast(probes))
     wp = Window.partitionBy("dim", "probe_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
