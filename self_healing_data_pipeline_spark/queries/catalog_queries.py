@@ -375,6 +375,14 @@ def q_join_discovery(spark, sf_dir):
     keyvals = frames[0]
     for fr in frames[1:]:
         keyvals = keyvals.unionByName(fr)
+    # Materialize ONCE per invocation (localCheckpoint, no cross-run
+    # cache): keyvals feeds the distinct-count aggregate AND both
+    # branches of the overlap self-join, so the lazy plan re-ran the
+    # 13-column distinct union 3× (~0.9 s each at sf0.1 — round-10
+    # bench-tail trim; q_catalog_graph/_impact inherit the saving since
+    # they re-run this discovery). Results are identical; at 100 TB
+    # staging the distinct key values once is also the right move.
+    keyvals = keyvals.localCheckpoint(eager=True)
 
     tables = sorted({t for t, _ in _KEY_CANDIDATES})
     rowcounts = read_table(spark, sf_dir, tables[0]).select(

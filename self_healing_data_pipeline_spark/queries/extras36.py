@@ -23,27 +23,34 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
 _MAX_DEPTH = 2
 assert _MAX_DEPTH <= 2, "undeduplicated recursive walk must stay <= 2 hops"
 
-# One SQL text, two engines: only the lineitem relation name differs.
-_RCTE_SQL = """
-    WITH RECURSIVE pp AS (
+# The co-occurrence graph build (shared policy text with the other
+# co-occurrence consumers): pp → cop → undirected adj.
+_GRAPH_CTES = """pp AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM {tbl}
     ), cop AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
       FROM pp a JOIN pp b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ), adj AS (
-      SELECT p1 AS u, p2 AS v FROM cop
-      UNION ALL
-      SELECT p2 AS u, p1 AS v FROM cop
-    ), seeds AS (
-      SELECT node FROM (SELECT DISTINCT u AS node FROM adj)
+    )"""
+
+_ADJ_BODY = """SELECT p1 AS u, p2 AS v FROM cop
+    UNION ALL
+    SELECT p2 AS u, p1 AS v FROM cop"""
+
+_GRAPH_SQL = "WITH " + _GRAPH_CTES + "\n    " + _ADJ_BODY
+
+# The recursion itself, over an adjacency relation {adj}: seeds →
+# bounded UNION ALL walk → min-depth rollup. SAME text both engines.
+_REACH_SQL = """
+    WITH RECURSIVE seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM {adj})
       ORDER BY node LIMIT 3
     ), reach(node, depth) AS (
       SELECT node, 0 FROM seeds
       UNION ALL
       SELECT a.v, r.depth + 1
-      FROM reach r JOIN adj a ON a.u = r.node
+      FROM reach r JOIN {adj} a ON a.u = r.node
       WHERE r.depth < {max_depth}
     ), md AS (
       SELECT node, MIN(depth) AS d FROM reach GROUP BY node
@@ -54,8 +61,22 @@ _RCTE_SQL = """
     FROM md GROUP BY d ORDER BY depth
 """
 
+# Oracle: the same two texts composed as sibling CTEs in one statement
+# (DuckDB materializes non-recursive CTEs once, so the build can stay
+# inline there).
+_RCTE_ORACLE = (
+    "WITH RECURSIVE "
+    + _GRAPH_CTES.format(tbl="lineitem")
+    + ", adj AS (\n    "
+    + _ADJ_BODY
+    + "\n    )"
+    + _REACH_SQL.format(adj="adj", max_depth=_MAX_DEPTH).replace(
+        "WITH RECURSIVE", ","
+    )
+)
 
-@query("q_recursive_reach", oracle=_RCTE_SQL.format(tbl="lineitem", max_depth=_MAX_DEPTH))
+
+@query("q_recursive_reach", oracle=_RCTE_ORACLE)
 def q_recursive_reach(spark, sf_dir):
     """Native WITH RECURSIVE reachability: 2-hop reach from the three
     smallest co-occurrence-graph nodes, written as a SQL-2008
@@ -74,7 +95,21 @@ def q_recursive_reach(spark, sf_dir):
     Scale shape: each recursion level is one keyed join against the
     adjacency (Catalyst plans it like the manual loop); the depth
     bound is in the WHERE, so the loop terminates without a global
-    dedup barrier."""
+    dedup barrier. The GRAPH BUILD is materialized ONCE
+    (localCheckpoint, per-invocation — no cross-run cache) before the
+    recursion: Spark's recursive-CTE engine re-evaluates the anchor's
+    upstream plan at every level, so an inline build re-ran the
+    600k-row pp distinct + cop self-join 3× (measured ~7.5 s; the
+    build alone is ~2 s) — the checkpoint makes each level join a
+    materialized 2·|edges| relation instead (round-10 bench-tail
+    trim; results and the single-statement oracle are byte-identical,
+    and at 100 TB you would stage the adjacency exactly once too)."""
     li = read_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_rcte")
-    return spark.sql(_RCTE_SQL.format(tbl="lineitem_rcte", max_depth=_MAX_DEPTH))
+    adj = spark.sql(_GRAPH_SQL.format(tbl="lineitem_rcte")).localCheckpoint(
+        eager=True
+    )
+    adj.createOrReplaceTempView("adj_rcte")
+    return spark.sql(
+        _REACH_SQL.format(adj="adj_rcte", max_depth=_MAX_DEPTH)
+    )

@@ -20,12 +20,20 @@ def test_depth_constant_pinned():
 
 
 def test_sql_bound_comes_from_constant():
-    # The only depth predicate in the template is the parameterized one;
-    # no stray hard-coded "depth < N" can bypass the constant.
-    bounds = re.findall(r"depth\s*<\s*(\S+)", extras36._RCTE_SQL)
+    # The only depth predicate in the recursion template is the
+    # parameterized one; no stray hard-coded "depth < N" can bypass the
+    # constant (the graph-build texts carry no depth predicate at all).
+    bounds = re.findall(r"depth\s*<\s*(\S+)", extras36._REACH_SQL)
     assert bounds == ["{max_depth}"]
-    rendered = extras36._RCTE_SQL.format(tbl="t", max_depth=extras36._MAX_DEPTH)
+    assert not re.findall(r"depth\s*<", extras36._GRAPH_SQL)
+    rendered = extras36._REACH_SQL.format(
+        adj="t", max_depth=extras36._MAX_DEPTH
+    )
     assert f"depth < {extras36._MAX_DEPTH}" in rendered
+    # the composed oracle inherits exactly the same single bound
+    assert re.findall(r"depth\s*<\s*(\S+)", extras36._RCTE_ORACLE) == [
+        str(extras36._MAX_DEPTH)
+    ]
 
 
 def test_executed_walk_stops_at_depth_bound(spark, sf_dir):
