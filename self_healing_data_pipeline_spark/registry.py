@@ -161,4 +161,5 @@ def load_all() -> None:
         extras87,
         extras88,
         extras89,
+        extras90,
     )
