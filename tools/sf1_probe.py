@@ -152,6 +152,69 @@ BOILERPLATE = (
     "about home navigation menu search login subscribe"
 )
 
+#: Embedding-skew tier (round 10): the similarity family's adversary is
+#: not a hot JOIN key but a hot VECTOR — a boilerplate/template page
+#: embedded millions of times, collapsing ~20% of the corpus onto one
+#: point. One IVF/IVFADC list absorbs that mass (probe-side blow-up),
+#: LSH buckets degenerate (max_bucket cap under test), exact top-k hits
+#: massive score TIES (the unique vec_id tie-break under test), and the
+#: two-stage shortlist fills with clones. Every 5th vector's embedding
+#: is replaced by the corpus's first vector across ALL replicas; ids
+#: and labels keep the uniform tier's replication, so any wall delta vs
+#: the uniform tier is the hot-vector skew at constant volume.
+EMBSKEW_KEYS = [
+    "q_sim_topk",        # exact top-k: 20% ties at the same score
+    "q_sim_ivf",         # IVF: one centroid's list holds 20% of vectors
+    "q_ann_ivfadc",      # same list blow-up through the ADC path
+    "q_sim_ann_lsh",     # LSH: one bucket at 20% mass (cap under test)
+    "q_ann_two_stage",   # shortlist fills with clones; rerank stays L-bounded
+    "q_embedding_dedup_bitexact",  # 20% of rows in ONE dedup group
+    "q_kmeans_assign",   # one cluster absorbs the mass; argmax stays narrow
+]
+EMBSKEW_OUT = os.path.join(REPO, ".scratch", "sf1embskew")
+
+
+def build_embskew(spark) -> None:
+    """Hot-vector twin of the uniform sf1 tier: identical tables, but
+    every 5th vec_id's embedding is the corpus's FIRST embedding (one
+    point carrying ~20% of the vector mass across all replicas —
+    deliberately crossing the replica id-offsetting). Volume, ids, and
+    labels are constant vs the uniform tier, so any wall delta is the
+    hot-vector skew."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(OUT):
+        build(spark)
+    tmp = EMBSKEW_OUT + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    e = spark.read.parquet(os.path.join(OUT, "embeddings.parquet"))
+    first = e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    hot = F.array(*[F.lit(float(v)).cast("float") for v in first])
+    cols = [c for c in e.columns if c != "embedding"]
+    e.select(
+        *cols,
+        F.when(F.col("vec_id") % 5 == 0, hot)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    ).select(*e.columns).write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        src = os.path.join(OUT, f"{name}.parquet")
+        dst = os.path.join(tmp, f"{name}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    if os.path.exists(EMBSKEW_OUT):
+        shutil.rmtree(EMBSKEW_OUT)
+    os.rename(tmp, EMBSKEW_OUT)
+
 
 def build_boiler(spark) -> None:
     """Boilerplate twin of the uniform sf1 tier: identical tables, but
@@ -466,6 +529,38 @@ def main() -> int:
             }
             print(json.dumps({q: results[q]}), file=sys.stderr)
         print(json.dumps({"metric": "sf1_boiler_probe", "results": results}))
+        return 0
+    if "--embskew" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(EMBSKEW_OUT):
+            t0 = time.perf_counter()
+            build_embskew(spark)
+            print(f"built {EMBSKEW_OUT} in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+        results = {}
+        for q in EMBSKEW_KEYS:
+            if only and q not in only:
+                continue
+            for d in (OUT, EMBSKEW_OUT):  # untimed warm pass per tier
+                QUERIES[q](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            uniform = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            QUERIES[q](spark, EMBSKEW_OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            skewed = round(time.perf_counter() - t0, 2)
+            results[q] = {
+                "sf1_uniform": uniform,
+                "sf1_embskew": skewed,
+                "ratio": round(skewed / uniform, 2) if uniform else None,
+            }
+            print(json.dumps({q: results[q]}), file=sys.stderr)
+        print(json.dumps({"metric": "sf1_embskew_probe", "results": results}))
         return 0
     if "--skew" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(SKEW_OUT):
