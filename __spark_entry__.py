@@ -63,6 +63,14 @@ def _latest_verdicts() -> dict[str, tuple[bool, int, bool]]:
     return latest
 
 
+#: Output contract changed since the key's latest recorded verdict —
+#: re-verify ahead of the vintage queue (see queries() docstring).
+#: Round 10: q_tablesample_stable dropped the layout-dependent
+#: native_sample_in_range column from its hash-gated output (r9
+#: advisor item; band moved to tests/test_extras84_witnesses.py).
+_CHANGED_SINCE_VERDICT = ("q_tablesample_stable",)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -108,11 +116,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda k: verdicts[k][1],
     )
     promoted = {k: qs[k] for k in promoted_keys}
+    # Keys whose OUTPUT CONTRACT changed since their latest verdict
+    # (schema or hash-gated semantics edited in this round's source)
+    # also re-verify ahead of the vintage queue — the recorded verdict
+    # describes a shape the code no longer produces, which is the
+    # "promoted-but-stale" evidence gap in another guise. Maintained by
+    # hand per round, emptied once the driver re-records them.
+    changed = {
+        k: qs[k]
+        for k in _CHANGED_SINCE_VERDICT
+        if k in qs and k in verdicts and k not in promoted
+    }
     green_keys = sorted(
         (
             k
             for k in qs
-            if k in verdicts and verdicts[k][0] and k not in promoted
+            if k in verdicts
+            and verdicts[k][0]
+            and k not in promoted
+            and k not in changed
         ),
         key=lambda k: verdicts[k][1],  # oldest vintage first; stable
     )
@@ -122,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **unchecked_oracle,
         **unchecked_rows_only,
         **promoted,
+        **changed,
         **green,
     }
 
