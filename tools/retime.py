@@ -21,10 +21,13 @@ checks it.
 BASELINE PROVENANCE RULE (round-10): ``tools/bench_baseline.json`` is
 refreshed from a clean, idle-host full-suite run (``cp
 bench_queries.json tools/bench_baseline.json``) — EXCEPT volatile keys.
-Any key whose fresh suite time moved >1.3x in either direction vs the
-previous baseline must be re-timed here (isolated min-of-3) and spliced
-in via ``--patch-baseline``, which also records the key under the
-baseline's top-level ``"isolated_keys"`` list. Isolated times are
+Any key whose fresh suite time moved MATERIALLY vs the previous
+baseline — >1.3x in either direction AND >=0.3 s absolute (the same
+materiality floor the tripwire applies; without it every 0.3s->0.45s
+jitter key would demand a re-time, ~70 keys per refresh in practice
+vs ~20 material ones) — must be re-timed here (isolated min-of-3) and
+spliced in via ``--patch-baseline``, which also records the key under
+the baseline's top-level ``"isolated_keys"`` list. Isolated times are
 systematically faster than contended suite-run times, so the tripwire
 applies a protocol-aware suspect threshold (1.8x instead of 1.5x) to
 tagged keys — a single lucky suite run can no longer freeze an
