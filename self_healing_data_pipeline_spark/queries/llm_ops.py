@@ -111,33 +111,69 @@ def q_doc_chunks(spark, sf_dir):
     """Fixed-window document chunking: 200-char chunks on a 150-char
     stride (50-char overlap so no boundary context is lost; the final
     chunk shortens to end exactly at the document tail) — the standard
-    pre-tokenization segmentation for long documents. The window index
-    sequence is computed engine-side (sequence + posexplode, no UDF); the
-    output carries a 16-hex chunk hash, not the chunk text, so downstream
-    chunk-level dedup shuffles 16 bytes per chunk."""
+    pre-tokenization segmentation for long documents. All engine-side,
+    no UDF; the output carries a 16-hex chunk hash, not the chunk text,
+    so downstream chunk-level dedup shuffles 16 bytes per chunk.
+
+    Long-document shape (round-10 fix, caught by the new sf1 --longdoc
+    adversarial tier, measured **52x** wall on ~250 docs of 100-300 KB):
+    TWO quadratic terms hid in the first cut. (1) posexplode-then-
+    project made every chunk row carry the FULL document text --
+    O(len^2/stride) bytes per doc. (2) subtler: ``substring(text, pos,
+    W)`` walks the UTF-8 string from the START to find the character
+    offset -- O(pos) per chunk, O(len^2/stride) total; measured ~55 us
+    per deep substring on 300 KB docs, ~90 ms/doc. (A cells-array HOF
+    rewrite was measured and REJECTED too: a computed-expression outer
+    reference inside a lambda re-evaluates PER ELEMENT, so the regex
+    split itself became the quadratic term -- 167 s on the tier.)
+
+    The linear shape: split each doc ONCE into 50-char CELLS
+    (single-pass ``(?s)(?<=\\G.{50})`` regex split; 50 =
+    gcd(window, stride)), posexplode cells to rows, and reassemble
+    chunk i = cells 3i..3i+3 with three ``lead``s over the
+    (doc_id, cell_idx) window -- identical characters to
+    substring(1+150i, 200), each cell touched O(1) times. The window is
+    ONE shuffle at cell grain (50-char payloads), the form that scales
+    to megabyte documents; the tier re-probes linear. Same rows, same
+    oracle."""
+    from pyspark.sql import Window
+
     d = read_table(spark, sf_dir, "documents")
-    # CEIL, not floor: floor(（n-W)/S) leaves an uncovered tail of up to
-    # S-1 characters whenever (n-W) % S != 0 (349 of 500 fixture docs) —
+    # CEIL, not floor: floor((n-W)/S) leaves an uncovered tail of up to
+    # S-1 characters whenever (n-W) % S != 0 (349 of 500 fixture docs) --
     # the round-6 chunk-coverage audit (q_chunk_coverage_audit) caught
     # this; with ceil the last (possibly shorter) chunk always reaches
     # the end of the document.
     n_chunks_minus1 = F.ceil(
         F.greatest(F.length("text") - 200, F.lit(0)) / 150.0
-    ).cast("int")
-    chunk = F.expr("substring(text, 1 + chunk_idx * 150, 200)")
+    ).cast("bigint")
+    cells = d.select(
+        "doc_id",
+        n_chunks_minus1.alias("ncm1"),
+        F.posexplode(F.split("text", r"(?s)(?<=\G.{50})")).alias(
+            "cell_idx", "cell"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("cell_idx")
+    chunk = F.concat_ws(
+        "",
+        F.col("cell"),
+        *[
+            F.coalesce(F.lead("cell", j).over(w), F.lit(""))
+            for j in (1, 2, 3)
+        ],
+    )
     return (
-        d.select(
-            "doc_id",
-            "text",
-            F.posexplode(F.sequence(F.lit(0), n_chunks_minus1)).alias(
-                "_pos", "chunk_idx"
-            ),
+        cells.withColumn("chunk", chunk)
+        .where(
+            (F.col("cell_idx") % 3 == 0)
+            & (F.col("cell_idx") / 3 <= F.col("ncm1"))
         )
         .select(
             "doc_id",
-            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-            F.length(chunk).cast("bigint").alias("chunk_len"),
-            F.substring(F.md5(chunk), 1, 16).alias("chunk_hash"),
+            (F.col("cell_idx") / 3).cast("bigint").alias("chunk_idx"),
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+            F.substring(F.md5("chunk"), 1, 16).alias("chunk_hash"),
         )
     )
 

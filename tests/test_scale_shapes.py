@@ -144,9 +144,16 @@ def test_contamination_is_single_pass(spark, sf_dir):
     assert p.count("Scan parquet  (") == 1
 
 
-def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+def test_doc_chunks_is_one_cell_grain_window(spark, sf_dir):
+    # Round-10 long-doc fix: the shuffle-free explode-then-substring
+    # form was O(len^2/stride) per doc (substring's O(pos) char scan +
+    # full-text duplication per chunk row) — 52x wall on the --longdoc
+    # tier. The linear form pays exactly ONE exchange: the cell-grain
+    # (doc_id, cell_idx) window that reassembles chunks via lead.
     p = plan_of(spark, sf_dir, "q_doc_chunks")
-    assert "Exchange" not in p  # narrow map + explode only
+    assert p.count("Exchange") == 2  # formatted explain: tree + details
+    assert p.count("Window") == 2  # one Window node (named twice)
+    assert "Join" not in p
 
 
 def test_incremental_dedup_is_anti_join(spark, sf_dir):

@@ -173,6 +173,64 @@ EMBSKEW_KEYS = [
 ]
 EMBSKEW_OUT = os.path.join(REPO, ".scratch", "sf1embskew")
 
+#: Long-document tier (round 10): web corpora carry pathological
+#: documents — a few megabyte-scale pages among millions of kilobyte
+#: ones. Per-doc kernels that are superlinear in doc length (BPE's
+#: merge loop, shingle matrices), Arrow batches that suddenly hold
+#: hundreds of KB per row, and the greedy packer handed a doc bigger
+#: than its budget are the failure modes. Every 200th doc's text is
+#: repeated 500x (~250 docs of ~100-300 KB at sf1) — volume grows a
+#: few % but per-DOC extremes grow ~500x, so a blow-up is attributable
+#: to the long-doc path, not data size.
+LONGDOC_KEYS = [
+    "q_text_token_count",      # O(len) split — expect near-flat
+    "q_text_quality",          # ratio heuristics, O(len)
+    "q_doc_chunks",            # chunker emits ~500x chunks for hot docs
+    "q_pack_context",          # packer vs docs larger than the budget
+    "q_dedup_minhash",         # signature kernel: shingles x num_hashes
+    "q_text_token_bpe_exact",  # BPE merge loop — the superlinear risk
+]
+LONGDOC_OUT = os.path.join(REPO, ".scratch", "sf1longdoc")
+
+
+def build_longdoc(spark) -> None:
+    """Long-document twin of the uniform sf1 tier: identical tables,
+    but every 200th doc's text is REPEAT'd 500x (and n_chars updated).
+    Everything else copies through, so any wall delta is the long-doc
+    path at (almost) constant row count."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(OUT):
+        build(spark)
+    tmp = LONGDOC_OUT + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    d = spark.read.parquet(os.path.join(OUT, "documents.parquet"))
+    text = F.when(
+        F.col("doc_id") % 200 == 0, F.repeat(F.col("text"), 500)
+    ).otherwise(F.col("text"))
+    d.select(
+        "doc_id",
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        src = os.path.join(OUT, f"{name}.parquet")
+        dst = os.path.join(tmp, f"{name}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    if os.path.exists(LONGDOC_OUT):
+        shutil.rmtree(LONGDOC_OUT)
+    os.rename(tmp, LONGDOC_OUT)
+
 
 def build_embskew(spark) -> None:
     """Hot-vector twin of the uniform sf1 tier: identical tables, but
@@ -561,6 +619,38 @@ def main() -> int:
             }
             print(json.dumps({q: results[q]}), file=sys.stderr)
         print(json.dumps({"metric": "sf1_embskew_probe", "results": results}))
+        return 0
+    if "--longdoc" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(LONGDOC_OUT):
+            t0 = time.perf_counter()
+            build_longdoc(spark)
+            print(f"built {LONGDOC_OUT} in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+        results = {}
+        for q in LONGDOC_KEYS:
+            if only and q not in only:
+                continue
+            for d in (OUT, LONGDOC_OUT):  # untimed warm pass per tier
+                QUERIES[q](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            uniform = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            QUERIES[q](spark, LONGDOC_OUT).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            longdoc = round(time.perf_counter() - t0, 2)
+            results[q] = {
+                "sf1_uniform": uniform,
+                "sf1_longdoc": longdoc,
+                "ratio": round(longdoc / uniform, 2) if uniform else None,
+            }
+            print(json.dumps({q: results[q]}), file=sys.stderr)
+        print(json.dumps({"metric": "sf1_longdoc_probe", "results": results}))
         return 0
     if "--skew" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(SKEW_OUT):
