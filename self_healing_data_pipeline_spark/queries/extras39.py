@@ -79,30 +79,25 @@ def q_dedup_explain(spark, sf_dir):
     one of the two documents — "how much is copied, and is it one
     contiguous block or scattered boilerplate?".
 
-    Scale shape: the span self-join shuffles 32-hex hashes only (the
-    q_dedup_substring contract); pair counts partial-aggregate; only
-    the single top pair's positions reach the islands pass (a
+    Scale shape: span extraction via the shared linear cell/lead-window
+    form (``operators.text.strided_spans`` — round-10 long-doc fix;
+    the explode-then-substring original was quadratic per doc on
+    100 KB+ documents); the span self-join shuffles 32-hex hashes only
+    (the q_dedup_substring contract); pair counts partial-aggregate;
+    only the single top pair's positions reach the islands pass (a
     ≤spans-per-doc frame). Exact integers throughout."""
-    d = read_table(spark, sf_dir, "documents")
-    spans = (
-        d.filter(F.col("n_chars") >= _SPAN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    (F.col("n_chars") - (_SPAN - 1)).cast("int"),
-                    F.lit(_STRIDE),
-                )
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.col("pos").cast("bigint").alias("pos"),
-            F.md5(F.expr(f"substring(text, pos, {_SPAN})")).alias("h"),
-        )
+    from self_healing_data_pipeline_spark.operators.text import (
+        strided_spans,
     )
+
+    d = read_table(spark, sf_dir, "documents")
+    spans = strided_spans(
+        d.filter(F.col("n_chars") >= _SPAN),
+        "doc_id",
+        F.col("text"),
+        _SPAN,
+        _STRIDE,
+    ).select("doc_id", "pos", F.md5("span_text").alias("h"))
     a = spans.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
     )

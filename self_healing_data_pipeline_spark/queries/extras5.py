@@ -418,31 +418,25 @@ def q_dedup_substring(spark, sf_dir):
     for the suffix-array exact method, which is the right trade at
     corpus scale.
 
-    Plan: engine-side sequence explode (bounded: n_chars/32
-    spans/doc), md5 immediately — the shuffle and the aggregate carry
-    32-hex hashes, never text. Distinct-doc counting is a two-level
-    aggregate with map-side partials."""
-    d = read_table(spark, sf_dir, "documents")
-    spans = (
-        d.filter(F.col("n_chars") >= _SPAN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    (F.col("n_chars") - (_SPAN - 1)).cast("int"),
-                    F.lit(_STRIDE),
-                )
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.substring(F.col("text"), F.col("pos").cast("int"), _SPAN)
-            ).alias("span_hash"),
-        )
+    Plan: span extraction via the shared linear cell/lead-window form
+    (``operators.text.strided_spans`` — round-10 long-doc fix; the
+    original explode-then-substring shape was quadratic per doc on
+    100 KB+ documents: full-text duplication per span row plus
+    substring's O(pos) char scan), md5 immediately — the gram shuffle
+    and the aggregate carry 32-hex hashes, never text. Distinct-doc
+    counting is a two-level aggregate with map-side partials."""
+    from self_healing_data_pipeline_spark.operators.text import (
+        strided_spans,
     )
+
+    d = read_table(spark, sf_dir, "documents")
+    spans = strided_spans(
+        d.filter(F.col("n_chars") >= _SPAN),
+        "doc_id",
+        F.col("text"),
+        _SPAN,
+        _STRIDE,
+    ).select("doc_id", F.md5("span_text").alias("span_hash"))
     return (
         spans.groupBy("span_hash")
         .agg(

@@ -282,20 +282,23 @@ def q_contamination(spark, sf_dir):
     operators.dedup.pairs_within_buckets). The identical HAVING predicate
     runs in the DuckDB oracle CTE, so the twin stays bit-exact WITH the
     cap in force."""
-    d = read_table(spark, sf_dir, "documents")
-    nt = normalize_text("text")
-    n_sh = F.floor(F.greatest(F.length("nt") - 20, F.lit(0)) / 10.0).cast("int")
-    sh = F.expr("substring(nt, 1 + k * 10, 20)")
-    shingles = (
-        d.select("doc_id", nt.alias("nt"))
-        .select(
-            "doc_id",
-            "nt",
-            F.posexplode(F.sequence(F.lit(0), n_sh)).alias("_pos", "k"),
-        )
-        .filter(F.length(sh) == 20)
-        .select("doc_id", F.substring(F.md5(sh), 1, 16).alias("g"))
+    # Shingle extraction via the shared linear cell/lead-window form
+    # (operators.text.strided_spans — round-10 long-doc fix; the
+    # explode-then-substring original was quadratic per doc on 100 KB+
+    # documents: O(pos) char scans plus full-text span rows). Same
+    # spans: 20-char windows at stride 10, full-length only.
+    from self_healing_data_pipeline_spark.operators.text import (
+        strided_spans,
     )
+
+    d = read_table(spark, sf_dir, "documents")
+    shingles = strided_spans(
+        d.select("doc_id", normalize_text("text").alias("nt")),
+        "doc_id",
+        F.col("nt"),
+        20,
+        10,
+    ).select("doc_id", F.substring(F.md5("span_text"), 1, 16).alias("g"))
     # The cap must land BEFORE the set-collect (a post-agg filter would
     # still build the unbounded set in the aggregation buffer), and
     # WITHOUT a join-back (two branches over the shingle subplan would

@@ -189,6 +189,11 @@ LONGDOC_KEYS = [
     "q_pack_context",          # packer vs docs larger than the budget
     "q_dedup_minhash",         # signature kernel: shingles x num_hashes
     "q_text_token_bpe_exact",  # BPE merge loop — the superlinear risk
+    # strided-span consumers refit onto operators.text.strided_spans
+    # after q_doc_chunks' 52x exposed the explode-then-substring class
+    "q_dedup_substring",
+    "q_dedup_explain",
+    "q_contamination",
 ]
 LONGDOC_OUT = os.path.join(REPO, ".scratch", "sf1longdoc")
 
