@@ -53,15 +53,36 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
 
 
 def shingles(col, n: int = 5) -> F.Column:
-    """Word n-gram shingle array from normalized text (distinct shingles)."""
+    """Word n-gram shingle array from normalized text (distinct
+    shingles; a doc with ≤n tokens yields its whole token join, and an
+    empty doc the empty string — the _py_shingles contract).
+
+    LINEAR form (round-10 --longdoc fix): the original
+    ``transform(sequence(0, k-1), i -> slice(toks, i+1, n))`` placed
+    the computed ``toks`` (a regex split) inside the lambda BODY, and a
+    non-lambda-variable subexpression there re-evaluates PER ELEMENT —
+    O(tokens²) per document (q_dedup_jaccard_prefix did not finish in
+    10 min on the 100-300 KB long-doc tier; the same pathology measured
+    167 s on q_doc_chunks' rejected rewrite). The chain below builds
+    shingle *i* by n−1 ``zip_with`` steps against 1..n−1-shifted copies
+    of the token array: HOF ARGUMENTS are evaluated once per row (the
+    lambdas touch only their element pair), so the whole construction
+    is O(n · tokens) per doc. ``concat_ws`` skips the NULLs zip_with
+    pads at the tail, so trailing elements hold short joins — sliced
+    off to the exact ``greatest(size − n + 1, 1)`` prefix the original
+    emitted. Output arrays are element-identical to the old form."""
     toks = F.split(normalize_text(col), " ")
-    k = F.size(toks) - F.lit(n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    chain = toks
+    for j in range(1, n):
+        chain = F.zip_with(
+            chain,
+            # length clamps to >=1: slice rejects 0 lengths, and a
+            # start past the array end already yields the empty array
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
-    )
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(F.slice(chain, 1, k))
 
 
 def shingle_exploded(

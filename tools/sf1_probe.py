@@ -194,6 +194,12 @@ LONGDOC_KEYS = [
     "q_dedup_substring",
     "q_dedup_explain",
     "q_contamination",
+    # shingles() itself (the whole set-similarity family's gram source)
+    # was O(tokens^2) via a computed split inside a transform lambda --
+    # jaccard_prefix did not finish a 10-min probe before the zip_with
+    # chain rewrite; these two pin the family linear
+    "q_dedup_jaccard_prefix",
+    "q_dedup_containment",
 ]
 LONGDOC_OUT = os.path.join(REPO, ".scratch", "sf1longdoc")
 
