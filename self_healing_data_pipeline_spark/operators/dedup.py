@@ -70,8 +70,14 @@ def shingles(col, n: int = 5) -> F.Column:
     is O(n · tokens) per doc. ``concat_ws`` skips the NULLs zip_with
     pads at the tail, so trailing elements hold short joins — sliced
     off to the exact ``greatest(size − n + 1, 1)`` prefix the original
-    emitted. Output arrays are element-identical to the old form."""
-    toks = F.split(normalize_text(col), " ")
+    emitted. Output arrays are element-identical to the old form,
+    including NULL text: the text coalesces to '' up front so a NULL
+    doc yields ``['']`` exactly like ``_py_shingles(None)`` (review
+    finding — the bare zip_with chain would propagate NULL through the
+    array ops and silently DROP null-text docs from the Catalyst-side
+    set-similarity queries while the Arrow kernels still signed them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalize_text(F.coalesce(c, F.lit(""))), " ")
     chain = toks
     for j in range(1, n):
         chain = F.zip_with(

@@ -71,10 +71,13 @@ def q_window_agg_filter(spark, sf_dir):
     rewrite: ``SUM(CASE WHEN cond THEN x END)`` with NO else branch —
     sum over all-NULL is NULL, exactly FILTER's empty-set result
     (``ELSE 0`` would diverge on customers whose prefix has no 'F'
-    order yet). COUNT's twin needs no NULL guard (count of none is 0 in
-    both forms). The oracle is DuckDB's NATIVE ``FILTER (WHERE …)
-    OVER``, so equality proves the rewrite against genuine FILTER
-    semantics. Plan: one scan, ONE shuffle on o_custkey shared by both
+    order yet). COUNT's faithful twin counts the CONDITION, not the
+    summed value — ``COUNT(CASE WHEN cond THEN price END)`` would skip
+    a matching row whose price is NULL while ``COUNT(*) FILTER`` counts
+    it (review finding; latent on TPC-H's NOT-NULL totalprice, but the
+    rewrite must be right in general). The oracle is DuckDB's NATIVE
+    ``FILTER (WHERE …) OVER``, so equality proves the rewrite against
+    genuine FILTER semantics. Plan: one scan, ONE shuffle on o_custkey shared by both
     windows (same partition+order), running frames are the cheap
     no-retraction kind; per-customer partitions are many and small —
     the shape that scales flat."""
@@ -100,9 +103,10 @@ def q_window_agg_filter(spark, sf_dir):
         F.sum(fulfilled).over(w).cast("bigint").alias(
             "fulfilled_run_cents"
         ),
-        F.count(fulfilled).over(w).cast("bigint").alias(
-            "fulfilled_run_cnt"
-        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", F.lit(True)))
+        .over(w)
+        .cast("bigint")
+        .alias("fulfilled_run_cnt"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

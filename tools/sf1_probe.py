@@ -567,118 +567,25 @@ def main() -> int:
 
     load_all()
     spark = get_spark("sf1-probe")
-    if "--boiler" in sys.argv:
-        if "--rebuild" in sys.argv or not os.path.isdir(BOILER_OUT):
+    def run_tier(flag, keys, out_dir, label, build_fn, metric):
+        """Shared A/B tier loop (review finding: --boiler/--embskew/
+        --longdoc/--skew were four copy-pastes): ensure both fixtures,
+        give each key an untimed warm pass PER TIER (the query shape's
+        one-time codegen/JIT otherwise lands on whichever tier runs
+        first and fakes a delta), then time uniform and variant runs
+        and report per-key ratios."""
+        if "--rebuild" in sys.argv or not os.path.isdir(out_dir):
             t0 = time.perf_counter()
-            build_boiler(spark)
-            print(f"built {BOILER_OUT} in {time.perf_counter() - t0:.0f}s",
-                  file=sys.stderr)
-        results = {}
-        for q in BOILER_KEYS:
-            if only and q not in only:
-                continue
-            for d in (OUT, BOILER_OUT):  # untimed warm pass per tier
-                QUERIES[q](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            t0 = time.perf_counter()
-            QUERIES[q](spark, OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            uniform = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            QUERIES[q](spark, BOILER_OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            boiler = round(time.perf_counter() - t0, 2)
-            results[q] = {
-                "sf1_uniform": uniform,
-                "sf1_boiler": boiler,
-                "ratio": round(boiler / uniform, 2) if uniform else None,
-            }
-            print(json.dumps({q: results[q]}), file=sys.stderr)
-        print(json.dumps({"metric": "sf1_boiler_probe", "results": results}))
-        return 0
-    if "--embskew" in sys.argv:
-        if "--rebuild" in sys.argv or not os.path.isdir(EMBSKEW_OUT):
-            t0 = time.perf_counter()
-            build_embskew(spark)
-            print(f"built {EMBSKEW_OUT} in {time.perf_counter() - t0:.0f}s",
-                  file=sys.stderr)
-        results = {}
-        for q in EMBSKEW_KEYS:
-            if only and q not in only:
-                continue
-            for d in (OUT, EMBSKEW_OUT):  # untimed warm pass per tier
-                QUERIES[q](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            t0 = time.perf_counter()
-            QUERIES[q](spark, OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            uniform = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            QUERIES[q](spark, EMBSKEW_OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            skewed = round(time.perf_counter() - t0, 2)
-            results[q] = {
-                "sf1_uniform": uniform,
-                "sf1_embskew": skewed,
-                "ratio": round(skewed / uniform, 2) if uniform else None,
-            }
-            print(json.dumps({q: results[q]}), file=sys.stderr)
-        print(json.dumps({"metric": "sf1_embskew_probe", "results": results}))
-        return 0
-    if "--longdoc" in sys.argv:
-        if "--rebuild" in sys.argv or not os.path.isdir(LONGDOC_OUT):
-            t0 = time.perf_counter()
-            build_longdoc(spark)
-            print(f"built {LONGDOC_OUT} in {time.perf_counter() - t0:.0f}s",
-                  file=sys.stderr)
-        results = {}
-        for q in LONGDOC_KEYS:
-            if only and q not in only:
-                continue
-            for d in (OUT, LONGDOC_OUT):  # untimed warm pass per tier
-                QUERIES[q](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            t0 = time.perf_counter()
-            QUERIES[q](spark, OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            uniform = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            QUERIES[q](spark, LONGDOC_OUT).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            longdoc = round(time.perf_counter() - t0, 2)
-            results[q] = {
-                "sf1_uniform": uniform,
-                "sf1_longdoc": longdoc,
-                "ratio": round(longdoc / uniform, 2) if uniform else None,
-            }
-            print(json.dumps({q: results[q]}), file=sys.stderr)
-        print(json.dumps({"metric": "sf1_longdoc_probe", "results": results}))
-        return 0
-    if "--skew" in sys.argv:
-        if "--rebuild" in sys.argv or not os.path.isdir(SKEW_OUT):
-            t0 = time.perf_counter()
-            build_skew(spark)
-            print(f"built {SKEW_OUT} in {time.perf_counter() - t0:.0f}s",
+            build_fn(spark)
+            print(f"built {out_dir} in {time.perf_counter() - t0:.0f}s",
                   file=sys.stderr)
         if not os.path.isdir(OUT):
             build(spark)
         results = {}
-        for q in SKEW_KEYS:
+        for q in keys:
             if only and q not in only:
                 continue
-            # untimed warm pass on each tier first: the query shape's
-            # one-time codegen/JIT otherwise lands on whichever tier
-            # runs first and fakes a skew delta
-            for d in (OUT, SKEW_OUT):
+            for d in (OUT, out_dir):  # untimed warm pass per tier
                 QUERIES[q](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
@@ -688,18 +595,32 @@ def main() -> int:
             ).save()
             uniform = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
-            QUERIES[q](spark, SKEW_OUT).write.format("noop").mode(
+            QUERIES[q](spark, out_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            skewed = round(time.perf_counter() - t0, 2)
+            variant = round(time.perf_counter() - t0, 2)
             results[q] = {
                 "sf1_uniform": uniform,
-                "sf1_skew": skewed,
-                "ratio": round(skewed / uniform, 2) if uniform else None,
+                label: variant,
+                "ratio": round(variant / uniform, 2) if uniform else None,
             }
             print(json.dumps({q: results[q]}), file=sys.stderr)
-        print(json.dumps({"metric": "sf1_skew_probe", "results": results}))
-        return 0
+        print(json.dumps({"metric": metric, "results": results}))
+
+    TIERS = {
+        "--boiler": (BOILER_KEYS, BOILER_OUT, "sf1_boiler", build_boiler,
+                     "sf1_boiler_probe"),
+        "--embskew": (EMBSKEW_KEYS, EMBSKEW_OUT, "sf1_embskew",
+                      build_embskew, "sf1_embskew_probe"),
+        "--longdoc": (LONGDOC_KEYS, LONGDOC_OUT, "sf1_longdoc",
+                      build_longdoc, "sf1_longdoc_probe"),
+        "--skew": (SKEW_KEYS, SKEW_OUT, "sf1_skew", build_skew,
+                   "sf1_skew_probe"),
+    }
+    for flag, (keys, out_dir, label, build_fn, metric) in TIERS.items():
+        if flag in sys.argv:
+            run_tier(flag, keys, out_dir, label, build_fn, metric)
+            return 0
     if "--rebuild" in sys.argv or not os.path.isdir(OUT):
         t0 = time.perf_counter()
         build(spark)
