@@ -491,6 +491,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     ngram: int = 3,
     max_bucket: int = 10_000,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: all (id_l, id_r, hamming) with Hamming
     distance ≤ ``max_hamming``.
@@ -502,13 +503,21 @@ def simhash_pairs(
     evenly), then grouping on (band, band-bits) finds every such pair with
     one shuffle and NO O(n²) compare. Final popcount (bit_count of XOR,
     JVM, over ALL 64 bits) verifies candidates exactly.
+
+    Because the banding is a pigeonhole (not probabilistic MinHash-style
+    banding), the pair set is COMPLETE below ``max_hamming`` whenever no
+    bucket exceeds ``max_bucket``: with ``use_md5=True`` the signature is
+    the md5-derived twin (:func:`simhash_signatures_md5`) DuckDB can
+    replay, so an oracle may assert the full pair set by exact popcount
+    self-join without over-claiming recall.
     """
     if not 0 <= max_hamming <= 31:
         # width = 64 // (h+1) must stay ≥ 2 for bands to discriminate
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sig = simhash_signatures(df, id_col, text_col, ngram)
+    sig_fn = simhash_signatures_md5 if use_md5 else simhash_signatures
+    sig = sig_fn(df, id_col, text_col, ngram)
     banded = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",

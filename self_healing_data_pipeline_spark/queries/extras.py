@@ -286,14 +286,37 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_signatures_md5(docs, "doc_id", "text", ngram=3)
 
 
-@query("q_dedup_simhash_pairs")  # hash-specific fingerprints → rows-only
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({simhash_md5_sql("documents", ngram=3)})
+    SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+           CAST(BIT_COUNT(XOR(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+    WHERE BIT_COUNT(XOR(l.simhash, r.simhash)) <= 8
+    """,
+)
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole banding (Hamming ≤ 8 over
-    3-gram shingles) — 9 band shuffles + exact popcount verify, no O(n²)."""
+    3-gram shingles) — one banded shuffle + exact popcount verify, no
+    O(n²) compare on the engine side.
+
+    PROMOTED to oracle-backed (round-10): unlike MinHash-LSH banding,
+    the 9-band pigeonhole is LOSSLESS at Hamming ≤ 8 (8 differing bits
+    can break at most 8 of 9 bands, so every qualifying pair shares at
+    least one full band), so a complete-pairs oracle asserts exactly
+    what the algorithm promises — no probabilistic recall over-claim
+    (contrast q_dedup_ngram_verify, deliberately rows-only). The
+    signature is the md5-derived twin DuckDB replays bit-for-bit
+    (`simhash_signatures_md5`); the oracle recomputes every signature
+    and self-joins by exact popcount, while the engine side still runs
+    the banded plan — so the hash gate proves banding ≡ exhaustive
+    compare on real data. The SipHash kernel (`simhash_signatures`)
+    remains the engine-internal fast path."""
     docs = read_table(spark, sf_dir, "documents")
     from self_healing_data_pipeline_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8, use_md5=True)
 
 
 @query("q_dedup_ngram_verify")  # candidate generation uses LSH → rows-only

@@ -49,7 +49,30 @@ def q_scan_api_source(spark, sf_dir):
     )
 
 
-@query("q_scan_binaryfile")  # rows-only: binary payload decode is not SQL
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    WITH f AS (
+      SELECT i,
+             CAST(16 + (i % 3) * 4 AS INT) AS h,
+             CAST(20 + (i % 5) * 4 AS INT) AS w,
+             CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS ext
+      FROM generate_series(0, 23) t(i)
+    ), px AS (
+      SELECT f.i,
+             AVG(CAST((yy * 7 + xx * 13 + f.i) % 256 AS DOUBLE))
+               AS pixel_mean
+      FROM f, generate_series(0, 23) ty(yy), generate_series(0, 35) tx(xx)
+      WHERE yy < f.h AND xx < f.w
+      GROUP BY f.i
+    )
+    SELECT printf('img_%03d_%dx%d.%s', f.i, f.w, f.h, f.ext) AS name,
+           f.w AS width, f.h AS height, px.pixel_mean,
+           TRUE AS dims_ok
+    FROM f JOIN px ON f.i = px.i
+    ORDER BY name
+    """,
+)
 def q_scan_binaryfile(spark, sf_dir):
     """MULTIMODAL INGEST scan: Spark's ``binaryFile`` source reading a
     directory of real image files into (path, length, content) rows,
@@ -62,9 +85,19 @@ def q_scan_binaryfile(spark, sf_dir):
     files (deterministic doc-seeded pixels, encoder twins from
     `operators/codecs.py`) because the testdata carries no media; the
     SCAN path — binaryFile source, Arrow-batched mapInPandas decode,
-    per-file witness columns — is the real one. Witnesses per row:
-    ``dims_ok`` (decoded dims match the synthesized dims encoded in
-    the file name) and ``pixel_mean`` from the actual decoded array.
+    per-file witness columns — is the real one.
+
+    PROMOTED to oracle-backed (round-10): the fixture pixels follow a
+    closed-form law (``(yy*7 + xx*13 + i) % 256``), so DuckDB derives
+    every output column INDEPENDENTLY of the byte path — names and
+    dims from the synthesis parameters, ``pixel_mean`` by averaging
+    the law over the pixel grid (integer-exact float64 both sides).
+    The Spark side still travels the full production route (encode →
+    real files on disk → binaryFile scan → zlib/LZW inflate → pixel
+    decode), so a hash match certifies the decode end-to-end; a wrong
+    pixel anywhere shifts the mean. The encoded byte length (the one
+    column not derivable without running the codec) moved to the
+    rows-only era's witness tests.
 
     Scale shape: binaryFile parallelizes by file; decode is narrow
     per-row work in bounded Arrow batches; nothing shuffles until the
@@ -98,15 +131,13 @@ def q_scan_binaryfile(spark, sf_dir):
             f.write(blob)
 
     files = spark.read.format("binaryFile").load(d)
-    schema = "name string, length bigint, width int, height int, " \
+    schema = "name string, width int, height int, " \
              "pixel_mean double, dims_ok boolean"
 
     def decode_batches(it):
         for pdf in it:
             out = []
-            for path, length, content in zip(
-                pdf["path"], pdf["length"], pdf["content"]
-            ):
+            for path, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
                 arr = decode_pixels(bytes(content))
                 hh, ww = arr.shape[0], arr.shape[1]
@@ -114,7 +145,6 @@ def q_scan_binaryfile(spark, sf_dir):
                 out.append(
                     (
                         name,
-                        int(length),
                         ww,
                         hh,
                         float(np.mean(arr, dtype="float64")),
@@ -123,14 +153,11 @@ def q_scan_binaryfile(spark, sf_dir):
                 )
             yield pd.DataFrame(
                 out,
-                columns=[
-                    "name", "length", "width", "height", "pixel_mean",
-                    "dims_ok",
-                ],
+                columns=["name", "width", "height", "pixel_mean", "dims_ok"],
             )
 
     return (
-        files.select("path", "length", "content")
+        files.select("path", "content")
         .mapInPandas(decode_batches, schema)
         .orderBy("name")
     )

@@ -38,7 +38,6 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_multimodal_audio": ["roundtrip_ok"],
     "q_multimodal_features": ["dims_ok", "pixels_ok"],
     "q_multimodal_video": ["roundtrip_ok"],
-    "q_scan_binaryfile": ["dims_ok"],
     "q_sim_join_lsh": ["above_threshold"],
 }
 
@@ -54,7 +53,6 @@ MIN_FRACTION: dict[str, tuple[str, float]] = {
 # Per-row bound predicates (the witness is a bounded metric column).
 BOUND: dict[str, str] = {
     "q_dedup_ngram_verify": "jaccard >= 0.5 AND id_l < id_r",
-    "q_dedup_simhash_pairs": "hamming <= 8 AND id_l < id_r",
 }
 
 
