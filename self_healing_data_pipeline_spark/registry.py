@@ -162,4 +162,5 @@ def load_all() -> None:
         extras88,
         extras89,
         extras90,
+        extras91,
     )
