@@ -174,6 +174,99 @@ def deterministic_centroids(
     return c / norms
 
 
+def semdedup_drops(
+    embeddings: DataFrame,
+    tau: float,
+    min_k: int = 16,
+    target_cluster: int = 125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) at VALUE grain:
+    one row per DROPPED vector — ``(vec_id, cluster_id, dup_of,
+    cos_sim)`` where ``dup_of`` is the lowest same-cluster id at cosine
+    ≥ ``tau`` and ``cos_sim`` that pair's cosine.
+
+    Semantics are defined at VECTOR grain (drop x iff a lower-id
+    same-cluster neighbor has cos ≥ τ), but the computation collapses
+    bit-identical vectors first — the template-page adversary (one hot
+    vector at 20% of corpus mass, the --embskew tier) otherwise lands
+    ~0.2n copies in ONE cluster and makes the pair join O(n²). The
+    collapse is EXACT, not approximate, by two observations:
+
+    - a value's lowest member id IS its representative id, so the
+      minimum qualifying id for any vector x of value V is
+      ``m(V) = min(rep(W) : W partner of V)`` where partners are the
+      same-cluster values at cos ≥ τ — V always partners ITSELF
+      (cos(V,V) ≥ τ), so copies collapse to one self-pair and only
+      partners with smaller reps can win the min;
+    - x is dropped iff ``m(V) < id(x)``, with ``dup_of = m(V)`` and
+      ``cos_sim = cos(V, value(m(V)))`` — computed from the same
+      arrays by the same float chain as the vector-grain form, hence
+      bit-identical (the DuckDB oracle stays at vector grain: an
+      independent formulation, not a rewrite twin).
+
+    Pair work is Σ|distinct values per cluster|² and K = max(min_k,
+    n // target_cluster) keeps clusters bounded, so the whole plan is
+    linear in corpus size for any duplication profile. Shuffles: one
+    groupBy on the vector value, one on cluster id, plus the narrow
+    assignment map.
+    """
+    n = embeddings.count()
+    k = max(min_k, n // target_cluster)
+    # Seeds stay at VECTOR grain (first k by id — duplicates included),
+    # mirroring the oracle's definition.
+    cents = deterministic_centroids(embeddings, k, id_col, vec_col)
+    groups = embeddings.groupBy(vec_col).agg(
+        F.min(id_col).alias("rep_id"),
+        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+    )
+    a = (
+        ivf_assignments(groups, cents, id_col="rep_id", vec_col=vec_col)
+        .withColumn("nrm", l2_norm(F.col(vec_col)))
+    )
+    l = a.select(
+        F.col("rep_id").alias("rep_l"),
+        F.col("centroid_id").alias("cid"),
+        F.col(vec_col).alias("v_l"),
+        F.col("nrm").alias("n_l"),
+    )
+    r = a.select(
+        F.col("rep_id").alias("rep_r"),
+        F.col("centroid_id").alias("cid"),
+        F.col(vec_col).alias("v_r"),
+        F.col("nrm").alias("n_r"),
+        "member_ids",
+    )
+    # rep_l <= rep_r keeps the SELF-pair (copies dup against their own
+    # rep); partners with larger reps can never win the min, so one
+    # direction is complete.
+    pairs = (
+        l.join(r, "cid")
+        .filter(F.col("rep_l") <= F.col("rep_r"))
+        .withColumn(
+            "cos",
+            dot_product(F.col("v_l"), F.col("v_r"))
+            / (F.col("n_l") * F.col("n_r")),
+        )
+        .filter(F.col("cos") >= F.lit(tau))
+    )
+    per_value = pairs.groupBy("rep_r", "cid", "member_ids").agg(
+        F.min("rep_l").alias("m"),
+        F.min_by("cos", "rep_l").alias("cos_m"),
+    )
+    return (
+        per_value.select(
+            F.explode("member_ids").alias(id_col),
+            F.col("cid").cast("int").alias("cluster_id"),
+            F.col("m").alias("dup_of"),
+            F.col("cos_m").alias("cos_sim"),
+        )
+        .filter(F.col(id_col) > F.col("dup_of"))
+        .orderBy(id_col)
+    )
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_centroids: int = 16,

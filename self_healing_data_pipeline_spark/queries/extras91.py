@@ -25,12 +25,6 @@ app delegates table analysis to an engine; these are engine-side).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from self_healing_data_pipeline_spark.functions.vector import (
-    dot_product,
-    l2_norm,
-)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -170,61 +164,27 @@ def q_semdedup(spark, sf_dir):
     accepted q_kmeans_assign residual: argmax flips only on dots tied
     within ~1e-14, never on this fixture).
 
-    Scale shape: assignment is a narrow Arrow matmul (no shuffle);
-    the self-join shuffles once on cluster id; and K is NOT fixed —
-    K = max(16, n // 125) keeps the average cluster at ~125 vectors
-    (the paper's regime), so pair volume Σ|cluster|² grows LINEARLY
-    with the corpus (a fixed K would make it quadratic — probed and
-    rejected pre-commit). The oracle mirrors the same K rule via a
-    COUNT(*) scalar. The K×dim centroid panel is driver-bounded and
-    broadcast; the one extra driver action (the count that sizes K)
-    is a columnless scan."""
+    Scale shape (operators.similarity.semdedup_drops): the engine runs
+    at VALUE grain — bit-identical vectors collapse before the pair
+    join, which is what survives the template-page adversary (one hot
+    vector at 20% of corpus mass — the --embskew tier; at vector grain
+    that cluster alone is O(n²) pairs). The collapse is EXACT (the
+    minimum qualifying id for any copy is always a value's rep — see
+    the operator docstring), so the DuckDB oracle deliberately stays
+    at VECTOR grain: an independent formulation of the same
+    semantics, not a rewrite twin. K is NOT fixed — K = max(16,
+    n // 125) keeps the average cluster at ~125 vectors (the paper's
+    regime), so pair volume grows LINEARLY with the corpus (a fixed K
+    would make it quadratic — probed and rejected pre-commit); the
+    oracle mirrors the same K rule via a COUNT(*) scalar."""
     from self_healing_data_pipeline_spark.operators.similarity import (
-        deterministic_centroids,
-        ivf_assignments,
+        semdedup_drops,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    k = max(_SEMDEDUP_MIN_K, emb.count() // _SEMDEDUP_TARGET_CLUSTER)
-    cents = deterministic_centroids(emb, k)
-    a = (
-        ivf_assignments(emb, cents)
-        .select("vec_id", "centroid_id", "embedding")
-        .withColumn("nrm", l2_norm(F.col("embedding")))
-    )
-    l = a.select(
-        F.col("vec_id").alias("id_l"),
-        F.col("centroid_id").alias("cid"),
-        F.col("embedding").alias("v_l"),
-        F.col("nrm").alias("n_l"),
-    )
-    r = a.select(
-        F.col("vec_id").alias("id_r"),
-        F.col("centroid_id").alias("cid"),
-        F.col("embedding").alias("v_r"),
-        F.col("nrm").alias("n_r"),
-    )
-    pairs = (
-        l.join(r, "cid")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn(
-            "cos",
-            dot_product(F.col("v_l"), F.col("v_r"))
-            / (F.col("n_l") * F.col("n_r")),
-        )
-        .filter(F.col("cos") >= _SEMDEDUP_TAU)
-    )
-    return (
-        pairs.groupBy("id_r", "cid")
-        .agg(
-            F.min("id_l").alias("dup_of"),
-            F.min_by("cos", "id_l").alias("cos_sim"),
-        )
-        .select(
-            F.col("id_r").alias("vec_id"),
-            F.col("cid").cast("int").alias("cluster_id"),
-            "dup_of",
-            "cos_sim",
-        )
-        .orderBy("vec_id")
+    return semdedup_drops(
+        emb,
+        tau=_SEMDEDUP_TAU,
+        min_k=_SEMDEDUP_MIN_K,
+        target_cluster=_SEMDEDUP_TARGET_CLUSTER,
     )

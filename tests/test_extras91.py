@@ -97,6 +97,66 @@ def test_semdedup_matches_numpy_twin(spark, sf_dir):
         assert abs(got[v][2] - cos) < 1e-5
 
 
+def test_semdedup_value_grain_equals_vector_grain_on_duplicates(spark):
+    """The value-grain collapse must be EXACT under heavy duplication —
+    the case it exists for. Crafted set (ids 0..9, 4-dim):
+
+    - value A at ids 0, 3, 5, 9 (a hot template vector),
+    - value B = A rotated slightly (cos(A,B) ≥ τ) at ids 1, 7,
+    - value C orthogonal to A (cos < τ) at ids 2, 8,
+    - value D = -A (cos = -1) at ids 4, 6.
+
+    Brute-force vector-grain numpy twin computes the expected drops.
+    """
+    import pandas as pd
+
+    from self_healing_data_pipeline_spark.operators.similarity import (
+        deterministic_centroids,
+        semdedup_drops,
+    )
+
+    A = np.array([1.0, 0.0, 0.0, 0.0], dtype="float32")
+    B = np.array([0.95, 0.3122499, 0.0, 0.0], dtype="float32")
+    C = np.array([0.0, 0.0, 1.0, 0.0], dtype="float32")
+    D = (-A).astype("float32")
+    vals = [A, B, C, A, D, A, D, B, C, A]
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(10)), "embedding": [list(v) for v in vals]}
+    )
+    df = spark.createDataFrame(pdf).selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+    )
+    tau, min_k, target = 0.4, 2, 5  # k = max(2, 10//5) = 2 clusters
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["dup_of"], r["cos_sim"])
+        for r in semdedup_drops(
+            df, tau=tau, min_k=min_k, target_cluster=target
+        ).collect()
+    }
+    # vector-grain brute force (float64 twin; ids/clusters exact,
+    # cosines to float32 tolerance)
+    X = np.stack(vals).astype("float64")
+    cents = deterministic_centroids(df, 2)
+    assign = (X @ cents.T).argmax(axis=1)
+    xn = X / np.linalg.norm(X, axis=1)[:, None]
+    expect = {}
+    for j in range(10):
+        cand = [
+            i
+            for i in range(j)
+            if assign[i] == assign[j] and xn[i] @ xn[j] >= tau
+        ]
+        if cand:
+            e = min(cand)
+            expect[j] = (int(assign[j]), e, float(xn[e] @ xn[j]))
+    assert set(out) == set(expect)
+    for v, (c, dup, cos) in expect.items():
+        assert out[v][0] == c, (v, out[v], (c, dup, cos))
+        assert out[v][1] == dup, (v, out[v], (c, dup, cos))
+        assert abs(out[v][2] - cos) < 1e-6
+
+
 def test_batch74_plan_shapes(spark, sf_dir):
     import io
     from contextlib import redirect_stdout

@@ -107,6 +107,12 @@ PROBE_KEYS = [
     # partitions (expect flat).
     "q_window_groups_exclude",
     "q_window_agg_filter",
+    # round-10 batch 74: the interval RANGE frame is a plain per-user
+    # window (expect flat); SemDeDup's claim is the K = n/125 rule —
+    # at 10× vectors K grows 16→160, clusters stay ~125, so the pair
+    # join must scale LINEARLY (a fixed K would be quadratic here).
+    "q_window_range_interval",
+    "q_semdedup",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
@@ -170,6 +176,7 @@ EMBSKEW_KEYS = [
     "q_ann_two_stage",   # shortlist fills with clones; rerank stays L-bounded
     "q_embedding_dedup_bitexact",  # 20% of rows in ONE dedup group
     "q_kmeans_assign",   # one cluster absorbs the mass; argmax stays narrow
+    "q_semdedup",        # value-grain collapse vs the hot-cluster pair bomb
 ]
 EMBSKEW_OUT = os.path.join(REPO, ".scratch", "sf1embskew")
 
