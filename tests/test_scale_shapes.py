@@ -1428,15 +1428,15 @@ def test_extras72_plans_are_bounded(spark, sf_dir):
 
 
 def test_extras73_plans_are_bounded(spark, sf_dir):
-    # catalog graph: FK edges reuse join-discovery's distinct-value
-    # shuffle; schema/lineage edges are metadata literals — never a
-    # cartesian anywhere
+    # catalog graph: FK edges come from the CATALOGED discovery result
+    # (discovered_fk_edges — the distributed distinct-value pipeline
+    # runs once per session, consumers read the memoized catalog);
+    # schema/lineage edges are metadata literals — never a cartesian
     p = plan_of(spark, sf_dir, "q_catalog_graph")
     assert "CartesianProduct" not in p
     assert "Window" not in p
-    # impact closure: per-level broadcast hash joins over the
-    # metadata-sized edge list; per-level distinct keeps the walk
-    # |V|-bounded
+    # impact closure: driver-side BFS over the metadata-sized cataloged
+    # edge list (|FKs| + |stages| rows at any corpus scale)
     pi = plan_of(spark, sf_dir, "q_catalog_graph_impact")
     assert "CartesianProduct" not in pi
     assert "Window" not in pi
