@@ -262,6 +262,7 @@ def pairs_within_buckets(
     bucket_cols: list[str],
     max_bucket: int,
     payload: str | None = None,
+    on_oversize: str = "drop",
 ) -> DataFrame:
     """Shared LSH-skeleton tail: group rows by bucket, emit all in-bucket
     (id_l < id_r) pairs, distinct.
@@ -269,10 +270,18 @@ def pairs_within_buckets(
     ``banded`` must have an ``__id`` column plus ``bucket_cols``;
     ``payload`` optionally names one extra column carried onto both sides
     (as ``<payload>_l`` / ``<payload>_r``). Buckets above ``max_bucket``
-    (degenerate collisions — would emit O(size²) pairs) are dropped.
-    One shuffle; pair generation is an array transform over small,
-    capped buckets.
+    (degenerate collisions — would emit O(size²) pairs) are handled per
+    ``on_oversize``: ``"drop"`` (default — the probabilistic-LSH recall
+    trade, bounded worst case) silently skips them; ``"error"`` fails
+    the JOB via an in-plan ``assert_true`` (a filter predicate, so
+    column pruning can't elide it) — the mode for callers whose
+    CONTRACT asserts a complete pair set (q_dedup_simhash_pairs'
+    lossless pigeonhole): incompleteness must be loud, never a silent
+    recall loss the oracle would contradict. One shuffle; pair
+    generation is an array transform over small, capped buckets.
     """
+    if on_oversize not in ("drop", "error"):
+        raise ValueError(f"on_oversize must be 'drop' or 'error', got {on_oversize!r}")
     if payload is None:
         agg_member = F.sort_array(F.collect_list(F.col("__id"))).alias("members")
         pair_struct = "struct(x AS id_l, y AS id_r)"
@@ -291,11 +300,23 @@ def pairs_within_buckets(
         " transform(slice(members, i + 2, size(members) - i - 1),"
         f" y -> {pair_struct})))"
     )
-    buckets = (
-        banded.groupBy(*bucket_cols)
-        .agg(agg_member)
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
-    )
+    grouped = banded.groupBy(*bucket_cols).agg(agg_member)
+    if on_oversize == "error":
+        grouped = grouped.filter(
+            F.assert_true(
+                F.size("members") <= max_bucket,
+                F.lit(
+                    f"LSH bucket exceeds max_bucket={max_bucket}: the "
+                    "complete-pairs contract would silently lose pairs; "
+                    "widen the bands or raise the cap"
+                ),
+            ).isNull()
+        )
+        buckets = grouped.filter(F.size("members") > 1)
+    else:
+        buckets = grouped.filter(
+            (F.size("members") > 1) & (F.size("members") <= max_bucket)
+        )
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(*out_cols)
@@ -518,6 +539,11 @@ def simhash_pairs(
     width = 64 // n_bands
     sig_fn = simhash_signatures_md5 if use_md5 else simhash_signatures
     sig = sig_fn(df, id_col, text_col, ngram)
+    # The md5 form backs a COMPLETE-pairs oracle, so a capped bucket
+    # must fail loudly instead of silently losing pairs (review
+    # finding: 7-bit bands have 128 values — oversize is guaranteed at
+    # large n, where the fix is wider bands, not silence).
+    on_oversize = "error" if use_md5 else "drop"
     banded = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -539,7 +565,11 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("__id", "simhash", "bk.band", "bk.bits")
     cand = pairs_within_buckets(
-        banded, ["band", "bits"], max_bucket, payload="simhash"
+        banded,
+        ["band", "bits"],
+        max_bucket,
+        payload="simhash",
+        on_oversize=on_oversize,
     )
     ham = F.bit_count(F.col("simhash_l").bitwiseXOR(F.col("simhash_r")))
     return (

@@ -224,6 +224,12 @@ def semdedup_drops(
     a = (
         ivf_assignments(groups, cents, id_col="rep_id", vec_col=vec_col)
         .withColumn("nrm", l2_norm(F.col(vec_col)))
+        # Zero-norm vectors have no cosine: exclude them from the pair
+        # space entirely (never dropped, never a dup_of) — mirrored by
+        # the oracle's nrm > 0 predicate. Without this, Spark's 0/0
+        # divide yields NULL (pair filtered) while DuckDB's yields NaN,
+        # which DuckDB compares GREATER than any number (review finding).
+        .filter(F.col("nrm") > 0)
     )
     l = a.select(
         F.col("rep_id").alias("rep_l"),

@@ -78,21 +78,14 @@ _SEMDEDUP_TAU = 0.4
 _SEMDEDUP_MIN_K = 16
 _SEMDEDUP_TARGET_CLUSTER = 125
 
-# Sequential-fold float32 dot (extras55 discipline): FLOAT products,
-# strict left-to-right DOUBLE accumulation — mirrors
-# functions.vector.dot_product bit-for-bit.
-def _dot32(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (x, y) -> x + y)"
-    )
-
-
-def _dot64(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), "
-        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+# Sequential-fold dot-product SQL (float32 products, strict left-fold
+# double accumulation): the single source of the fold discipline lives
+# in extras55 beside its documentation — a third copy here would have
+# to be kept in sync by hand (review finding).
+from self_healing_data_pipeline_spark.queries.extras55 import (  # noqa: E402
+    _dot32,
+    _dot64,
+)
 
 
 @query(
@@ -125,9 +118,15 @@ def _dot64(a: str, b: str) -> str:
                           cent.centroid_id) AS rn
         FROM ed, cent) WHERE rn = 1
     ), nrm AS (
-      SELECT vec_id,
-             SQRT({_dot32('e.embedding', 'e.embedding')}) AS nrm
-      FROM embeddings e
+      -- zero-norm vectors have no cosine: excluded from the pair
+      -- space on BOTH engines (Spark: NULL from 0/0; DuckDB: NaN,
+      -- which compares GREATER than any number — divergent without
+      -- this symmetric predicate)
+      SELECT vec_id, nrm FROM (
+        SELECT vec_id,
+               SQRT({_dot32('e.embedding', 'e.embedding')}) AS nrm
+        FROM embeddings e
+      ) WHERE nrm > 0
     ), pairs AS (
       SELECT ar.vec_id AS id_r, al.vec_id AS id_l,
              ar.centroid_id AS cid,

@@ -68,6 +68,23 @@ def stop_spark() -> None:
         active.stop()
 
 
+def scratch_path(tag: str, sf_dir: str) -> str:
+    """The path :func:`scratch_dir` would return, WITHOUT wiping it or
+    sweeping siblings — for code (tests, inspectors) that needs to look
+    at a scratch directory some query already built. Single source of
+    the naming scheme: ``.scratch/<tag>_<sf-basename>_pid<pid>``."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+    )
+    return os.path.join(
+        root,
+        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_pid{os.getpid()}",
+    )
+
+
 def scratch_dir(tag: str, sf_dir: str) -> str:
     """Fresh per-invocation scratch directory for run-the-machinery
     queries: ``.scratch/<tag>_<sf-basename>_pid<pid>``, wiped at call
@@ -106,9 +123,6 @@ def scratch_dir(tag: str, sf_dir: str) -> str:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         except PermissionError:
             pass  # alive, owned by someone else
-    d = os.path.join(
-        root,
-        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_pid{me}",
-    )
+    d = scratch_path(tag, sf_dir)
     shutil.rmtree(d, ignore_errors=True)
     return d

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from self_healing_data_pipeline_spark import registry
+from self_healing_data_pipeline_spark.session import scratch_path
 
 registry.load_all()
 
@@ -21,23 +22,16 @@ registry.load_all()
 # overhead; BMP = 54B header. Anything at or under these is a stub.
 _HEADER_FLOOR = {"png": 57, "bmp": 54}
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 def test_binaryfile_length_matches_disk_and_clears_header_floor(
     spark, sf_dir
 ):
-    # Run the query first: it synthesizes the scratch directory (the
-    # path mirrors session.scratch_dir — calling it here would WIPE the
-    # directory the query just built).
+    # Run the query first: it synthesizes the scratch directory
+    # (scratch_path is the non-wiping twin of scratch_dir — calling
+    # scratch_dir here would WIPE the directory the query just built).
     out = registry.QUERIES["q_scan_binaryfile"](spark, sf_dir)
     assert out.count() == 24
-    d = os.path.join(
-        _REPO,
-        ".scratch",
-        f"binfiles_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_pid{os.getpid()}",
-    )
+    d = scratch_path("binfiles", sf_dir)
     assert os.path.isdir(d), d
 
     rows = (

@@ -159,6 +159,33 @@ def test_simhash_pairs_pigeonhole_finds_near_pair(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_pairs_complete_mode_fails_loudly_on_oversized_bucket(spark):
+    # The md5/complete-pairs mode asserts a COMPLETE pair set, so a
+    # bucket over max_bucket must raise (silent recall loss would
+    # contradict the oracle); the default probabilistic mode drops it.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from self_healing_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )  # 5 identical docs -> one bucket of 5 in every band
+    with pytest.raises((Py4JJavaError, Exception), match="max_bucket"):
+        simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8, max_bucket=4,
+            use_md5=True,
+        ).collect()
+    # drop mode: the oversized bucket silently vanishes, no pairs
+    assert (
+        simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8, max_bucket=4
+        ).count()
+        == 0
+    )
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [("a b c d e f g", "a b c d e f g", "x y z w v u t")],
