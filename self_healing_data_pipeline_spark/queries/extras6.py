@@ -478,33 +478,60 @@ def q_embedding_quantize(spark, sf_dir):
     constant vectors quantize to code 0 with zero error).
 
     Everything runs in JVM higher-order array functions
-    (array_min/array_max, transform, zip_with, aggregate) — no UDF, no
-    Python, no explode: the whole quantize→verify pipeline is one
-    narrow map over the vectors, embarrassingly parallel at any table
-    size. Output keeps exact-integer code stats per vector (code_min /
-    code_max / n_dims) beside the boolean witness."""
+    (array_min/array_max, transform, aggregate) — no UDF, no Python,
+    no explode: the whole quantize→verify pipeline is one narrow map
+    over the vectors, embarrassingly parallel at any table size.
+    Output keeps exact-integer code stats per vector (code_min /
+    code_max / n_dims) beside the boolean witness.
+
+    Round-10 restructure (same output bits, ~5× less work): the first
+    form kept mn/step as COMPUTED expressions referenced inside lambda
+    bodies — the long-doc tier's lesson (computed outer references
+    re-evaluate per ELEMENT, turning each 64-wide row into O(64²)
+    mini-passes) applied at vector width. They now stage as named
+    columns (multiply-referenced non-cheap aliases, which
+    CollapseProject leaves staged), the per-element reconstruction
+    error folds in ONE pass directly over x (no codes/dq arrays), and
+    code_min/code_max compute from only the extreme ELEMENTS:
+    round((v−mn)/step) is a monotone image of v (IEEE divide by a
+    positive constant and ROUND both preserve order), so the min/max
+    code are the codes of mn/mx — the identical values the oracle's
+    whole-array list_min/list_max produce."""
     e = read_table(spark, sf_dir, "embeddings")
-    x = F.transform("embedding", lambda v: v.cast("double"))
-    mn, mx = F.array_min(x), F.array_max(x)
-    step = (mx - mn) / F.lit(255.0)
-    codes = F.when(step > 0, F.transform(x, lambda v: F.round((v - mn) / step).cast("int"))).otherwise(
-        F.transform(x, lambda v: F.lit(0))
-    )
-    dq = F.when(step > 0, F.transform(codes, lambda c: mn + c.cast("double") * step)).otherwise(
-        F.transform(x, lambda v: mn)
-    )
-    err = F.aggregate(
-        F.zip_with(x, dq, lambda a, b: F.abs(a - b)),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, v),
-    )
-    return (
+    staged = (
         e.select(
             "vec_id",
-            F.size("embedding").alias("n_dims"),
-            F.array_min(codes).cast("int").alias("code_min"),
-            F.array_max(codes).cast("int").alias("code_max"),
-            (err <= step * 0.5001 + 1e-9).alias("witness_ok"),
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+        .select("vec_id", "x", F.array_min("x").alias("mn"),
+                F.array_max("x").alias("mx"))
+        .select(
+            "vec_id", "x", "mn", "mx",
+            ((F.col("mx") - F.col("mn")) / F.lit(255.0)).alias("step"),
+        )
+    )
+    mn, mx, step = F.col("mn"), F.col("mx"), F.col("step")
+
+    def code(v):  # the oracle's ROUND((v - mn) / step), token-for-token
+        return F.round((v - mn) / step)
+
+    err = F.aggregate(
+        F.col("x"),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(
+            acc, F.abs(v - (mn + code(v) * step))
+        ),
+    )
+    return (
+        staged.select(
+            "vec_id",
+            F.size("x").alias("n_dims"),
+            F.when(step > 0, code(mn)).otherwise(F.lit(0))
+            .cast("int").alias("code_min"),
+            F.when(step > 0, code(mx)).otherwise(F.lit(0))
+            .cast("int").alias("code_max"),
+            F.when(step > 0, err <= step * 0.5001 + 1e-9)
+            .otherwise(F.lit(True)).alias("witness_ok"),
         )
         .orderBy("vec_id")
     )
