@@ -167,30 +167,24 @@ def q_dict_candidates(spark, sf_dir):
     builder before compressing a string column, and the corpus-level
     complement of q_encoding_advisor's page-local run statistics.
 
-    Scale shape: grams are generated map-side (bounded ≈ chars/stride
-    per doc), one gram-grain partial-aggregated count (shuffle carries
-    the 16-char gram, never documents), HAVING ≥2 prunes the
-    singleton long tail before ranking, and the top-50 is a
-    TakeOrderedAndProject with the gram itself as tie-break."""
+    Scale shape: grams come from the shared LINEAR span extractor
+    (`operators.text.strided_spans` — round-10 class audit: the
+    earlier `transform(sequence(...), i -> substring(nt, i, 16))` form
+    was the q_doc_chunks quadratic on long documents, O(pos) per gram
+    from substring's UTF-8 walk), one gram-grain partial-aggregated
+    count (shuffle carries the 16-char gram, never documents), HAVING
+    ≥2 prunes the singleton long tail before ranking, and the top-50
+    is a TakeOrderedAndProject with the gram itself as tie-break."""
     docs = read_table(spark, sf_dir, "documents")
     from self_healing_data_pipeline_spark.operators.dedup import normalize_text
+    from self_healing_data_pipeline_spark.operators.text import strided_spans
 
     t = docs.select("doc_id", normalize_text("text").alias("nt")).where(
         F.length("nt") >= _GRAM_LEN
     )
-    g = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.length("nt") - (_GRAM_LEN - 1),
-                    F.lit(_GRAM_STRIDE),
-                ),
-                lambda i: F.substring(F.col("nt"), i, _GRAM_LEN),
-            )
-        ).alias("gram"),
-    )
+    g = strided_spans(
+        t, "doc_id", F.col("nt"), _GRAM_LEN, _GRAM_STRIDE, out_col="gram"
+    ).select("doc_id", "gram")
     return (
         g.groupBy("gram")
         .agg(

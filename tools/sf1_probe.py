@@ -201,6 +201,7 @@ LONGDOC_KEYS = [
     "q_dedup_substring",
     "q_dedup_explain",
     "q_contamination",
+    "q_dict_candidates",  # fourth member found by the round-10 re-audit
     # shingles() itself (the whole set-similarity family's gram source)
     # was O(tokens^2) via a computed split inside a transform lambda --
     # jaccard_prefix did not finish a 10-min probe before the zip_with
