@@ -1,5 +1,7 @@
 """Per-query bench regression tripwire (round-3 judge task; mechanism
-hardened round 9, isolation fixed round 10).
+hardened round 9, isolation fixed round 10, environment-calibrated
+later in round 10 — see the SENTINELS note for the multiplicative
+drift model both stages now normalize by).
 
 The driver's 2x gate is on the suite TOTAL, so a single badly-regressed
 plan can hide inside a green total. This test compares the latest bench
@@ -65,6 +67,31 @@ ISOLATED_THRESHOLD = 1.8  # baseline frozen from isolated min-of-3 (faster)
 NOISE_FLOOR_SEC = 0.3  # sub-0.3s on both sides: scheduler jitter only
 MIN_DELTA_SEC = 0.5  # a regression must also move this much wall time
 
+#: ENVIRONMENT CALIBRATION (round-10 second fix to this mechanism).
+#: Host speed is not constant: the same tree measured suite totals of
+#: 333-408 s across one day with identical plans, and a retime
+#: subprocess that runs beside pytest's resident JVM lands ~1.4x
+#: pessimistic vs a truly idle retime (measured: q_impute_missing
+#: 1.64 s direct vs 2.45 s under pytest — same code, same session
+#: config). Under a MULTIPLICATIVE environment model, a uniformly slow
+#: run inflates every key by the same factor while a genuine plan
+#: regression inflates one key on top of it — so both stages normalize:
+#: stage 1 divides each suite ratio by the run's MEDIAN ratio over all
+#: common keys (384 keys: one regressed plan cannot move the median),
+#: and stage 2 re-times these stable SENTINEL keys in the same
+#: subprocess and divides each suspect's isolated ratio by the median
+#: sentinel drift. A true 1.5x regression on a 1.4x-slow host shows
+#: raw 2.1x and corrected 1.5x — still caught; calibration can only
+#: absorb what affects every key equally. cal is clamped to >= 1.0 so
+#: a FASTER environment can never hide a regression; a sentinel that
+#: is itself a suspect is excluded from calibration and judged raw.
+SENTINELS = ("q_agg_groupby", "q_join_inner", "q_window_frame")
+
+
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
 
 def _load(path: str) -> tuple[dict[str, float], set[str]]:
     with open(path) as f:
@@ -128,12 +155,19 @@ def test_no_per_query_bench_regression():
         pytest.skip("no bench_queries.json — run `python bench.py` first")
     current, _ = _load(current_path)
     baseline, isolated = _load(baseline_path)
+    common = sorted(set(baseline) & set(current))
+    # Stage-1 environment factor: the run's median ratio (see SENTINELS
+    # note — uniform host drift is not a plan regression, and one
+    # regressed plan cannot move the median of ~384 keys).
+    suite_cal = max(
+        1.0, _median([current[k] / baseline[k] for k in common if baseline[k] > 0])
+    )
     suspects = {
         k: (baseline[k], current[k])
-        for k in set(baseline) & set(current)
+        for k in common
         if _breaches(
             baseline[k],
-            current[k],
+            current[k] / suite_cal,
             ISOLATED_THRESHOLD if k in isolated else THRESHOLD,
         )
     }
@@ -151,8 +185,18 @@ def test_no_per_query_bench_regression():
     )
     # Self-adjudicate in a SUBPROCESS (fresh JVM, bench session) — never
     # in-process, which would inherit conftest's local[4] session.
-    info = _run_retime(live, timeout=120 + 180 * len(live))
+    # Sentinels ride along for stage-2 calibration (excluded if they
+    # are themselves suspects — a suspect sentinel is judged raw, never
+    # trusted to normalize others).
+    sentinels = [
+        s for s in SENTINELS if s not in suspects and s in baseline
+    ]
+    info = _run_retime(live + sentinels, timeout=120 + 180 * (len(live) + len(sentinels)))
     fresh = info["queries"]
+    retime_cal = max(
+        1.0,
+        _median([fresh[s] / baseline[s] for s in sentinels]) if sentinels else 1.0,
+    )
     # Stage 2 always uses the BASE threshold: the isolated re-time is
     # protocol-matched (or generous) against either baseline kind —
     # isolated-vs-isolated for tagged keys, isolated-vs-suite (faster
@@ -161,13 +205,15 @@ def test_no_per_query_bench_regression():
     # (review finding).
     regressed = {
         k: {"baseline": suspects[k][0], "suite_run": suspects[k][1],
-            "isolated_retime": fresh[k]}
+            "isolated_retime": fresh[k],
+            "environment_cal": round(retime_cal, 3)}
         for k in live
-        if _breaches(suspects[k][0], fresh[k], THRESHOLD)
+        if _breaches(suspects[k][0], fresh[k] / retime_cal, THRESHOLD)
     }
     assert not regressed, (
         f"queries regressed vs tools/bench_baseline.json even after "
-        f"isolated min-of-3 subprocess re-time: {regressed} — investigate "
+        f"isolated min-of-3 subprocess re-time (sentinel-calibrated): "
+        f"{regressed} — investigate "
         "with tools/bench_diff.py; refresh the baseline only after accepting "
         "(volatile keys: tools/retime.py --patch-baseline)"
     )
