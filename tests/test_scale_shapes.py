@@ -1213,10 +1213,12 @@ def test_extras59_plans_are_bounded(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p  # df/size/rank windows partition by sh/doc_id
-    # dict candidates: map-side gram explode + gram-grain count + top-50
+    # dict candidates: linear strided_spans cells (lead-window
+    # PARTITIONED BY doc_id — the round-10 refit off the quadratic
+    # dynamic-substring form) + gram-grain count + top-50
     pd = plan_of(spark, sf_dir, "q_dict_candidates")
     assert "SinglePartition" not in pd
-    assert "Window" not in pd
+    assert "Window" in pd
     assert "partial_" in pd
     assert "TakeOrderedAndProject" in pd
 
