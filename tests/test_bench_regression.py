@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -82,15 +83,23 @@ MIN_DELTA_SEC = 0.5  # a regression must also move this much wall time
 #: subprocess and divides each suspect's isolated ratio by the median
 #: sentinel drift. A true 1.5x regression on a 1.4x-slow host shows
 #: raw 2.1x and corrected 1.5x — still caught; calibration can only
-#: absorb what affects every key equally. cal is clamped to >= 1.0 so
-#: a FASTER environment can never hide a regression; a sentinel that
-#: is itself a suspect is excluded from calibration and judged raw.
+#: absorb what affects every key equally. Guard rails (second review
+#: pass): (a) sentinel baselines must be ISOLATED-tagged so
+#: fresh/baseline is protocol-matched drift, not drift times the
+#: suite-vs-isolated protocol skew; (b) cal clamps to >= 1.0 (a fast
+#: environment never hides a regression) and stage-2 cal caps at 2.0
+#: (the measured co-residency factor is ~1.4-1.5 — a larger "drift"
+#: is more likely a sentinel's own problem than the environment);
+#: (c) if the run's MEDIAN ratio itself exceeds SUITE_CAL_LIMIT the
+#: test FAILS with a distinct message instead of normalizing — a
+#: global regression (session default, shuffle config) moves the
+#: median exactly like a horrible host day, and this estimator cannot
+#: tell them apart, so neither is silently absorbed; (d) a sentinel
+#: that is itself a suspect is excluded from CALIBRATION (it still
+#: gets judged in `live`, calibrated by the remaining sentinels).
 SENTINELS = ("q_agg_groupby", "q_join_inner", "q_window_frame")
-
-
-def _median(xs):
-    s = sorted(xs)
-    return s[len(s) // 2]
+SUITE_CAL_LIMIT = 1.75
+RETIME_CAL_LIMIT = 2.0
 
 
 def _load(path: str) -> tuple[dict[str, float], set[str]]:
@@ -156,12 +165,23 @@ def test_no_per_query_bench_regression():
     current, _ = _load(current_path)
     baseline, isolated = _load(baseline_path)
     common = sorted(set(baseline) & set(current))
+    ratios = [current[k] / baseline[k] for k in common if baseline[k] > 0]
+    if not ratios:
+        pytest.skip("bench_queries.json shares no keys with the baseline")
     # Stage-1 environment factor: the run's median ratio (see SENTINELS
     # note — uniform host drift is not a plan regression, and one
-    # regressed plan cannot move the median of ~384 keys).
-    suite_cal = max(
-        1.0, _median([current[k] / baseline[k] for k in common if baseline[k] > 0])
+    # regressed plan cannot move the median of ~384 keys). A median
+    # above SUITE_CAL_LIMIT is indistinguishable from a GLOBAL
+    # regression and is never silently normalized away.
+    med = statistics.median(ratios)
+    assert med <= SUITE_CAL_LIMIT, (
+        f"the run's MEDIAN per-query ratio is {med:.2f}x — either the "
+        "host is catastrophically degraded (re-run `python bench.py` "
+        "idle) or a global regression (session default, shuffle config) "
+        "slowed the whole suite; this gate cannot tell them apart and "
+        "refuses to normalize it away"
     )
+    suite_cal = max(1.0, med)
     suspects = {
         k: (baseline[k], current[k])
         for k in common
@@ -185,17 +205,29 @@ def test_no_per_query_bench_regression():
     )
     # Self-adjudicate in a SUBPROCESS (fresh JVM, bench session) — never
     # in-process, which would inherit conftest's local[4] session.
-    # Sentinels ride along for stage-2 calibration (excluded if they
-    # are themselves suspects — a suspect sentinel is judged raw, never
-    # trusted to normalize others).
+    # Sentinels ride along for stage-2 calibration (a suspect sentinel
+    # is excluded from CALIBRATION and judged in `live` like any other
+    # suspect, calibrated by the remaining sentinels). Protocol match:
+    # only isolated-TAGGED sentinel baselines may calibrate — a
+    # suite-protocol baseline would fold the suite-vs-isolated skew
+    # into the "drift" and mis-correct in both directions.
     sentinels = [
-        s for s in SENTINELS if s not in suspects and s in baseline
+        s
+        for s in SENTINELS
+        if s not in suspects
+        and s in baseline
+        and s in isolated
+        and s in registry.QUERIES
     ]
     info = _run_retime(live + sentinels, timeout=120 + 180 * (len(live) + len(sentinels)))
     fresh = info["queries"]
-    retime_cal = max(
-        1.0,
-        _median([fresh[s] / baseline[s] for s in sentinels]) if sentinels else 1.0,
+    retime_cal = (
+        min(
+            RETIME_CAL_LIMIT,
+            max(1.0, statistics.median([fresh[s] / baseline[s] for s in sentinels])),
+        )
+        if sentinels
+        else 1.0
     )
     # Stage 2 always uses the BASE threshold: the isolated re-time is
     # protocol-matched (or generous) against either baseline kind —
