@@ -61,10 +61,17 @@ import pandas as pd  # noqa: F401 — pandas_udf type hints resolve at import
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-try:  # only mutate sys.path when the repo isn't already importable
-    import self_healing_data_pipeline_spark  # noqa: F401
-except ImportError:  # pragma: no cover - depends on caller's sys.path
-    sys.path.insert(0, REPO)
+
+
+def _ensure_importable() -> None:
+    """Make the repo importable when run as ``python tools/retime.py``
+    (sys.path[0] is tools/). Called from main() only — importing this
+    module must never mutate the caller's sys.path (round-10 advisor
+    item: a top-level insert leaks into any process that imports us)."""
+    try:
+        import self_healing_data_pipeline_spark  # noqa: F401
+    except ImportError:  # pragma: no cover - depends on caller's sys.path
+        sys.path.insert(0, REPO)
 
 
 def _bench_session():
@@ -76,7 +83,19 @@ def _bench_session():
 
 
 def retime(keys: list[str], passes: int = 3, spark=None) -> dict[str, float]:
-    """Return {key: min-of-passes seconds} for each bench key, isolated."""
+    """Return {key: min-of-passes seconds} for each bench key, isolated.
+
+    PASS INTERLEAVING (round-11 tripwire hardening): passes are taken
+    round-robin ACROSS keys (pass 1 of every key, then pass 2, ...), not
+    key-by-key. The tripwire sends sentinels in the same invocation as
+    the suspects; interleaving means each sentinel's three timings are
+    temporally spread over the SAME wall-clock window as the suspects'
+    timings, so the sentinel-drift calibration measures the load that
+    was actually present while the suspects were measured — a co-tenant
+    burst that hits only the suspect's slice of a sequential schedule
+    can no longer inflate the suspect while leaving the sentinels clean
+    (the round-10 judge's contended-run false red).
+    """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
 
@@ -99,17 +118,15 @@ def retime(keys: list[str], passes: int = 3, spark=None) -> dict[str, float]:
         for _ in range(2):
             warm_q(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    out: dict[str, float] = {}
-    for key in keys:
-        fn = queries[key]
-        best = float("inf")
-        for _ in range(passes):
+    best: dict[str, float] = {k: float("inf") for k in keys}
+    for _ in range(passes):
+        for key in keys:
+            fn = queries[key]
             gc.collect()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[key] = round(best, 4)
-    return out
+            best[key] = min(best[key], time.perf_counter() - t0)
+    return {k: round(v, 4) for k, v in best.items()}
 
 
 def _splice(path: str, timed: dict[str, float], tag_isolated: bool) -> None:
@@ -127,6 +144,7 @@ def _splice(path: str, timed: dict[str, float], tag_isolated: bool) -> None:
 
 
 def main() -> int:
+    _ensure_importable()
     args = sys.argv[1:]
     patch = "--patch" in args
     patch_baseline = "--patch-baseline" in args
