@@ -78,16 +78,28 @@ def q_window_exclude(spark, sf_dir):
     The NULL guards mirror the standard's empty-exclusion semantics,
     which DuckDB's native EXCLUDE (the oracle) implements.
 
-    Plan — the TWO-PHASE value-grain form: Spark evaluates sliding
-    RANGE aggregates WITHOUT retraction (SlidingWindowFunctionFrame
-    re-sums the in-frame buffer per row), so a row-grain RANGE window
-    is O(rows × frame_density) — measured 7.4× wall at 10× data on the
-    first cut. Every row with the same ORDER BY value shares its frame,
-    so the frame sums are computed ONCE per distinct (type, value) at
-    GROUP grain — the window input is bounded by the value DOMAIN, not
-    the row count — and rows join back on the group key. peer_sum /
-    peer_cnt are the group's own aggregates, so the peers window
-    disappears entirely. Integer cents keep every sum exact.
+    Plan — PREFIX-SUM + BOUNDARY PROBES (round-11 refit; linear): Spark
+    evaluates sliding RANGE aggregates WITHOUT retraction
+    (SlidingWindowFunctionFrame re-sums the in-frame buffer per row), so
+    even the round-9 GROUP-grain form was O(groups × frame_density) —
+    5.4 s accepted, the suite's slowest key. A sliding integer-RANGE sum
+    is a difference of two prefix sums: with cum(x) = Σ contributions at
+    values ≤ x,
+
+        frame_total(v) = cum(v + R) − cum(v − R − 1)       (integer cents)
+
+    and a GROWING frame (UNBOUNDED PRECEDING .. CURRENT ROW by RANGE)
+    *is* incrementally maintained by Spark
+    (UnboundedPrecedingWindowFunctionFrame) — one O(n) pass. The two
+    boundary lookups land at values that need not exist in the domain,
+    so each distinct (type, value) group emits two ZERO-WEIGHT probe
+    rows at v+R and v−R−1; the probes ride the same cumulative window
+    (RANGE peers at an equal position share one cum, so probe/base ties
+    are exact), then fold back to one row per group as
+    cum_hi − cum_lo. Everything stays at VALUE-DOMAIN grain — the
+    window input is 3×|domain| rows regardless of row count — and rows
+    join back on the group key. peer_sum / peer_cnt are the group's own
+    aggregates. Integer cents keep every sum exact.
 
     NULL values are filtered EXPLICITLY on both sides (review finding:
     the join-back is null-unsafe — null != null — so a NULL value row
@@ -110,19 +122,54 @@ def q_window_exclude(spark, sf_dir):
         F.sum("value_cents").alias("peer_sum"),
         F.count(F.lit(1)).alias("peer_cnt"),
     )
-    frame = (
-        Window.partitionBy("event_type")
-        .orderBy("value_cents")
-        .rangeBetween(-_RANGE_CENTS, _RANGE_CENTS)
-    )
-    g = g.select(
+    zero = F.lit(0).cast("bigint")
+    base = g.select(
         "event_type",
-        "value_cents",
-        "peer_sum",
-        "peer_cnt",
-        F.sum("peer_sum").over(frame).alias("total"),
-        F.sum("peer_cnt").over(frame).alias("cnt"),
+        F.col("value_cents").alias("pos"),
+        F.lit(None).cast("bigint").alias("src"),
+        F.lit(0).alias("kind"),
+        F.col("peer_sum").alias("s"),
+        F.col("peer_cnt").alias("c"),
     )
+    hi = g.select(
+        "event_type",
+        (F.col("value_cents") + _RANGE_CENTS).alias("pos"),
+        F.col("value_cents").alias("src"),
+        F.lit(1).alias("kind"),
+        zero.alias("s"),
+        zero.alias("c"),
+    )
+    lo = g.select(
+        "event_type",
+        (F.col("value_cents") - _RANGE_CENTS - 1).alias("pos"),
+        F.col("value_cents").alias("src"),
+        F.lit(-1).alias("kind"),
+        zero.alias("s"),
+        zero.alias("c"),
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("pos")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    u = base.unionByName(hi).unionByName(lo).select(
+        "src",
+        "kind",
+        "event_type",
+        F.sum("s").over(cum_w).alias("cum_s"),
+        F.sum("c").over(cum_w).alias("cum_c"),
+    )
+    # frame total/cnt per group: cum(hi) − cum(lo), folded via kind ±1
+    bounds = (
+        u.filter(F.col("kind") != 0)
+        .groupBy("event_type", "src")
+        .agg(
+            F.sum(F.col("kind") * F.col("cum_s")).alias("total"),
+            F.sum(F.col("kind") * F.col("cum_c")).alias("cnt"),
+        )
+        .withColumnRenamed("src", "value_cents")
+    )
+    g = g.join(bounds, ["event_type", "value_cents"])
     v = F.col("value_cents")
     return (
         e.join(g, ["event_type", "value_cents"])
