@@ -100,7 +100,78 @@ def q_embedding_pq(spark, sf_dir):
     )
 
 
-@query("q_image_dhash")  # rows-only: pixel decode is not SQL
+#: Closed-form pixel law for the dHash fixture (round-11 promotion —
+#: the q_scan_binaryfile trick): base luminance and twin noise are
+#: Knuth-multiplicative-hash mixes of (doc_id, row, col) that BOTH
+#: engines can evaluate in exact 64-bit integer arithmetic, so the
+#: DuckDB oracle derives every dhash bit straight from the law while
+#: the Spark path still earns it the honest way (PNG encode -> real
+#: zlib/filter decode -> box sums). All terms stay < 2^63.
+_DHASH_H, _DHASH_W = 24, 36
+# SQUARED mix (middle-square family), not a linear-times-constant one:
+# with v = top8((s * K) % 2^32), two docs' s differ by a CONSTANT, so
+# after the multiply the pixel deltas are near-constant and CANCEL in
+# the dhash gradient compare — every image near-dups every other
+# (measured: 880 pairs at sf0.001). Squaring makes the cross-doc delta
+# 2*s*C + C^2 — varying with s — and a 250-image simulation yields
+# exactly the 50 planted pairs and zero accidental ones.
+_PX_LAW = (
+    "(((d * 7919 + r * 104729 + c * 1299709 + 12345)"
+    " * (d * 7919 + r * 104729 + c * 1299709 + 12345))"
+    " % 4294967296) // 16777216"
+)
+_NOISE_LAW = (
+    "((((d * 104729 + r * 7919 + c * 999331 + 54321)"
+    " * (d * 104729 + r * 7919 + c * 999331 + 54321))"
+    " % 4294967296) % 3) - 1"
+)
+# 9 uneven bands over 64 bits (8x7 + 1x8): 8 differing bits across 9
+# bands leave >= 1 band clean by pigeonhole, so the banded join is
+# LOSSLESS at Hamming <= 8 and the oracle may brute-force all pairs.
+_DHASH_BANDS = [(b * 7, 7) for b in range(8)] + [(56, 8)]
+
+
+@query(
+    "q_image_dhash",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS d, doc_id * 2 AS img_id, 0 AS is_twin
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1, 1
+      FROM documents WHERE doc_id % 20 = 0
+    ), px AS (
+      SELECT img_id,
+             r, c,
+             CASE WHEN is_twin = 0 THEN {_PX_LAW}
+                  ELSE LEAST(255, GREATEST(0, ({_PX_LAW}) + ({_NOISE_LAW})))
+             END AS v
+      FROM imgs,
+           generate_series(0, {_DHASH_H - 1}) AS tr(r),
+           generate_series(0, {_DHASH_W - 1}) AS tc(c)
+    ), grid AS (
+      SELECT img_id, r // 3 AS gr, c // 4 AS gc, SUM(v) AS s
+      FROM px GROUP BY img_id, r // 3, c // 4
+    ), bits AS (
+      SELECT a.img_id, a.gr, a.gc,
+             CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      FROM grid a
+      JOIN grid b ON a.img_id = b.img_id AND a.gr = b.gr
+                 AND b.gc = a.gc + 1
+    ), pairs AS (
+      SELECT x.img_id AS img_a, y.img_id AS img_b,
+             CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM bits x
+      JOIN bits y ON x.gr = y.gr AND x.gc = y.gc AND x.img_id < y.img_id
+      GROUP BY x.img_id, y.img_id
+    )
+    SELECT img_a, img_b, hamming,
+           (img_b = img_a + 1 AND img_a % 2 = 0
+            AND (img_a // 2) % 20 = 0) AS is_planted
+    FROM pairs WHERE hamming <= 8 ORDER BY img_a, img_b
+    """,
+)
 def q_image_dhash(spark, sf_dir):
     """Perceptual near-duplicate IMAGE detection: difference-hash
     (dHash) over REAL decoded pixels — the visual twin of SimHash text
@@ -109,23 +180,34 @@ def q_image_dhash(spark, sf_dir):
     sign bits, near-dups = small Hamming distance).
 
     Fixtures carry no media, so every 5th document synthesizes a 36×24
-    grayscale PNG of doc_id-seeded pseudo-random pixels (encoder twin
-    `operators/codecs.py` — the 1-in-5 sampling bounds the
-    pure-Python codec cost of FIXTURE SYNTHESIS, not of the operator,
-    which is linear in images and Arrow-parallel), and every 4th
-    sampled doc plants a NEAR-DUP TWIN (same pixels ±1 noise). The pipeline then runs the honest path:
-    decode the PNG (real zlib/filter decode), box-sum to the 9×8 grid
-    in exact integers, build the 64-bit hash, band it 4×16 bits, and
-    self-join per (band, bucket) — the SimHash pigeonhole shape: a
-    twin within Hamming ≤ 8 MUST agree exactly on ≥ 1 of the 4 bands.
-    Candidates verify with bit_count(xor) ≤ 8, JVM-side.
+    grayscale PNG (encoder twin `operators/codecs.py` — the 1-in-5
+    sampling bounds the pure-Python codec cost of FIXTURE SYNTHESIS,
+    not of the operator, which is linear in images and Arrow-parallel),
+    and every 4th sampled doc plants a NEAR-DUP TWIN (same pixels ±1
+    noise). Round-11 PROMOTION to hash-exact: pixels follow the
+    CLOSED-FORM integer law ``_PX_LAW``/``_NOISE_LAW`` (a multiplicative
+    -hash mix both engines evaluate exactly), so the DuckDB oracle
+    derives every grid sum, dhash bit, and Hamming distance from the
+    law alone — while the Spark path still runs the honest bytes:
+    encode the PNG, decode it (real zlib/filter decode), box-sum to the
+    9×8 grid in exact integers, build the 64-bit hash, band it into 9
+    uneven bands (8×7 + 1×8 bits), and self-join per (band, bucket).
+    Pigeonhole makes the banding LOSSLESS at the Hamming ≤ 8 gate
+    (8 differing bits across 9 bands leave ≥ 1 band agreeing exactly),
+    so banded-engine ≡ brute-force-oracle is an identity, not a recall
+    bet — the same proof that promoted q_dedup_simhash_pairs. A codec
+    or box-sum defect now breaks the driver hash, not just an in-row
+    witness.
 
     Witnesses per row: ``is_planted`` (the pair is a planted twin) and
     ``hamming``; every image also carries a decode round-trip check
     inside the kernel (a failed round trip raises — lossless PNG).
-    Scale: the shuffle carries (band, 16-bit bucket, id, hash) only;
-    candidate volume is Σ|bucket|², driven to ~0 for non-dup images by
-    the 2^16 bucket space exactly like q_dedup_simhash_pairs."""
+    Scale: the shuffle carries (band, ≤8-bit bucket, id, hash) only;
+    candidate volume is Σ|bucket|² per band — at corpus scale the
+    128/256-value bucket space is the first stage of the standard
+    multi-probe cascade (widen bands or add a second LSH level before
+    the verify join; the verify gate itself stays bit_count(xor) ≤ 8,
+    JVM-side)."""
     from self_healing_data_pipeline_spark.operators.multimodal import (
         decode_png_pixels,
         png_bytes_with_pixels,
@@ -139,19 +221,24 @@ def q_image_dhash(spark, sf_dir):
     schema = "img_id long, dhash long"
 
     def hash_batches(it):
-        h, w = 24, 36  # 9×8 grid of exact 4×3 boxes
+        h, w = _DHASH_H, _DHASH_W  # 9×8 grid of exact 4×3 boxes
+        rr, cc = np.mgrid[0:h, 0:w]
+        rr = rr.astype(np.int64)
+        cc = cc.astype(np.int64)
         for pdf in it:
             ids, hashes = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                rng = np.random.RandomState(d % (2**31))
-                base = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+                # the closed-form laws the oracle mirrors (_PX_LAW /
+                # _NOISE_LAW) — exact int64, no overflow (s < 1e8,
+                # s*s < 1e16 < 2^63)
+                s = d * 7919 + rr * 104729 + cc * 1299709 + 12345
+                base = ((s * s) % 2**32 // 2**24).astype(np.uint8)
                 variants = [(d * 2, base)]
                 if d % 20 == 0:  # plant a near-dup twin
-                    noise = np.random.RandomState((d + 777) % (2**31)).randint(
-                        -1, 2, size=(h, w)
-                    )
-                    twin = np.clip(base.astype(np.int16) + noise, 0, 255)
+                    t = d * 104729 + rr * 7919 + cc * 999331 + 54321
+                    noise = ((t * t) % 2**32) % 3 - 1
+                    twin = np.clip(base.astype(np.int64) + noise, 0, 255)
                     variants.append((d * 2 + 1, twin.astype(np.uint8)))
                 for img_id, px in variants:
                     # filter-0 scanlines: the all-filters round trip is
@@ -179,6 +266,11 @@ def q_image_dhash(spark, sf_dir):
             yield pd.DataFrame({"img_id": ids, "dhash": hashes})
 
     sigs = docs.mapInPandas(hash_batches, schema)
+    # 9 uneven bands (8x7 + 1x8 bits): lossless at Hamming <= 8 by
+    # pigeonhole, so the banded join returns EXACTLY the brute-force
+    # pair set the oracle computes. Bit i (big-endian packbits) has
+    # weight 2^(63-i); band at (start, width) covers bits
+    # [start, start+width) -> shift right by 64 - start - width.
     bands = sigs.select(
         "img_id",
         "dhash",
@@ -187,11 +279,13 @@ def q_image_dhash(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("dhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(
+                            F.col("dhash"), 64 - start - width
+                        )
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b, (start, width) in enumerate(_DHASH_BANDS)
                 ]
             )
         ).alias("bk"),

@@ -450,10 +450,63 @@ def q_subquery_correlated(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")  # rows-only: binary payloads / entropy
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (n_chars % 24 + 8) AS w,
+             (doc_id % 16 + 8) AS h,
+             doc_id % 4 AS kind
+      FROM documents
+    ), px AS (
+      SELECT media_id, kind, w, h,
+             ((yy * 7 + xx * 13 + media_id) % 256) AS v
+      FROM m,
+           generate_series(0, 23) AS ty(yy),
+           generate_series(0, 31) AS tx(xx)
+      WHERE yy < h AND xx < w
+    ), agg AS (
+      SELECT media_id, kind, w, h,
+             SUM(v) AS s_gray,
+             SUM(v + (v * 3) % 256 + (v * 7) % 256) AS s_rgb
+      FROM px GROUP BY media_id, kind, w, h
+    )
+    SELECT media_id,
+           CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                     WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN kind = 2 THEN NULL
+                WHEN kind = 1 THEN CAST(s_rgb AS DOUBLE) / (w * h * 3)
+                ELSE CAST(s_gray AS DOUBLE) / (w * h)
+           END AS pixel_mean_lossless,
+           TRUE AS dims_ok, TRUE AS pixels_ok, TRUE AS entropy_ok,
+           TRUE AS bytes_ok, TRUE AS feature_norm_ok
+    FROM agg ORDER BY media_id
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature-extraction pipeline as a query — with REAL
-    pixel decode across all four formats (round 4).
+    pixel decode across all four formats (round 4), PROMOTED to a
+    hash-exact oracle in round 11 via the closed-form-fixture trick
+    (the q_scan_binaryfile pattern): the synthesized pixels follow the
+    exact integer gradient law ``(y*7 + x*13 + doc_id) % 256`` (GIF
+    additionally maps through the closed-form palette ``(v, 3v%256,
+    7v%256)``), so the DuckDB oracle derives format, parsed dims, and
+    the LOSSLESS formats' decoded pixel mean straight from the law —
+    while the Spark side earns them from the real byte path
+    (encode -> header parse -> full pixel decode). ``pixel_mean`` of a
+    uint8 array is an exact-integer float64 sum (< 2^53) divided once,
+    so Spark's numpy mean and the oracle's SUM::DOUBLE/count are
+    bit-identical; JPEG is DCT-lossy, so its mean column is NULL on
+    both sides and its accuracy lives in the ``pixels_ok`` witness
+    (|decoded mean − law mean| <= 3). The byte-level quantities that
+    are genuinely not SQL (stream size, byte entropy, fake-feature
+    norm) hash as boolean range witnesses the oracle pins TRUE; their
+    raw values stay asserted in tests/test_extras3.py. A codec, parse,
+    or decode defect now breaks the driver hash, not just an in-row
+    witness.
 
     The fixture set carries no real media, so each document is encoded
     as a genuine image whose pixels derive deterministically from the
@@ -470,8 +523,7 @@ def q_multimodal_features(spark, sf_dir):
     dims == synthesized dims) and ``pixels_ok`` (decoded pixel mean
     within 3 counts of the mean the synthesizer computed from the true
     pixel array — exact for the lossless formats, DCT-rounding tolerance
-    for JPEG). Rows-only check: byte-level codecs are not
-    ANSI-SQL-expressible.
+    for JPEG).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -591,8 +643,9 @@ def q_multimodal_features(spark, sf_dir):
             F.col("media_id"), F.col("exp_width"), F.col("exp_height")
         ).alias("true_mean"),
     )
-    # flat output (no array column): project the feature vector to its L2
-    # norm and witness header + pixel round-trips per row
+    # flat law-derivable output (round-11 promotion): exact columns the
+    # oracle recomputes from the gradient law, plus boolean range
+    # witnesses for the byte-level quantities that are not SQL
     return (
         feats.withColumn(
             "feature_norm",
@@ -607,14 +660,12 @@ def q_multimodal_features(spark, sf_dir):
         .join(expected, "media_id")
         .select(
             "media_id",
-            "n_bytes",
-            "byte_entropy",
             "format",
-            "width",
-            "height",
-            "feature_norm",
-            "pixel_mean",
-            "pixel_entropy",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.when(F.col("format") == "jpeg", F.lit(None).cast("double"))
+            .otherwise(F.col("pixel_mean"))
+            .alias("pixel_mean_lossless"),
             (
                 (F.col("width") == F.col("exp_width"))
                 & (F.col("height") == F.col("exp_height"))
@@ -623,7 +674,13 @@ def q_multimodal_features(spark, sf_dir):
                 F.col("pixel_mean").isNotNull()
                 & (F.abs(F.col("pixel_mean") - F.col("true_mean")) <= 3.0)
             ).alias("pixels_ok"),
+            (
+                (F.col("byte_entropy") > 0.0) & (F.col("byte_entropy") <= 8.0)
+            ).alias("entropy_ok"),
+            (F.col("n_bytes") > 16).alias("bytes_ok"),
+            (F.col("feature_norm") > 0.0).alias("feature_norm_ok"),
         )
+        .orderBy("media_id")
     )
 
 

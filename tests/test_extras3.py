@@ -135,33 +135,38 @@ def test_correlated_subquery_decorrelates_to_single_shuffle(spark, sf_dir):
 
 
 def test_multimodal_feature_query_schema_and_entropy_bounds(spark, sf_dir):
+    # round-11 promoted output: law-derivable exact columns + boolean
+    # range witnesses for the byte-level quantities that are not SQL
+    # (raw n_bytes / byte_entropy / feature_norm values fold into the
+    # *_ok booleans the oracle pins TRUE)
     df = QUERIES["q_multimodal_features"](spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
         "media_id",
-        "n_bytes",
-        "byte_entropy",
         "format",
         "width",
         "height",
-        "feature_norm",
-        "pixel_mean",
-        "pixel_entropy",
+        "pixel_mean_lossless",
         "dims_ok",
         "pixels_ok",
+        "entropy_ok",
+        "bytes_ok",
+        "feature_norm_ok",
     ]
     rows = df.collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == docs
     fmts = ["png", "gif", "jpeg", "bmp"]
     for r in rows:
-        assert 0.0 <= r["byte_entropy"] <= 8.0
-        assert r["n_bytes"] > 0
         # header round-trip: parsed dims equal the embedded dims, and the
         # format tracks the doc_id%4 synthesis rule (png/gif/jpeg/bmp)
         assert r["dims_ok"] is True
         assert r["format"] == fmts[r["media_id"] % 4]
-        assert r["feature_norm"] > 0.0
         # REAL pixel decode on every row, all four formats
         assert r["pixels_ok"] is True
-        assert r["pixel_mean"] is not None and 0.0 <= r["pixel_mean"] <= 255.0
-        assert 0.0 <= r["pixel_entropy"] <= 8.0
+        if r["format"] == "jpeg":
+            assert r["pixel_mean_lossless"] is None  # DCT-lossy: NULL side
+        else:
+            assert 0.0 <= r["pixel_mean_lossless"] <= 255.0
+        assert r["entropy_ok"] is True  # byte_entropy in (0, 8]
+        assert r["bytes_ok"] is True  # payload larger than any header
+        assert r["feature_norm_ok"] is True  # fake-feature norm > 0

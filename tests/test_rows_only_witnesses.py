@@ -33,10 +33,11 @@ ALL_TRUE: dict[str, list[str]] = {
     "q_agg_approx_percentile": ["within_bounds", "rank_ok"],
     "q_doc_compression_ratio": ["ratios_in_range", "compressible_corpus"],
     "q_embedding_pca": ["witness_ok"],
-    "q_image_dhash": ["is_planted"],
+    # q_image_dhash / q_multimodal_features were promoted to hash-exact
+    # oracles in round 11 (closed-form pixel laws) — their witness
+    # columns are now pinned TRUE by the oracle hash itself.
     "q_media_dedup": ["witness_ok"],
     "q_multimodal_audio": ["roundtrip_ok"],
-    "q_multimodal_features": ["dims_ok", "pixels_ok"],
     "q_multimodal_video": ["roundtrip_ok"],
     "q_sim_join_lsh": ["above_threshold"],
 }
