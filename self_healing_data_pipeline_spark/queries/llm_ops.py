@@ -373,6 +373,9 @@ def q_text_repetition(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
+                # lint-scale: ok (nt is hard-capped at 300 chars above,
+                # so the dynamic substring position is bounded — O(1)
+                # per doc; long-doc probe flat, SCALE.md)
                 F.expr(
                     "transform(sequence(1, greatest(length(nt) - 2, 1)),"
                     " k -> substring(nt, k, 3))"
