@@ -483,13 +483,27 @@ def q_join_discovery(spark, sf_dir):
 #: dicts (7 edges on the fixture graph — catalog grain), so reuse is
 #: session-safe; keyed by applicationId so a new session never sees a
 #: stale entry, capped to the last few (sf_dir, app) pairs.
-_FK_CATALOG: dict[tuple[str, str], list[dict]] = {}
+_FK_CATALOG: dict[tuple, list[dict]] = {}
 
 
 def discovered_fk_edges(spark, sf_dir) -> list[dict]:
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    # Memo key folds a cheap fingerprint of the discovery INPUT files
+    # (name, mtime_ns, size per parquet entry) so a regenerated sf_dir
+    # within one Spark application invalidates the catalog instead of
+    # serving stale edges while the DuckDB oracle reads fresh data
+    # (round-11 advisor item). Catalog grain: a handful of entries, one
+    # scandir per call.
+    norm = os.path.normpath(sf_dir)
+    fp = tuple(
+        sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(norm)
+            if e.name.endswith(".parquet")
+        )
+    )
+    key = (spark.sparkContext.applicationId, norm, fp)
     if key not in _FK_CATALOG:
         while len(_FK_CATALOG) >= 8:
             _FK_CATALOG.pop(next(iter(_FK_CATALOG)))

@@ -34,7 +34,11 @@ _RANGE_INTERVAL_SQL = """
 SELECT event_id, user_id,
        {ts_fmt} AS ts_s,
        COUNT(*) OVER w AS n_1h,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+       -- DECIMAL(18,2): |value| < 10^16 provably fits, where (12,2)
+       -- would silently NULL >= 10^10 in Spark's non-ANSI cast while
+       -- DuckDB raised — a latent cross-engine divergence if fixture
+       -- value ranges grow (round-11 advisor item)
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
 FROM {table}
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

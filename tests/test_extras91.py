@@ -97,6 +97,35 @@ def test_semdedup_matches_numpy_twin(spark, sf_dir):
         assert abs(got[v][2] - cos) < 1e-5
 
 
+def test_semdedup_fixture_has_no_assignment_ties(sf_dir):
+    """Round-11 advisor probe: q_semdedup's hash-exact oracle rides on
+    the acknowledged non-mirrored chain — engine centroid assignment is
+    numpy float64 BLAS matmul argmax vs the oracle's sequential-fold
+    dot, so a near-tie (margin ~1e-12) could flip a cluster and change
+    the dropped set. This pins the fixture AWAY from that cliff: the
+    winning centroid's dot must beat the runner-up by far more than
+    any fold-vs-BLAS rounding skew, at EVERY scale fixture. A future
+    fixture regeneration that introduces ties fails HERE with a
+    diagnosable message instead of as an opaque driver hash mismatch."""
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        emb = pd.read_parquet(path).sort_values("vec_id")
+        X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+        k = max(_SEMDEDUP_MIN_K, len(X) // _SEMDEDUP_TARGET_CLUSTER)
+        seeds = X[:k]
+        nrm = np.linalg.norm(seeds, axis=1)
+        nrm[nrm == 0] = 1.0
+        dots = X @ (seeds / nrm[:, None]).T
+        top2 = np.partition(dots, -2, axis=1)[:, -2:]
+        margin = float((top2[:, 1] - top2[:, 0]).min())
+        assert margin > 1e-9, (
+            f"{sf}: min centroid-assignment argmax margin {margin:.3e} is "
+            "within float rounding skew of the oracle's sequential fold — "
+            "the q_semdedup hash gate is no longer safe on this fixture; "
+            "re-seed or re-derive the oracle at matched precision"
+        )
+
+
 def test_semdedup_value_grain_equals_vector_grain_on_duplicates(spark):
     """The value-grain collapse must be EXACT under heavy duplication —
     the case it exists for. Crafted set (ids 0..9, 4-dim):

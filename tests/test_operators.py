@@ -172,7 +172,16 @@ def test_simhash_pairs_complete_mode_fails_loudly_on_oversized_bucket(spark):
     docs = spark.createDataFrame(
         [(i, text) for i in range(5)], "doc_id long, text string"
     )  # 5 identical docs -> one bucket of 5 in every band
-    with pytest.raises((Py4JJavaError, Exception), match="max_bucket"):
+    # specific error surface only (round-11 advisor item: a bare
+    # Exception subsumed the tuple, so ANY error mentioning max_bucket
+    # — e.g. an AnalysisException from a plan change — passed); match
+    # the full contract message, not just the knob name
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException),
+        match="complete-pairs contract",
+    ):
         simhash_pairs(
             docs, "doc_id", "text", max_hamming=8, max_bucket=4,
             use_md5=True,
