@@ -208,6 +208,14 @@ LONGDOC_KEYS = [
     # chain rewrite; these two pin the family linear
     "q_dedup_jaccard_prefix",
     "q_dedup_containment",
+    # round-11 additions (r10 verdict task 7): the n-gram /
+    # window-over-token text keys that share shapes with the fixed
+    # class but had no longdoc row yet
+    "q_text_keyphrase",
+    "q_text_bigram_coherence",
+    "q_text_tfidf_top",
+    "q_trending_terms",
+    "q_word_burstiness",
 ]
 LONGDOC_OUT = os.path.join(REPO, ".scratch", "sf1longdoc")
 
