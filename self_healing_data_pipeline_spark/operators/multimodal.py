@@ -641,9 +641,18 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     rms.append(None)
                     peak.append(None)
                     continue
-                x = s.astype("float64") / 32768.0
-                rms.append(float(np.sqrt(np.mean(x * x))))
-                peak.append(float(np.abs(x).max()))
+                # exact-integer inner form (round-11 oracle promotion):
+                # sum of squared int16 samples is an exact int64
+                # (|s| <= 32768, n bounded), so rms/peak reduce to ONE
+                # correctly-rounded divide + sqrt and an exact
+                # power-of-two scale — bit-reproducible regardless of
+                # summation order, and replayable as SQL arithmetic
+                # (a float64 running mean of x*x is not: each square
+                # rounds, so the sum depends on order)
+                s64 = s.astype("int64")
+                sum_sq = int((s64 * s64).sum())
+                rms.append(float(np.sqrt(sum_sq / len(s64)) / 32768.0))
+                peak.append(float(int(np.abs(s64).max()) / 32768.0))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

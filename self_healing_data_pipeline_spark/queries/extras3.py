@@ -684,17 +684,62 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-@query("q_multimodal_audio")  # rows-only: binary payloads / signal stats
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100
+             END AS rate,
+             (n_chars % 500 + 100) * 4 AS n_samp,
+             (doc_id % 2 + 1) AS ch,
+             (n_chars % 500 + 100) * 4 * (doc_id % 2 + 1) AS n
+      FROM documents
+    ), v AS (
+      SELECT media_id, n,
+             (((i + media_id) % 256) - 128) * 100 AS val
+      FROM m, generate_series(0, 4791) AS t(i)
+      WHERE i < n
+    ), agg AS (
+      SELECT media_id, SUM(val * val) AS sum_sq, MAX(ABS(val)) AS vmax
+      FROM v GROUP BY media_id
+    )
+    SELECT m.media_id,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           'wav' AS format,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST((n_samp * 1000) // rate AS INT) AS duration_ms,
+           SQRT(CAST(sum_sq AS DOUBLE) / n) / 32768.0 AS rms,
+           CAST(vmax AS DOUBLE) / 32768.0 AS peak,
+           TRUE AS roundtrip_ok
+    FROM m JOIN agg ON m.media_id = agg.media_id
+    ORDER BY m.media_id
+    """,
+)
 def q_multimodal_audio(spark, sf_dir):
     """Audio-column pipeline as a query — and unlike the image path, the
     decode here is FULLY REAL: payloads are valid RIFF/WAVE 16-bit PCM
     (deterministic sawtooth synthesized per document), and raw PCM needs
     no codec library, so metadata (chunk-walk header parse) AND signal
     features (RMS, normalized peak over the actual samples) both run the
-    genuine path through Arrow-batched mapInPandas. Witnesses per row:
-    parsed sample_rate/channels/duration match what the synthesizer
-    embedded, and RMS is strictly positive (samples were truly decoded).
-    Rows-only: byte synthesis and signal math are not ANSI-SQL."""
+    genuine path through Arrow-batched mapInPandas.
+
+    Round-11 PROMOTION to a hash-exact oracle (the closed-form-fixture
+    trick): the sawtooth sample law ``((i + media_id) % 256 − 128) ×
+    100`` is exact integer arithmetic both engines can evaluate, so
+    DuckDB derives n_bytes (44-byte RIFF header + 2 bytes/sample),
+    parsed rate/channels/duration (data_ms = n_samp·1000 // rate — the
+    chunk-walk's own integer law), and the signal stats straight from
+    the law — while Spark earns them from the real byte path
+    (struct-pack synth → chunk-walk parse → PCM decode). RMS is
+    bit-identical because the kernel folds EXACT int64 squared samples
+    and applies one correctly-rounded divide + sqrt + power-of-two
+    scale (operators.multimodal.extract_audio_features); peak is an
+    integer over 2^15, exact in float64 by construction. A synth,
+    parse, or decode defect now breaks the driver hash, not just the
+    in-row ``roundtrip_ok`` witness (retained, oracle-pinned TRUE)."""
     from pyspark.sql.functions import pandas_udf
 
     from self_healing_data_pipeline_spark.operators.multimodal import (

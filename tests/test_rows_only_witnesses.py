@@ -37,7 +37,8 @@ ALL_TRUE: dict[str, list[str]] = {
     # oracles in round 11 (closed-form pixel laws) — their witness
     # columns are now pinned TRUE by the oracle hash itself.
     "q_media_dedup": ["witness_ok"],
-    "q_multimodal_audio": ["roundtrip_ok"],
+    # q_multimodal_audio: promoted round 11 (sawtooth sample law ->
+    # hash-exact oracle; roundtrip_ok pinned TRUE by the oracle hash)
     "q_multimodal_video": ["roundtrip_ok"],
     "q_sim_join_lsh": ["above_threshold"],
 }
