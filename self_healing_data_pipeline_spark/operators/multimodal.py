@@ -755,8 +755,12 @@ def parse_avi_meta(
 
 def sample_video_frames(payload: bytes | None, every_k: int = 2):
     """REAL frame sampling from uncompressed AVI: walks the movi list and
-    yields (frame_index, mean_pixel_intensity) for every k-th '00db'
-    frame — the statistics come from the actual frame bytes."""
+    yields (frame_index, pixel_sum, n_pixels) for every k-th '00db'
+    frame — the statistics come from the actual frame bytes. Sums are
+    EXACT int64 (round-11 oracle promotion: downstream means reduce to
+    one correctly-rounded division of exact integers, bit-reproducible
+    and replayable as SQL arithmetic; a per-frame float mean folded
+    into a mean-of-means rounds differently per engine)."""
     import struct
 
     import numpy as np
@@ -780,7 +784,9 @@ def sample_video_frames(payload: bytes | None, every_k: int = 2):
                             b[j + 8 : j + 8 + slen], dtype=np.uint8
                         )
                         if len(fr):
-                            out.append((f, float(fr.mean())))
+                            out.append(
+                                (f, int(fr.astype(np.int64).sum()), len(fr))
+                            )
                     f += 1
                 j += 8 + slen + (slen & 1)
             break
@@ -803,9 +809,13 @@ def extract_video_features(media: DataFrame, every_k: int = 2) -> DataFrame:
             for b in pdf["payload"]:
                 s = sample_video_frames(b, every_k)
                 n_sampled.append(len(s))
-                mean_int.append(
-                    float(np.mean([m for _, m in s])) if s else None
-                )
+                # exact-int fold: sampled frames share one size, so the
+                # mean over all sampled pixels equals the mean of frame
+                # means — computed as ONE correctly-rounded division of
+                # exact integers (bit-identical to the SQL oracle)
+                tot = sum(x for _, x, _ in s)
+                cnt = sum(c for _, _, c in s)
+                mean_int.append(float(tot / cnt) if cnt else None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

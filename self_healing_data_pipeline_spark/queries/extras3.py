@@ -802,7 +802,45 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
-@query("q_multimodal_video")  # rows-only: binary payloads / frame stats
+@query(
+    "q_multimodal_video",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 3 * 8 + 16) AS w,
+             (doc_id % 2 * 8 + 8) AS h,
+             (doc_id % 5 + 4) AS nf
+      FROM documents
+    ), d AS (
+      SELECT media_id, w, h, nf,
+             w * h * 3 AS len,
+             (nf + 1) // 2 AS n_sampled
+      FROM m
+    ), px AS (
+      SELECT media_id,
+             ((j + 7 * f + media_id) % 256) AS v
+      FROM d,
+           generate_series(0, 7) AS tf(f),
+           generate_series(0, 1535) AS tj(j)
+      WHERE f < nf AND f % 2 = 0 AND j < len
+    ), agg AS (
+      SELECT media_id, SUM(v) AS tot, COUNT(*) AS cnt
+      FROM px GROUP BY media_id
+    )
+    SELECT d.media_id,
+           CAST(100 + nf * (8 + len) AS BIGINT) AS n_bytes,
+           'avi' AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(100 AS INT) AS frame_ms,
+           CAST(n_sampled AS INT) AS n_sampled,
+           CAST(tot AS DOUBLE) / cnt AS mean_intensity,
+           TRUE AS roundtrip_ok
+    FROM d JOIN agg ON d.media_id = agg.media_id
+    ORDER BY d.media_id
+    """,
+)
 def q_multimodal_video(spark, sf_dir):
     """Video-column pipeline as a query — the third modality leg
     (image: header-parse + stubbed pixel decode; audio: real PCM; video:
@@ -811,10 +849,21 @@ def q_multimodal_video(spark, sf_dir):
     synthesized per document, then mapInPandas extracts container
     metadata (width/height/frame count/frame interval from the avih
     header) and samples every 2nd raw frame for mean pixel intensity.
-    Witnesses per row: parsed dims/frame-count match what the
-    synthesizer embedded, the sampled count is ceil(n_frames/2), and
-    mean intensity lies in (0, 255) — frames were truly read. Rows-only:
-    byte synthesis and pixel math are not ANSI-SQL."""
+
+    Round-11 PROMOTION to a hash-exact oracle (the closed-form-fixture
+    trick): the frame pixel law ``(j + 7f + media_id) % 256`` is exact
+    integer arithmetic, so DuckDB derives the container byte length
+    (100 fixed header bytes + nf·(8 + w·h·3) frame chunks), the parsed
+    avih metadata, the sampled-frame count, and the mean intensity
+    straight from the law — while Spark earns them from the real byte
+    path (struct-pack synth → container walk → raw-frame decode). The
+    mean is bit-identical because sampled frames share one size, so
+    mean-of-frames = (exact int pixel total) / (exact int count) — one
+    correctly-rounded division on both engines
+    (operators.multimodal.sample_video_frames now yields exact sums).
+    A synth, parse, or frame-walk defect now breaks the driver hash,
+    not just the in-row ``roundtrip_ok`` witness (retained,
+    oracle-pinned TRUE)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -145,8 +145,10 @@ def test_avi_roundtrip_and_frame_sampling():
     b = avi_bytes(32, 16, 7, fps=25, seed=11)
     assert parse_avi_meta(b) == ("avi", 32, 16, 7, 40)
     frames = sample_video_frames(b, every_k=3)
-    assert [f for f, _ in frames] == [0, 3, 6]
-    assert all(0 < m < 255 for _, m in frames)
+    assert [f for f, _, _ in frames] == [0, 3, 6]
+    # exact-int sums (round-11 contract): mean = sum/count in (0, 255)
+    assert all(0 < s / c < 255 for _, s, c in frames)
+    assert all(c == 32 * 16 * 3 for _, _, c in frames)
     # robustness: truncated / foreign payloads degrade to None/empty
     assert parse_avi_meta(b[:10]) == (None, None, None, None, None)
     assert sample_video_frames(b"RIFFxxxxWAVE") == []

@@ -37,9 +37,9 @@ ALL_TRUE: dict[str, list[str]] = {
     # oracles in round 11 (closed-form pixel laws) — their witness
     # columns are now pinned TRUE by the oracle hash itself.
     "q_media_dedup": ["witness_ok"],
-    # q_multimodal_audio: promoted round 11 (sawtooth sample law ->
-    # hash-exact oracle; roundtrip_ok pinned TRUE by the oracle hash)
-    "q_multimodal_video": ["roundtrip_ok"],
+    # q_multimodal_audio / q_multimodal_video: promoted round 11
+    # (sawtooth-PCM and frame-gradient laws -> hash-exact oracles;
+    # roundtrip_ok pinned TRUE by the oracle hash itself)
     "q_sim_join_lsh": ["above_threshold"],
 }
 
