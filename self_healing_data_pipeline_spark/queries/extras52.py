@@ -21,7 +21,23 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
 _FAMILY = 5
 
 
-@query("q_media_dedup")  # rows-only: binary payloads, witness in-row
+@query(
+    "q_media_dedup",
+    oracle="""
+    WITH fam AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4 THEN doc_id - 4 ELSE doc_id END AS seed
+      FROM documents
+    ), cl AS (
+      SELECT seed,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+      FROM fam GROUP BY seed HAVING COUNT(*) > 1
+    )
+    SELECT canonical_id, n_members, TRUE AS witness_ok, TRUE AS digest_ok
+    FROM cl ORDER BY canonical_id
+    """,
+)
 def q_media_dedup(spark, sf_dir):
     """EXACT BINARY DEDUP of media payloads by content hash: group by
     sha2(payload), keep the smallest doc_id as canonical, report every
@@ -32,6 +48,20 @@ def q_media_dedup(spark, sf_dir):
     asserts cluster-by-hash ≡ cluster-by-seed: same members, same
     canonical, same size. A hash collision, a non-deterministic
     encoder byte, or a grouping bug each break it.
+
+    Round-11 PROMOTION to a hash-exact oracle: the seed law IS the
+    cluster law (dedup-by-content ≡ dedup-by-seed when synthesis is
+    injective in the seed), so DuckDB derives every cluster —
+    canonical id, member count — from ``doc_id%5`` arithmetic alone,
+    while Spark earns it from real bytes (encode → sha2 → groupBy).
+    Injectivity is now GUARANTEED, not probabilistic: the first eight
+    pixels carry the seed's little-endian bytes (the pure gradient
+    collided for seeds 768 apart — same w/h and pixel values mod 256 —
+    which would have merged distinct families at sf0.1 and beyond).
+    The non-SQL digest column hashes as a boolean shape witness
+    (``digest_ok`` = 64 hex chars); a collision, encoder flake, or
+    grouping bug still breaks ``witness_ok`` and with it the driver
+    hash.
 
     Scale shape: synthesis and hashing are Arrow-batched mapInPandas /
     JVM sha2 over one pass; the dedup is ONE partial-aggregated
@@ -49,7 +79,15 @@ def q_media_dedup(spark, sf_dir):
         import numpy as np
 
         yy, xx = np.mgrid[0:hi, 0:wi]
-        return ((yy * 7 + xx * 13 + d) % 256).astype(np.uint8)
+        px = ((yy * 7 + xx * 13 + d) % 256).astype(np.uint8)
+        # seed-injective stamp: first 8 pixels = seed little-endian
+        # bytes (w >= 8 by construction), so distinct seeds can NEVER
+        # encode to identical bytes — the oracle's seed-family law is
+        # exact, not collision-probabilistic
+        px[0, :8] = np.frombuffer(
+            int(d).to_bytes(8, "little"), dtype=np.uint8
+        )
+        return px
 
     def _synth(seed, w, h):
         out = []
@@ -99,14 +137,14 @@ def q_media_dedup(spark, sf_dir):
             "left",
         )
         .select(
-            "digest",
-            "n_members",
             "canonical_id",
+            "n_members",
             (
                 (F.col("n_members") == F.col("family_size"))
                 & (F.col("max_id") == F.col("family_max"))
                 & (F.col("canonical_id") == F.col("seed"))
             ).alias("witness_ok"),
+            F.col("digest").rlike("^[0-9a-f]{64}$").alias("digest_ok"),
         )
         .where(F.col("n_members") > 1)
         .orderBy("canonical_id")

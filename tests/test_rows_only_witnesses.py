@@ -36,7 +36,8 @@ ALL_TRUE: dict[str, list[str]] = {
     # q_image_dhash / q_multimodal_features were promoted to hash-exact
     # oracles in round 11 (closed-form pixel laws) — their witness
     # columns are now pinned TRUE by the oracle hash itself.
-    "q_media_dedup": ["witness_ok"],
+    # q_media_dedup: promoted round 11 (seed-injective synthesis ->
+    # the seed-family law IS the cluster law; oracle pins witness_ok)
     # q_multimodal_audio / q_multimodal_video: promoted round 11
     # (sawtooth-PCM and frame-gradient laws -> hash-exact oracles;
     # roundtrip_ok pinned TRUE by the oracle hash itself)
