@@ -290,26 +290,27 @@ def q_image_dhash(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("img_id", "dhash", "bk.band", "bk.bucket")
-    r = bands.select(
-        F.col("band").alias("band_r"),
-        F.col("bucket").alias("bucket_r"),
-        F.col("img_id").alias("img_b"),
-        F.col("dhash").alias("h_b"),
+    # Shared LSH skeleton with the LOUD bucket cap (round-11): the
+    # 9-band split leaves only 7/8-bit bucket spaces, so a degenerate
+    # corpus (many near-identical images) can concentrate a bucket;
+    # the promoted COMPLETE-pairs oracle makes silence unacceptable —
+    # on_oversize="error" fails the job (widen bands / raise the cap)
+    # exactly like q_dedup_simhash_pairs.
+    from self_healing_data_pipeline_spark.operators.dedup import (
+        pairs_within_buckets,
     )
-    pairs = (
-        bands.join(
-            r,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("img_id") < F.col("img_b")),
-        )
-        .select(
-            F.col("img_id").alias("img_a"),
-            "img_b",
-            F.col("dhash").alias("h_a"),
-            "h_b",
-        )
-        .distinct()
+
+    pairs = pairs_within_buckets(
+        bands.select(F.col("img_id").alias("__id"), "dhash", "band", "bucket"),
+        ["band", "bucket"],
+        max_bucket=10_000,
+        payload="dhash",
+        on_oversize="error",
+    ).select(
+        F.col("id_l").alias("img_a"),
+        F.col("id_r").alias("img_b"),
+        F.col("dhash_l").alias("h_a"),
+        F.col("dhash_r").alias("h_b"),
     )
     hamming = F.expr("bit_count(h_a ^ h_b)").cast("int")
     return (
