@@ -206,9 +206,12 @@ def q_item_cf(spark, sf_dir):
     dim-sized, broadcastable; the final rank window partitions by
     part_a. No global sort, no SinglePartition stage."""
     li = read_table(spark, sf_dir, "lineitem")
+    # (ok, pk) grain feeds the frequency table AND both pair sides:
+    # materialize it once (round-11 lineage-truncation convention —
+    # AQE defeats ReuseExchange on duplicate subtrees)
     grain = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     freq = grain.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = grain.select(F.col("ok"), F.col("pk").alias("part_a"))
     b = grain.select(F.col("ok"), F.col("pk").alias("part_b"))

@@ -70,10 +70,17 @@ def q_graph_neighbor_jaccard(spark, sf_dir):
     node key. Same Σ|block|² family as q_part_triangles, measured in
     the same probe."""
     li = read_table(spark, sf_dir, "lineitem")
-    edges = co_order_edges(li)
-    adj = edges.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    # Lineage truncation (round 11 convention, q_part_triangles note):
+    # edges is read three times (both adj directions + the anti-join)
+    # and adj three more (degrees + both wedge sides); AQE defeats
+    # ReuseExchange across these subtrees, so each reference re-ran
+    # the lineitem self-join. Materialize both once.
+    edges = co_order_edges(li).localCheckpoint(eager=True)
+    adj = (
+        edges.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = adj.select(F.col("u"), F.col("v").alias("a"))
     b = adj.select(F.col("u").alias("u2"), F.col("v").alias("b"))

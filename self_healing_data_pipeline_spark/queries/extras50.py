@@ -182,12 +182,23 @@ def q_label_propagation(spark, sf_dir):
     Scale shape: each round is ONE keyed equi-join of the label frame
     against the edge list plus a partial-aggregated min — k rounds =
     k joins, unrolled; state is node-grain. No iteration-until-
-    convergence driver loop, no window, no SinglePartition."""
+    convergence driver loop, no window, no SinglePartition.
+
+    Lineage truncation (round 11, the q_pagerank/q_khop_reach
+    convention): the label frame is referenced TWICE per round (once
+    as the node side, once as the neighbor side), so an un-truncated
+    plan doubles per round — 2^k copies of the edge build by round k.
+    ``localCheckpoint`` on the adjacency and on each round's labels
+    keeps every round one join over materialized node-grain state (at
+    cluster scale: a persisted, source-key-partitioned edge relation
+    reused across rounds)."""
     li = read_table(spark, sf_dir, "lineitem")
     edges = co_order_edges(li)
-    adj = edges.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    adj = (
+        edges.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -209,7 +220,7 @@ def q_label_propagation(spark, sf_dir):
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
-        )
+        ).localCheckpoint(eager=True)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(

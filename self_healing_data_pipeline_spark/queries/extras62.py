@@ -144,6 +144,10 @@ def q_degree_distribution(spark, sf_dir):
         li.join(b, (li.l_orderkey == b.ok2) & (li.l_partkey < b.p2))
         .select(F.col("l_partkey").alias("p1"), "p2")
         .distinct()
+        # both union directions read the pair set: materialize the
+        # basket self-join ONCE (round-11 lineage-truncation convention
+        # — AQE defeats ReuseExchange on these duplicate subtrees)
+        .localCheckpoint(eager=True)
     )
     und = pairs.select(F.col("p1").alias("p")).unionAll(
         pairs.select(F.col("p2").alias("p"))

@@ -166,9 +166,17 @@ def q_part_triangles(spark, sf_dir):
     a<b<c formulation. Wedge mass and the 3T/W clustering ratio are
     exact integers with one final IEEE division."""
     li = read_table(spark, sf_dir, "lineitem")
-    e = co_order_edges(li)
-    # e's aggregate exchange recurs identically below — Spark's
-    # ReuseExchange computes it once (no cache, nothing lingers).
+    # Materialize the edge list ONCE (round 11, the q_pagerank/
+    # q_khop_reach lineage-truncation convention): the comment below
+    # used to claim ReuseExchange would dedup e's recurring aggregate,
+    # but the measured plan showed ZERO reused exchanges and 72
+    # parquet scans — AQE re-optimizes each subtree independently, so
+    # identical subtrees stop canonicalizing equal. One eager
+    # localCheckpoint of e (and of the oriented edge list below, read
+    # by both the wedge and the closing-probe sides) replaces repeated
+    # lineitem self-joins with reads of a materialized edge relation —
+    # exactly what a cluster job would persist at this stage.
+    e = co_order_edges(li).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("p1").alias("p"))
         .unionAll(e.select(F.col("p2").alias("p")))
@@ -185,7 +193,7 @@ def q_part_triangles(spark, sf_dir):
         F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(lo_first, F.col("deg2")).otherwise(F.col("deg1")).alias("dd"),
         F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     # Wedges at the oriented source: pairs of out-neighbours ordered by
     # the orientation key, so the closing edge is probed in its stored
     # direction and each triangle is counted exactly once.

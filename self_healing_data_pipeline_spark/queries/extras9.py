@@ -180,20 +180,42 @@ def q_khop_reach(spark, sf_dir):
     the adjacency list followed by a DISTINCT — the dedup per hop is
     what keeps expansion bounded by |V| instead of walks (exponential).
     Visited sets only ever carry node ids. The oracle unrolls the same
-    three hops as chained CTEs."""
+    three hops as chained CTEs.
+
+    Lineage truncation (round 11): iterative frontier loops grow the
+    logical plan multiplicatively — hop k's visited embeds k copies of
+    the edge-build lineage, and the per-hop outputs re-execute each
+    other's prefixes (measured: 224 parquet scans / 524 exchanges /
+    ZERO reused in one q_khop_reach action). ``localCheckpoint`` after
+    the edge build and after each hop's dedup is the standard
+    iterative-plan discipline (what GraphX/MLlib checkpointing exists
+    for): the adjacency is computed ONCE, each hop's visited set
+    materializes once at id grain, and every downstream consumer reads
+    the truncated plan — on a 1000-executor cluster this is the
+    difference between one shuffle per hop and re-running the lineitem
+    self-join per hop per output."""
     li = read_table(spark, sf_dir, "lineitem")
     e = co_order_edges(li)
-    adj = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
-        e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+    adj = (
+        e.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(e.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .localCheckpoint(eager=True)
     )
-    seeds = adj.select(F.col("s").alias("p")).where(F.col("p") % 100 == 0).distinct()
+    seeds = (
+        adj.select(F.col("s").alias("p"))
+        .where(F.col("p") % 100 == 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     visited = seeds
     outs = []
     for k in (1, 2, 3):
         frontier = (
             visited.join(adj, visited.p == adj.s).select(F.col("d").alias("p"))
         )
-        visited = visited.unionAll(frontier).distinct()
+        visited = visited.unionAll(frontier).distinct().localCheckpoint(
+            eager=True
+        )
         reached = visited.join(seeds, "p", "left_anti").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_reached")
         )

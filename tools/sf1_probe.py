@@ -70,6 +70,7 @@ PROBE_KEYS = [
     "q_label_propagation",
     "q_part_triangles",
     "q_khop_reach",
+    "q_graph_neighbor_jaccard",  # round-11: Σdeg² wedge family, truncated
     "q_join_discovery_sketch",
     "q_stream_heavy_hitters",
     # round-9 additions (r8 verdict task 5): batches 61-66 at true 10×
