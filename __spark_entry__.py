@@ -63,12 +63,45 @@ def _latest_verdicts() -> dict[str, tuple[bool, int, bool]]:
     return latest
 
 
-#: Output contract changed since the key's latest recorded verdict —
-#: re-verify ahead of the vintage queue (see queries() docstring).
-#: Round 10: q_tablesample_stable dropped the layout-dependent
-#: native_sample_in_range column from its hash-gated output (r9
-#: advisor item; band moved to tests/test_extras84_witnesses.py).
-_CHANGED_SINCE_VERDICT = ("q_tablesample_stable",)
+#: Output contract or implementation changed since the key's latest
+#: recorded verdict — re-verify ahead of the vintage queue (see
+#: queries() docstring). Round 11 changed: the six graph keys gained
+#: eager localCheckpoint lineage truncation (93df3cf), q_window_exclude
+#: was rewritten as prefix-sum + boundary probes (eebe8e2),
+#: q_window_range_interval / q_ann_ivfadc / q_catalog_graph(+_impact)
+#: were restructured in the eval-tail trim (68d48b1). All are locally
+#: hash-green via tools/check_oracle.py; the driver record is what
+#: counts, so they head the r12 sample. (q_tablesample_stable, the r10
+#: entry, got its fresh verdict in CORRECTNESS_r11 and dropped off.)
+#: Maintained mechanically by tools/verify_slate.py.
+_CHANGED_SINCE_VERDICT = (
+    "q_khop_reach",
+    "q_label_propagation",
+    "q_part_triangles",
+    "q_graph_neighbor_jaccard",
+    "q_degree_distribution",
+    "q_item_cf",
+    "q_window_exclude",
+    "q_window_range_interval",
+    "q_ann_ivfadc",
+    "q_catalog_graph",
+    "q_catalog_graph_impact",
+    # Round 12: the dhash law's square is now computed mod-2^32-reduced
+    # in uint64/HUGEINT (identical values, total past doc_id 28,662 —
+    # r11 advisor item). q_image_dhash's oracle text changed; the other
+    # three are module-grain co-flags from tools/verify_slate.py.
+    "q_image_dhash",
+    "q_embedding_pq",
+    "q_gdpr_erasure",
+    "q_split_temporal",
+    # Round 12: _catalog_key now fingerprints parquet directories one
+    # level deep (r11 advisor item) — catalog_queries module co-flags.
+    "q_join_discovery",
+    "q_join_discovery_sketch",
+    "q_lineage_downstream",
+    "q_dedup_keep_best",
+    "q_profile_topk_values",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -491,13 +491,30 @@ def _catalog_key(spark, sf_dir) -> tuple:
     entries (name, mtime_ns, size) so a regenerated fixture within one
     Spark application invalidates the catalogs instead of serving
     stale entries while the DuckDB oracle reads fresh data (round-11
-    advisor item). Catalog grain: a handful of entries, one scandir."""
+    advisor item). A ``*.parquet`` entry that is a DIRECTORY (Spark
+    layout: part-files inside) is fingerprinted one level deep — inner
+    part-files can be rewritten without touching the directory entry's
+    own mtime (round-11 advisor item, the ``_corpus_fingerprint``
+    discipline from extras72). Catalog grain: a handful of entries."""
     import os
 
     norm = os.path.normpath(sf_dir)
+
+    def _entry_fp(e):
+        if e.is_dir():
+            inner = tuple(
+                sorted(
+                    (i.name, i.stat().st_mtime_ns, i.stat().st_size)
+                    for i in os.scandir(e.path)
+                )
+            )
+            return (e.name, "dir", inner)
+        st = e.stat()
+        return (e.name, st.st_mtime_ns, st.st_size)
+
     fp = tuple(
         sorted(
-            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            _entry_fp(e)
             for e in os.scandir(norm)
             if e.name.endswith(".parquet")
         )

@@ -115,15 +115,24 @@ _DHASH_H, _DHASH_W = 24, 36
 # (measured: 880 pairs at sf0.001). Squaring makes the cross-doc delta
 # 2*s*C + C^2 — varying with s — and a 250-image simulation yields
 # exactly the 50 planted pairs and zero accidental ones.
+# The square is computed mod 2^32 AFTER reducing the mix mod 2^32 —
+# mathematically identical ((s*s) mod m == ((s mod m)*(s mod m)) mod m)
+# but total for any fixture doc_id: squaring the raw mix overflows
+# BIGINT/int64 once s > isqrt(2^63-1) = 3,037,000,499, i.e. doc_id >
+# 28,662 for the noise mix (104729*d dominates) — numpy would wrap
+# silently while DuckDB raises (r11 advisor). Reduced, the square is
+# < 2^64 and exact in HUGEINT here / uint64 in the Spark kernel.
 _PX_LAW = (
-    "(((d * 7919 + r * 104729 + c * 1299709 + 12345)"
-    " * (d * 7919 + r * 104729 + c * 1299709 + 12345))"
-    " % 4294967296) // 16777216"
+    "CAST((CAST((d * 7919 + r * 104729 + c * 1299709 + 12345)"
+    " % 4294967296 AS HUGEINT)"
+    " * ((d * 7919 + r * 104729 + c * 1299709 + 12345) % 4294967296))"
+    " % 4294967296 AS BIGINT) // 16777216"
 )
 _NOISE_LAW = (
-    "((((d * 104729 + r * 7919 + c * 999331 + 54321)"
-    " * (d * 104729 + r * 7919 + c * 999331 + 54321))"
-    " % 4294967296) % 3) - 1"
+    "(CAST((CAST((d * 104729 + r * 7919 + c * 999331 + 54321)"
+    " % 4294967296 AS HUGEINT)"
+    " * ((d * 104729 + r * 7919 + c * 999331 + 54321) % 4294967296))"
+    " % 4294967296 AS BIGINT) % 3) - 1"
 )
 # 9 uneven bands over 64 bits (8x7 + 1x8): 8 differing bits across 9
 # bands leave >= 1 band clean by pigeonhole, so the banded join is
@@ -230,14 +239,18 @@ def q_image_dhash(spark, sf_dir):
             for d in pdf["doc_id"]:
                 d = int(d)
                 # the closed-form laws the oracle mirrors (_PX_LAW /
-                # _NOISE_LAW) — exact int64, no overflow (s < 1e8,
-                # s*s < 1e16 < 2^63)
+                # _NOISE_LAW): reduce mod 2^32, square in uint64 —
+                # (s mod 2^32)^2 < 2^64 so the product is exact, and
+                # identical mod 2^32 to s*s for ANY doc_id (the raw
+                # square overflows int64 past doc_id 28,662)
                 s = d * 7919 + rr * 104729 + cc * 1299709 + 12345
-                base = ((s * s) % 2**32 // 2**24).astype(np.uint8)
+                sm = (s % 2**32).astype(np.uint64)
+                base = ((sm * sm) % 2**32 // 2**24).astype(np.uint8)
                 variants = [(d * 2, base)]
                 if d % 20 == 0:  # plant a near-dup twin
                     t = d * 104729 + rr * 7919 + cc * 999331 + 54321
-                    noise = ((t * t) % 2**32) % 3 - 1
+                    tm = (t % 2**32).astype(np.uint64)
+                    noise = (((tm * tm) % 2**32) % 3).astype(np.int64) - 1
                     twin = np.clip(base.astype(np.int64) + noise, 0, 255)
                     variants.append((d * 2 + 1, twin.astype(np.uint8)))
                 for img_id, px in variants:
