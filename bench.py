@@ -97,10 +97,16 @@ def main() -> None:
     # output-tail capture then always holds one complete ~100-byte JSON
     # object instead of the tail of a multi-KB line.
     print(json.dumps(full))
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_queries.json")
-    with open(out_path, "w") as f:
-        json.dump(full, f, indent=1)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Two on-disk copies: bench_queries.json is the tripwire/retime
+    # working file (spliced by tools/retime.py), BENCH_PERKEY.json is
+    # the immutable per-round record — the driver's BENCH_r{N}.json
+    # truncates the per-key map, so per-key regression audits diff this
+    # file against tools/bench_baseline.json via tools/bench_diff.py
+    # (round-11 verdict task 4).
+    for fname in ("bench_queries.json", "BENCH_PERKEY.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(full, f, indent=1)
     sys.stdout.flush()
     print(
         json.dumps(

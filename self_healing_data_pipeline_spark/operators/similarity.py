@@ -601,6 +601,73 @@ def pq_encode_with_error(
     return embeddings.select(id_col, vec_col).mapInPandas(batches, schema)
 
 
+def pq_encode_replayable(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``pq_encode_with_error`` with a CONTRACTED float fold order, so a
+    SQL oracle can replay every output bit (the q_embedding_pq
+    promotion): per-subspace squared distance accumulates over the
+    dims SEQUENTIALLY left-to-right starting from 0.0 (matching
+    DuckDB's ``list_reduce`` over the 8 squared diffs — IEEE doubles,
+    0.0 + v == v), and the per-vector reconstruction MSE folds the m
+    chosen distances in subspace order before one power-of-two scale
+    (/dim — exact in binary FP). ``pq_encode_with_error`` keeps numpy's
+    pairwise ``.sum`` for throughput; this twin is for oracle-gated
+    paths where the last ulp is part of the contract. Ties at argmin
+    take the lowest code on both engines (exact-equality doubles)."""
+    m, k, sub = books.shape
+    b = books.copy()
+    schema = f"{id_col} long, __codes array<int>, __recon_mse double"
+
+    def batches(it):
+        for pdf in it:
+            codes_col, err_col = [], []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64").reshape(m, sub)
+                d2 = np.zeros((m, k))
+                for d in range(sub):  # sequential per-dim left fold
+                    diff = x[:, d : d + 1] - b[:, :, d]
+                    d2 = d2 + diff * diff
+                c = d2.argmin(axis=1)
+                acc = 0.0
+                for i in range(m):  # subspace-order left fold
+                    acc = acc + float(d2[i, c[i]])
+                codes_col.append(c.astype("int32"))
+                err_col.append(acc / (m * sub))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__codes": codes_col,
+                    "__recon_mse": err_col,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
+def adc_lut_replayable(books: np.ndarray, query_vec) -> list[list[float]]:
+    """``adc_lut`` with the same contracted fold order as
+    ``pq_encode_replayable``: each (subspace, code) inner product is a
+    sequential left fold over the sub dims in pure Python doubles —
+    bit-identical to DuckDB's ``list_reduce`` over the products —
+    instead of einsum's BLAS ordering. Driver-sized (m × k floats)."""
+    m, k, sub = books.shape
+    q = [float(v) for v in query_vec]
+    lut: list[list[float]] = []
+    for i in range(m):
+        row = []
+        for j in range(k):
+            acc = 0.0
+            for d in range(sub):
+                acc = acc + q[i * sub + d] * float(books[i, j, d])
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
 def adc_lut(books: np.ndarray, query_vec) -> np.ndarray:
     """(m × k) asymmetric-distance lookup table: the inner product of
     each of the query's m subvectors with every codeword in that

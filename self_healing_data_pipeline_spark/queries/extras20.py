@@ -5,12 +5,12 @@ de-duplication over the REAL image codecs, GDPR right-to-be-forgotten
 cascade erasure, and a temporal train/test split with a user-leakage
 audit.
 
-The two approximate ops are rows-only by design (codebooks and pixel
-decode aren't ANSI-SQL-expressible) and carry in-row witnesses:
-PQ emits per-vector reconstruction MSE plus recall-vs-exact-top-k
-flags; dHash emits the planted-twin flag and the Hamming distance per
-surviving pair, and a round-trip bit on every image. The erasure and
-split ops are exact and oracle-checked.
+Both formerly-approximate ops are now HASH-EXACT oracle-backed: dHash
+via the closed-form pixel law (round-11 promotion), PQ via the
+seed-codebook restructure with contracted fold orders (round-12
+promotion — the Lloyd training run stays priced in the key as the
+``trained_improves`` witness). The erasure and split ops are exact
+and oracle-checked.
 
 Reference parity: erasure/cascade is the destructive half of the
 reference's ETL writeback surface (`automated-data-catalog-&-etl/
@@ -26,15 +26,103 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.functions.vector import dot_product
 from self_healing_data_pipeline_spark.operators.similarity import (
-    pq_adc_topk,
+    adc_lut_replayable,
+    adc_score,
+    pq_encode_replayable,
     pq_encode_with_error,
     pq_train,
 )
+from self_healing_data_pipeline_spark.queries.extras55 import _dot32
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
 
-@query("q_embedding_pq")  # rows-only: codebook compression is not SQL
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # 64-dim → 8 subspaces × 8 dims
+
+
+def _pq_oracle() -> str:
+    """Full SQL replay of the SEED-codebook PQ retrieval (round-12
+    promotion, the q_sim_ivf technique): seed codebooks are the 16
+    lowest-id vectors resliced — pure arithmetic, no Lloyd aggregate —
+    so encoding (argmin of sequential-fold squared L2 per subspace),
+    the ADC lookup table, the code fold, the shortlist, the float32
+    re-rank and the exact top-10 witness are all DuckDB-derivable.
+    Fold orders mirror pq_encode_replayable / adc_lut_replayable /
+    adc_score exactly (left folds over IEEE doubles)."""
+    m, k, sub = _PQ_M, _PQ_K, _PQ_SUB
+    return f"""
+    WITH q AS (
+      SELECT embedding AS qv,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qd
+      FROM embeddings WHERE vec_id = 0
+    ), ed AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, x AS cx
+      FROM (SELECT vec_id, x FROM ed ORDER BY vec_id LIMIT {k})
+    ), sp AS (
+      SELECT CAST(i AS INT) AS sp FROM range(0, {m}) t(i)
+    ), d2 AS (
+      SELECT e.vec_id, s.sp, c.code,
+             list_reduce(
+               list_transform(range(1, {sub + 1}),
+                 d -> (e.x[s.sp * {sub} + d] - c.cx[s.sp * {sub} + d])
+                      * (e.x[s.sp * {sub} + d] - c.cx[s.sp * {sub} + d])),
+               (a, b) -> a + b) AS dist2
+      FROM ed e CROSS JOIN sp s CROSS JOIN seeds c
+    ), codes AS (
+      SELECT vec_id, sp, code, dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+                   ORDER BY dist2 ASC, code ASC) AS rn
+        FROM d2) WHERE rn = 1
+    ), recon AS (
+      SELECT vec_id,
+             list_reduce(list(dist2 ORDER BY sp), (a, b) -> a + b)
+               / {m * sub} AS recon_mse
+      FROM codes GROUP BY vec_id
+    ), lut AS (
+      SELECT s.sp, c.code,
+             list_reduce(
+               list_transform(range(1, {sub + 1}),
+                 d -> q.qd[s.sp * {sub} + d] * c.cx[s.sp * {sub} + d]),
+               (a, b) -> a + b) AS ipn
+      FROM sp s CROSS JOIN seeds c CROSS JOIN q
+    ), adc AS (
+      SELECT co.vec_id,
+             list_reduce(list(l.ipn ORDER BY co.sp), (a, b) -> a + b)
+               AS adc_score
+      FROM codes co JOIN lut l ON l.sp = co.sp AND l.code = co.code
+      GROUP BY co.vec_id
+    ), shortlist AS (
+      SELECT vec_id, adc_score FROM adc
+      ORDER BY adc_score DESC, vec_id ASC LIMIT 50
+    ), reranked AS (
+      SELECT sl.vec_id, sl.adc_score, r.recon_mse,
+             {_dot32('e.embedding', 'q.qv')} AS ip
+      FROM shortlist sl
+      JOIN ed e USING (vec_id)
+      JOIN recon r USING (vec_id)
+      CROSS JOIN q
+      ORDER BY ip DESC, sl.vec_id ASC LIMIT 10
+    ), exact AS (
+      SELECT vec_id AS exact_id FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_dot32('e.embedding', 'q.qv')} DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q) WHERE rn <= 10
+    )
+    SELECT rr.vec_id, rr.adc_score, rr.ip, rr.recon_mse,
+           (x.exact_id IS NOT NULL) AS in_exact_topk,
+           TRUE AS trained_improves
+    FROM reranked rr LEFT JOIN exact x ON rr.vec_id = x.exact_id
+    ORDER BY rr.ip DESC, rr.vec_id ASC
+    """
+
+
+@query("q_embedding_pq", oracle=_pq_oracle())
 def q_embedding_pq(spark, sf_dir):
     """Product-quantized ANN (Jégou et al. 2011): 64-dim float32
     vectors (256 B) compress to 8 one-byte subspace codes (32×), and
@@ -56,15 +144,41 @@ def q_embedding_pq(spark, sf_dir):
     fetched for an exact inner-product RE-RANK to the final top-10 —
     at 100 TB the refine step touches 50 vectors, not a billion.
 
-    Witnesses per row: ``recon_mse`` (the quantization-quality number
-    PQ reports) and ``in_exact_topk`` (membership in the exact
-    inner-product top-10 from the uncompressed vectors — the recall
-    witness, same discipline as q_sim_ivf / q_sim_ann_lsh)."""
+    Round-12 promotion to a HASH-EXACT oracle (the q_kmeans_assign
+    restructure + the q_sim_ivf full-SQL-replay technique): the
+    hash-gated retrieval path runs on the deterministic SEED codebooks
+    (the 16 lowest-id vectors resliced — ``pq_train(iters=0)``), whose
+    encoding/LUT/score arithmetic uses contracted sequential fold
+    orders (``pq_encode_replayable`` / ``adc_lut_replayable``) that the
+    DuckDB oracle replays bit-for-bit. The Lloyd TRAINING run stays in
+    the key — this remains the priced codebook-training query — but
+    its float outputs ride as the boolean ``trained_improves`` witness
+    (two Lloyd iterations must not worsen the corpus mean recon MSE;
+    Lloyd's objective is monotone non-increasing) instead of being
+    hash-gated: the trained means come from cross-partition float
+    aggregates whose merge order Spark does not contract.
+
+    Witnesses per row: ``recon_mse`` (seed-book quantization quality,
+    hash-exact), ``in_exact_topk`` (membership in the exact
+    inner-product top-10 — the recall witness, same discipline as
+    q_sim_ivf), and ``trained_improves`` (expected TRUE)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=8, k=16, iters=2)
+    seed_books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    encoded = pq_encode_with_error(emb, books)
-    shortlist = pq_adc_topk(encoded, books, list(qvec), k_top=50)
+    encoded = pq_encode_replayable(emb, seed_books)
+    lut = adc_lut_replayable(seed_books, list(qvec))
+    lut_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    shortlist = (
+        encoded.select(
+            "vec_id",
+            adc_score(F.col("__codes"), lut_col).alias("adc_score"),
+            "__recon_mse",
+        )
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
     qlit = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
     reranked = (
         shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -85,6 +199,22 @@ def q_embedding_pq(spark, sf_dir):
         .orderBy(F.col("ip_x").desc(), F.col("exact_id").asc())
         .limit(10)
     )
+    # The priced training run: 2 Lloyd iterations, then the corpus mean
+    # recon MSE under the trained books vs the seed books. Scalar
+    # aggregates (one double each) — boolean-gated, not hash-gated.
+    trained_books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    trained_mse = pq_encode_with_error(emb, trained_books).agg(
+        F.avg("__recon_mse").alias("t_mse")
+    )
+    seed_mse = encoded.agg(F.avg("__recon_mse").alias("s_mse"))
+    witness = (
+        trained_mse.crossJoin(seed_mse)
+        .select(
+            (F.col("t_mse") <= F.col("s_mse") * 1.001).alias(
+                "trained_improves"
+            )
+        )
+    )
     return (
         reranked.join(
             F.broadcast(exact), reranked["vec_id"] == F.col("exact_id"), "left"
@@ -96,6 +226,7 @@ def q_embedding_pq(spark, sf_dir):
             F.col("__recon_mse").alias("recon_mse"),
             F.col("exact_id").isNotNull().alias("in_exact_topk"),
         )
+        .crossJoin(F.broadcast(witness))
         .orderBy(F.col("ip").desc(), F.col("vec_id").asc())
     )
 

@@ -179,6 +179,7 @@ def _stage2_judge(
     baseline: dict[str, float],
     fresh: dict[str, float],
     sentinels: list[str],
+    suite_sentinel_drift: float | None = None,
 ) -> tuple[dict, dict, float]:
     """Pure stage-2 judgment over one retime window. Returns
     ``(regressed, invalid, retime_cal)``:
@@ -192,16 +193,29 @@ def _stage2_judge(
       once and then skips (never fails) on persistence.
     - ``retime_cal``: the sentinel drift factor applied. Capped at
       RETIME_CAL_LIMIT under normal conditions; the cap is LIFTED when
-      drift > SENTINEL_CONTENTION, because sentinel passes are
-      interleaved with suspect passes (tools/retime.py) and such drift
-      therefore proves contention during the measurement window itself.
+      drift > SENTINEL_CONTENTION — but ONLY with corroboration
+      (round-11 advisor item): interleaved sentinel drift proves the
+      slowdown is in-window, yet a GLOBAL regression (shared operator
+      or session-default change) also slows sentinels in the isolated
+      subprocess and must not be normalized away. The discriminator is
+      ``suite_sentinel_drift`` — the sentinels' ratios in the SUITE run
+      that raised the suspects: window-local contention leaves the
+      suite ratios inside the normal protocol-skew band
+      (<= ISOLATED_THRESHOLD vs their isolated baselines), while a
+      global regression inflates suite and window alike. With no suite
+      corroboration available the cap stays (conservative: worst case a
+      re-run / invalid-window classification, never a silent pass).
     """
     raw_drift = (
         statistics.median([fresh[s] / baseline[s] for s in sentinels])
         if sentinels
         else 1.0
     )
-    if raw_drift > SENTINEL_CONTENTION:
+    contention_corroborated = (
+        suite_sentinel_drift is not None
+        and suite_sentinel_drift <= ISOLATED_THRESHOLD
+    )
+    if raw_drift > SENTINEL_CONTENTION and contention_corroborated:
         retime_cal = max(1.0, raw_drift)
     else:
         retime_cal = min(RETIME_CAL_LIMIT, max(1.0, raw_drift))
@@ -267,16 +281,17 @@ def test_stage2_judge_contended_window_is_invalid_not_red():
 
 
 def test_stage2_judge_cap_lifts_under_proven_contention():
-    """Sentinels >1.5x drifted (interleaved with the suspect, so the
-    drift is in-window) lift the 2.0x cap: a suspect inflated 2.5x by
-    the same contention calibrates clean instead of red."""
+    """Sentinels >1.5x drifted in-window AND clean in the suite run
+    (the contention signature) lift the 2.0x cap: a suspect inflated
+    2.5x by the same contention calibrates clean instead of red."""
     baseline = {"q_x": 1.0, "q_agg_groupby": 0.5, "q_join_inner": 0.4}
     suspects = {"q_x": (1.0, 2.6)}
     # everything — sentinels and suspect alike — is ~2.5x under load
     fresh = {"q_x": 2.5, "q_agg_groupby": 1.25, "q_join_inner": 1.0}
     # suite_run 2.6 >= fresh 2.5 so not "invalid"; cal = 2.5 (lifted)
     regressed, invalid, cal = _stage2_judge(
-        ["q_x"], suspects, baseline, fresh, ["q_agg_groupby", "q_join_inner"]
+        ["q_x"], suspects, baseline, fresh, ["q_agg_groupby", "q_join_inner"],
+        suite_sentinel_drift=1.1,
     )
     assert not regressed and not invalid and cal == 2.5
     # ...but a key regressed ON TOP of that contention still reds:
@@ -284,8 +299,33 @@ def test_stage2_judge_cap_lifts_under_proven_contention():
     regressed2, _, _ = _stage2_judge(
         ["q_x"], {"q_x": (1.0, 6.2)}, baseline, fresh2,
         ["q_agg_groupby", "q_join_inner"],
+        suite_sentinel_drift=1.1,
     )
     assert list(regressed2) == ["q_x"]
+
+
+def test_stage2_judge_global_regression_not_normalized_away():
+    """r11 advisor item: a change that slows the sentinels >1.5x in the
+    isolated window AND in the suite run (global regression — shared
+    operator / session default) must NOT lift the cap: the suspect
+    stays red instead of being calibrated away as 'environment'."""
+    baseline = {"q_x": 1.0, "q_agg_groupby": 0.5, "q_join_inner": 0.4}
+    suspects = {"q_x": (1.0, 3.1)}
+    # sentinels 2.5x slow in the window; the suspect 3.0x — under a
+    # LIFTED cal of 2.5 it would calibrate to 1.2x and ship
+    fresh = {"q_x": 3.0, "q_agg_groupby": 1.25, "q_join_inner": 1.0}
+    # suite sentinel ratios ~2.5x too: the slowdown predates the window
+    regressed, invalid, cal = _stage2_judge(
+        ["q_x"], suspects, baseline, fresh, ["q_agg_groupby", "q_join_inner"],
+        suite_sentinel_drift=2.5,
+    )
+    assert cal == RETIME_CAL_LIMIT  # capped, not lifted
+    assert list(regressed) == ["q_x"] and not invalid
+    # ...and with no suite corroboration at all, stay conservative:
+    regressed2, _, cal2 = _stage2_judge(
+        ["q_x"], suspects, baseline, fresh, ["q_agg_groupby", "q_join_inner"],
+    )
+    assert cal2 == RETIME_CAL_LIMIT and list(regressed2) == ["q_x"]
 
 
 def test_no_per_query_bench_regression():
@@ -370,6 +410,13 @@ def test_no_per_query_bench_regression():
         and s in isolated
         and s in registry.QUERIES
     ]
+    # Suite-side sentinel drift corroborates (or refutes) any in-window
+    # contention claim: see _stage2_judge's docstring.
+    suite_sentinel_drift = (
+        statistics.median([current[s] / baseline[s] for s in sentinels])
+        if sentinels
+        else None
+    )
     regressed: dict[str, dict] = {}
     invalid: dict[str, dict] = {}
     pending = list(live)
@@ -378,7 +425,8 @@ def test_no_per_query_bench_regression():
             pending + sentinels, timeout=120 + 180 * (len(pending) + len(sentinels))
         )
         regressed, invalid, _ = _stage2_judge(
-            pending, suspects, baseline, info["queries"], sentinels
+            pending, suspects, baseline, info["queries"], sentinels,
+            suite_sentinel_drift=suite_sentinel_drift,
         )
         if not invalid:
             break

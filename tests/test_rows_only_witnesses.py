@@ -50,7 +50,9 @@ ALL_TRUE: dict[str, list[str]] = {
 # the ~k/n chance level.)
 MIN_FRACTION: dict[str, tuple[str, float]] = {
     "q_sim_ann_lsh": ("in_exact_topk", 0.5),
-    "q_embedding_pq": ("in_exact_topk", 0.5),
+    # q_embedding_pq: promoted round 12 (seed-codebook restructure,
+    # full SQL replay) — its recall floor lives on as
+    # test_promoted_pq_keeps_recall_and_training_witness below.
 }
 
 # Per-row bound predicates (the witness is a bounded metric column).
@@ -141,3 +143,20 @@ def test_witness_bound(key, spark, sf_dir):
 def test_witness_structural(key, spark, sf_dir):
     df = registry.QUERIES[key](spark, sf_dir)
     assert STRUCTURAL[key](df), f"{key}: structural witness failed"
+
+
+def test_promoted_pq_keeps_recall_and_training_witness(spark, sf_dir):
+    """q_embedding_pq's round-12 promotion hash-pins its VALUES, not its
+    quality: this keeps the honest floors — the seed-codebook shortlist
+    must still recover >= 50% of the exact top-10 after re-rank, and the
+    priced 2-iter Lloyd run must not worsen the corpus mean recon MSE
+    (trained_improves TRUE on every row)."""
+    df = registry.QUERIES["q_embedding_pq"](spark, sf_dir)
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("in_exact_topk").cast("int")).alias("hits"),
+        F.sum(F.col("trained_improves").cast("int")).alias("improved"),
+    ).first()
+    assert r["n"] > 0
+    assert r["hits"] / r["n"] >= 0.5, f"recall {r['hits']}/{r['n']}"
+    assert r["improved"] == r["n"], "Lloyd training worsened recon MSE"
