@@ -101,6 +101,27 @@ _CHANGED_SINCE_VERDICT = (
     "q_lineage_downstream",
     "q_dedup_keep_best",
     "q_profile_topk_values",
+    # Round 12: q_dedup_embedding moved to value-grain survivors after
+    # the sf1 probe measured 15.8× wall at 10× data (same output,
+    # vector-grain oracle unchanged); tier_c module co-flags follow.
+    "q_dedup_embedding",
+    "q_dedup_keep_first_docs",
+    "q_dedup_minhash",
+    "q_dedup_normalized",
+    "q_dedup_pairs",
+    "q_pandas_udf",
+    "q_sim_ann_lsh",
+    "q_sim_ivf",
+    "q_sim_join",
+    "q_sim_join_lsh",
+    "q_sim_range",
+    "q_sim_topk",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_rollup",
+    "q_text_token_count",
+    "q_text_tokens",
 )
 
 

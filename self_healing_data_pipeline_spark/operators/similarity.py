@@ -100,6 +100,80 @@ def similarity_join(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+def blocked_dedup_survivors(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep-first cosine dedup survivors at VALUE grain: ids with no
+    lower-id same-block neighbor at cosine ≥ threshold.
+
+    Semantics are defined at VECTOR grain (the DuckDB oracle's NOT
+    EXISTS form), but the pair join runs over DISTINCT (block, value)
+    groups — the ``semdedup_drops`` collapse (round-12 sf1 probe: the
+    vector-grain join measured 15.8× wall at 10× data once block sizes
+    grew linearly; this form re-probed 1.1×). Exactness:
+
+    - identical vectors score cos ≈ 1.0 ≥ τ against each other, so
+      within a value group only the MIN id can survive, and it is the
+      group's rep;
+    - a rep survives iff no partner value in the block (cos ≥ τ) has a
+      smaller rep: any dominating member u implies rep(group(u)) ≤
+      id(u) < rep, so rep-vs-rep comparison is complete;
+    - zero-norm vectors have no cosine (NULL/NaN on both engines,
+      never ≥ τ): they all survive and never dominate — passed
+      through at vector grain, excluded from the pair space.
+
+    The cosine chain (precomputed norms, sequential-fold dot) is the
+    same float chain ``similarity_join`` runs on identical arrays, so
+    every threshold decision — and the oracle hash — is unchanged.
+    Shuffles: one groupBy on (block, value), the block-key pair join
+    at value grain, one anti-join on rep id."""
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(block_col).alias("blk"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    zero = base.filter(~(F.col("__norm") > 0)).select(
+        F.col("__id").alias(id_col)
+    )
+    groups = (
+        base.filter(F.col("__norm") > 0)
+        .groupBy("blk", "__vec")
+        .agg(F.min("__id").alias("rep_id"), F.min("__norm").alias("nrm"))
+    )
+    l = groups.select(
+        "blk",
+        F.col("__vec").alias("v_l"),
+        F.col("rep_id").alias("rep_l"),
+        F.col("nrm").alias("n_l"),
+    )
+    r = groups.select(
+        "blk",
+        F.col("__vec").alias("v_r"),
+        F.col("rep_id").alias("rep_r"),
+        F.col("nrm").alias("n_r"),
+    )
+    dominated = (
+        l.join(r, "blk")
+        .filter(F.col("rep_l") < F.col("rep_r"))
+        .filter(
+            dot_product(F.col("v_l"), F.col("v_r"))
+            / (F.col("n_l") * F.col("n_r"))
+            >= threshold
+        )
+        .select(F.col("rep_r").alias("rep_id"))
+        .distinct()
+    )
+    survivors = groups.join(dominated, "rep_id", "left_anti").select(
+        F.col("rep_id").alias(id_col)
+    )
+    return survivors.unionByName(zero)
+
+
 def hyperplanes(tables: int, bits: int, dim: int, seed: int = 42):
     """Deterministic random hyperplanes, shape (tables, bits, dim).
 

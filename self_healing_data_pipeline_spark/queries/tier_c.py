@@ -13,6 +13,7 @@ from self_healing_data_pipeline_spark.operators.dedup import (
     normalize_text,
 )
 from self_healing_data_pipeline_spark.operators.similarity import (
+    blocked_dedup_survivors,
     brute_force_topk,
     ivf_topk,
     lsh_ann_topk,
@@ -336,18 +337,18 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup DEDUP: keep each row with no lower-id
     neighbor at cosine ≥ τ within its block (keep-first representative).
 
-    Composition: blocked pairwise cosine join (operators.similarity.
-    similarity_join — the same pair set q_sim_join verifies against the
-    oracle) → survivors = ids never dominated, via one LEFT ANTI join.
-    At 100 TB the block/LSH-bucket join bounds the pair space and the
-    anti-join is a shuffle on vec_id; no O(n²) stage anywhere."""
+    Round 12: runs at VALUE grain via operators.similarity.
+    blocked_dedup_survivors — the semdedup_drops collapse. The sf1
+    probe caught the vector-grain form at 15.8× wall for 10× data
+    (replicated corpora grow blocks linearly → the blocked pair join
+    quadratically); collapsing bit-identical vectors first is EXACT
+    for keep-first semantics (see the operator docstring) and re-probes
+    linear. The DuckDB oracle deliberately stays at vector grain — an
+    independent formulation, not a rewrite twin."""
     emb = read_table(spark, sf_dir, "embeddings")
-    dominated = (
-        similarity_join(emb, block_col="label", threshold=0.2)
-        .select(F.col("id_r").alias("vec_id"))
-        .distinct()
-    )
-    return emb.join(dominated, "vec_id", "left_anti").select("vec_id")
+    return blocked_dedup_survivors(
+        emb, block_col="label", threshold=0.2
+    ).select("vec_id")
 
 
 @query(

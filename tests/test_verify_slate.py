@@ -90,6 +90,21 @@ def test_snapshot_exists_and_covers_registry(slate_report):
     assert not ghosts, f"snapshot has keys not in registry: {sorted(ghosts)}"
 
 
+def test_snapshot_absorbed_latest_driver_round():
+    """Self-enforcing refresh: when a new CORRECTNESS_r{N}.json lands
+    (driver round N finished), the snapshot must absorb it BEFORE new
+    edits pile up — the round-start tree is byte-identical to what the
+    driver verified, so that is the only safe refresh point."""
+    snap = verify_slate.load_snapshot()
+    rnd, _ = verify_slate._latest_correctness()
+    assert snap.get("refreshed_round") == rnd, (
+        f"CORRECTNESS_r{rnd:02d}.json is newer than the slate snapshot "
+        f"(refreshed_round={snap.get('refreshed_round')}) — run `python "
+        "tools/verify_slate.py --refresh` FIRST, before touching query "
+        "modules this round"
+    )
+
+
 def test_slate_fits_budget(slate_report):
     assert slate_report["count"] <= verify_slate.SLATE_BUDGET, (
         "must-verify slate exceeds the driver budget; split the round's "

@@ -114,6 +114,26 @@ PROBE_KEYS = [
     # join must scale LINEARLY (a fixed K would be quadratic here).
     "q_window_range_interval",
     "q_semdedup",
+    # round-12 additions (r11 verdict task 8): the 10 slowest keys of
+    # the r12 bench still lacking an sf1 row — FK discovery's
+    # column-pair sweep, the basket-pair self-join (bounded by
+    # per-order width), lineage's capture+closure, the simhash banded
+    # pair join at 10× the band buckets, the HLL accuracy gate, MAD's
+    # double median, bit-exact embedding dedup, the GK sketch + rank
+    # verify join, and the two heaviest remaining TPC-H shapes (Q21's
+    # triple-lineitem self-join, Q16's not-in + distinct-count).
+    # (q_dedup_registry stays excluded: streaming-registry scratch
+    # epochs dwarf the query — the tool's documented policy.)
+    "q_join_discovery",
+    "q_basket_pairs",
+    "q_lineage_downstream",
+    "q_dedup_simhash_pairs",
+    "q_distinct_sketch_accuracy",
+    "q_dq_outlier_mad",
+    "q_dedup_embedding",
+    "q_agg_approx_percentile",
+    "q_tpch_q21",
+    "q_tpch_q16",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
