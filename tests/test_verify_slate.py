@@ -39,25 +39,29 @@ def _entry_module():
 
 def test_compute_slate_flags_each_field():
     cur = {
-        "q_a": {"func": "1", "module": "m1", "oracle": "o1"},
-        "q_b": {"func": "2", "module": "m2", "oracle": "o2"},
-        "q_c": {"func": "3", "module": "m3", "oracle": "o3"},
-        "q_new": {"func": "4", "module": "m4", "oracle": "o4"},
+        "q_a": {"func": "1", "module": "m1", "deps": "d1", "oracle": "o1"},
+        "q_b": {"func": "2", "module": "m2", "deps": "d2", "oracle": "o2"},
+        "q_c": {"func": "3", "module": "m3", "deps": "d3", "oracle": "o3"},
+        "q_d": {"func": "4", "module": "m4", "deps": "d4", "oracle": "o4"},
+        "q_new": {"func": "5", "module": "m5", "deps": "d5", "oracle": "o5"},
     }
     snap = {
         "keys": {
-            "q_a": {"func": "STALE", "module": "m1", "oracle": "o1"},
-            "q_b": {"func": "2", "module": "STALE", "oracle": "o2"},
-            "q_c": {"func": "3", "module": "m3", "oracle": "STALE"},
+            "q_a": {"func": "STALE", "module": "m1", "deps": "d1", "oracle": "o1"},
+            "q_b": {"func": "2", "module": "STALE", "deps": "d2", "oracle": "o2"},
+            "q_c": {"func": "3", "module": "m3", "deps": "d3", "oracle": "STALE"},
+            # shared-operator edit: only the import-closure hash moves
+            "q_d": {"func": "4", "module": "m4", "deps": "STALE", "oracle": "o4"},
             # q_new absent: never verified -> handled by the unchecked
             # bucket in queries(), must NOT be flagged here.
         }
     }
     must, why = verify_slate.compute_slate(cur, snap)
-    assert set(must) == {"q_a", "q_b", "q_c"}
+    assert set(must) == {"q_a", "q_b", "q_c", "q_d"}
     assert why["q_a"] == ["func"]
     assert why["q_b"] == ["module"]
     assert why["q_c"] == ["oracle"]
+    assert why["q_d"] == ["deps"]
 
 
 def test_compute_slate_clean_snapshot_flags_nothing():

@@ -15,6 +15,10 @@ sha256 (16-hex prefix) of
 * ``module`` — the full bytes of the module file that defines it
   (helper/shared-builder edits — the round-11 graph lineage fix lived
   in shared helpers — change this even when the callable is untouched),
+* ``deps``   — the transitive in-package import closure of that module
+  (operators/, functions/, sources/, … files it reaches), so an edit
+  to a shared OPERATOR flags every key whose module imports it — the
+  blind spot a module-only hash leaves open,
 * ``oracle`` — the key's DuckDB oracle SQL string,
 
 as of the key's most recent green driver verdict. A key whose CURRENT
@@ -68,26 +72,92 @@ def _short(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()[:16]
 
 
+_PKG = "self_healing_data_pipeline_spark"
+_IMPORT_RE = None  # compiled lazily (module may be imported without re)
+
+
+def _module_file(dotted: str) -> str | None:
+    """Best-effort dotted-module → file path inside the package."""
+    rel = dotted.replace(".", os.sep)
+    for cand in (
+        os.path.join(REPO, rel + ".py"),
+        os.path.join(REPO, rel, "__init__.py"),
+    ):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _package_imports(path: str) -> list[str]:
+    """Dotted in-package modules statically imported by ``path``."""
+    global _IMPORT_RE
+    import re
+
+    if _IMPORT_RE is None:
+        _IMPORT_RE = re.compile(
+            rf"^\s*(?:from\s+({_PKG}(?:\.\w+)*)\s+import|"
+            rf"import\s+({_PKG}(?:\.\w+)*))",
+            re.MULTILINE,
+        )
+    try:
+        with open(path) as f:
+            src = f.read()
+    except OSError:
+        return []
+    out = []
+    for m in _IMPORT_RE.finditer(src):
+        out.append(m.group(1) or m.group(2))
+    return out
+
+
+def _dep_closure(mod_file: str, file_cache: dict[str, str]) -> str:
+    """Hash of the transitive in-package import closure of ``mod_file``
+    (excluding the module itself — that is the ``module`` field)."""
+    seen: set[str] = set()
+    frontier = [mod_file]
+    while frontier:
+        cur = frontier.pop()
+        for dotted in _package_imports(cur):
+            dep = _module_file(dotted)
+            if dep and dep != mod_file and dep not in seen:
+                seen.add(dep)
+                frontier.append(dep)
+    parts = []
+    for dep in sorted(seen):
+        if dep not in file_cache:
+            try:
+                with open(dep, "rb") as f:
+                    file_cache[dep] = _short(f.read())
+            except OSError:
+                file_cache[dep] = "unreadable"
+        parts.append(f"{os.path.relpath(dep, REPO)}:{file_cache[dep]}")
+    return _short("\n".join(parts).encode())
+
+
 def current_hashes(registry) -> dict[str, dict[str, str]]:
-    """Per-key {func, module, module_file, oracle} hashes from the tree."""
+    """Per-key {func, module, deps, module_file, oracle} hashes."""
     out: dict[str, dict[str, str]] = {}
-    module_cache: dict[str, str] = {}
+    file_cache: dict[str, str] = {}
+    deps_cache: dict[str, str] = {}
     for key, func in registry.QUERIES.items():
         mod = inspect.getmodule(func)
         mod_file = getattr(mod, "__file__", None) or "<unknown>"
-        if mod_file not in module_cache:
+        if mod_file not in file_cache:
             try:
                 with open(mod_file, "rb") as f:
-                    module_cache[mod_file] = _short(f.read())
+                    file_cache[mod_file] = _short(f.read())
             except OSError:
-                module_cache[mod_file] = "unreadable"
+                file_cache[mod_file] = "unreadable"
+        if mod_file not in deps_cache:
+            deps_cache[mod_file] = _dep_closure(mod_file, file_cache)
         try:
             src = inspect.getsource(func)
         except (OSError, TypeError):
             src = ""
         out[key] = {
             "func": _short(src.encode()),
-            "module": module_cache[mod_file],
+            "module": file_cache[mod_file],
+            "deps": deps_cache[mod_file],
             "module_file": os.path.relpath(mod_file, REPO)
             if os.path.isabs(mod_file)
             else mod_file,
@@ -123,7 +193,7 @@ def compute_slate(
             continue
         reasons = [
             field
-            for field in ("func", "oracle", "module")
+            for field in ("func", "oracle", "module", "deps")
             if snap.get(field) is not None and cur[field] != snap[field]
         ]
         if reasons:
@@ -183,11 +253,12 @@ def bootstrap() -> None:
     rnd, _ = _latest_correctness()
     snapshot = {
         "_note": (
-            "Bootstrapped from the working tree in round 12. Keys whose "
-            "implementation changed in round 11 after their last driver "
-            "verdict are covered by the hand-maintained "
-            "_CHANGED_SINCE_VERDICT slate for the r12 sample; from r12's "
-            "refresh onward this snapshot is the single source of truth."
+            "Bootstrapped from the working tree in round 12 (re-run when "
+            "the deps field was added). Keys whose implementation changed "
+            "after their last driver verdict but before this bootstrap "
+            "are covered by the hand-maintained _CHANGED_SINCE_VERDICT "
+            "slate for the r12 sample; from r12's refresh onward this "
+            "snapshot is the single source of truth."
         ),
         "refreshed_round": rnd,
         "keys": {k: {**v, "round": rnd} for k, v in current.items()},
