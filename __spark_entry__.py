@@ -94,6 +94,18 @@ _CHANGED_SINCE_VERDICT = (
     "q_embedding_pq",
     "q_gdpr_erasure",
     "q_split_temporal",
+    # Round 12: the driver-collect boundedness census
+    # (tools/lint_driver_bound.py) found q_neardup_registry collecting
+    # every accepted doc id (~n/4 rows) to the driver for a set-equality
+    # witness; rewritten as two key-only anti-joins. extras6 module
+    # co-flags follow.
+    "q_neardup_registry",
+    "q_dedup_registry",
+    "q_embedding_quantize",
+    "q_order_cadence",
+    "q_percentile_bands",
+    "q_sample_weighted",
+    "q_time_to_convert",
     # Round 12: _catalog_key now fingerprints parquet directories one
     # level deep (r11 advisor item) — catalog_queries module co-flags.
     "q_join_discovery",

@@ -391,41 +391,51 @@ def q_neardup_registry(spark, sf_dir):
 
     scratch = scratch_dir("neardup", sf_dir)
 
-    def run(tag: str, cuts) -> set[int]:
+    def run(tag: str, cuts):
+        """Materialize the registry pass; return the accepted-id
+        DataFrame (doc_id only) — the id sets stay DISTRIBUTED. The
+        pre-round-12 form collected every accepted id into a Python
+        set (~n/4 ids — a driver collect that grows with the corpus);
+        the set-equality witness below is two key-only anti-joins
+        instead, O(1) driver state at any scale."""
         rdir = os.path.join(scratch, tag, "reg")
         adir = os.path.join(scratch, tag, "acc")
         for epoch, pred in enumerate(cuts):
             apply_neardup_batch(
                 spark, d.filter(pred), rdir, adir, epoch, threshold=0.8
             )
-        ids: set[int] = set()
-        for e in committed_epochs(adir):
-            ids.update(
-                r["doc_id"]
-                for r in spark.read.parquet(
-                    os.path.join(adir, f"batch={e}")
-                ).collect()
-            )
-        return ids
+        paths = [
+            os.path.join(adir, f"batch={e}") for e in committed_epochs(adir)
+        ]
+        if not paths:
+            return spark.createDataFrame([], "doc_id bigint")
+        return spark.read.parquet(*paths).select(
+            F.col("doc_id").cast("bigint").alias("doc_id")
+        )
 
-    one = run("one", [F.lit(True)])
+    accepted = run("one", [F.lit(True)])
     n_docs = d.count()
+    n_accepted = accepted.select("doc_id").distinct().count()
     from self_healing_data_pipeline_spark.streaming.neardup_registry import (
         read_neardup_registry,
     )
 
     reg = read_neardup_registry(spark, os.path.join(scratch, "one", "reg"))
     reg_ids = (
-        {r["doc_id"] for r in reg.select("doc_id").collect()}
+        reg.select(F.col("doc_id").cast("bigint").alias("doc_id"))
         if reg is not None
-        else set()
+        else spark.createDataFrame([], "doc_id bigint")
     )
+    # Set equality, distributed: neither side has an id the other
+    # lacks. Anti-joins shuffle bare bigint keys only.
+    reg_only = reg_ids.join(accepted, "doc_id", "left_anti").count()
+    acc_only = accepted.join(reg_ids, "doc_id", "left_anti").count()
     return spark.createDataFrame(
         [
             (
                 int(n_docs),
-                1 <= len(one) <= n_docs,
-                reg_ids == one,
+                1 <= n_accepted <= n_docs,
+                reg_only == 0 and acc_only == 0,
             )
         ],
         "n_docs bigint, accepted_in_range boolean,"

@@ -651,10 +651,15 @@ def test_extras19_reports_are_bounded(spark, sf_dir):
 
 
 def test_extras20_plans_are_bounded(spark, sf_dir):
-    # PQ: ADC scan is JVM-side (no SinglePartition anywhere, no
-    # Python beyond the encode kernel), shortlist via TakeOrderedAndProject
+    # PQ: ADC scan is JVM-side, shortlist via TakeOrderedAndProject.
+    # The round-12 promotion added the trained_improves witness: two
+    # partial_avg(__recon_mse) scalar reduces (seed-book vs trained-
+    # book mean recon error) — map-side partials merging to ONE row
+    # each, the same benign class as the erasure report counters. Any
+    # data-grain SinglePartition beyond those two still fails.
     p = plan_of(spark, sf_dir, "q_embedding_pq")
-    assert "SinglePartition" not in p
+    assert p.count("SinglePartition") <= 2
+    assert p.count("partial_avg(__recon_mse") == p.count("SinglePartition")
     assert "TakeOrderedAndProject" in p
     # dHash: banded self-join (pigeonhole), no SinglePartition, no cartesian
     pd_ = plan_of(spark, sf_dir, "q_image_dhash")
