@@ -67,6 +67,26 @@ PLAN_BUDGETS: dict[str, tuple[int, int, int]] = {
     # jobs_min 1 just asserts execution happened)
     "q_window_exclude": (1, 16, 30),
     "q_ann_ivfadc": (1, 38, 60),
+    # round-12 extension: the remaining bench-tail heavies, priority
+    # on the ITERATIVE/STATEFUL class (multi-epoch registries, the
+    # incremental view, recursive closure) where lineage regrowth
+    # would reappear first. Measured steady-state (jobs, stages) at
+    # sf0.001, two consecutive counted runs identical per key:
+    #   incremental_join_view 57/78 · join_discovery 46/73
+    #   stream_heavy_hitters 43/82 · neardup_registry 47/69
+    #   dedup_registry 23/34 · recursive_reach 28/52
+    #   stream_quantiles 22/33 · threshold_sweep 8/21
+    #   containment 11/25 · jaccard_prefix 9/25
+    "q_incremental_join_view": (40, 85, 120),
+    "q_join_discovery": (30, 70, 110),
+    "q_stream_heavy_hitters": (30, 65, 125),
+    "q_neardup_registry": (33, 70, 105),
+    "q_dedup_registry": (16, 35, 50),
+    "q_recursive_reach": (20, 42, 78),
+    "q_stream_quantiles": (15, 33, 50),
+    "q_dedup_threshold_sweep": (1, 16, 32),
+    "q_dedup_containment": (1, 20, 38),
+    "q_dedup_jaccard_prefix": (1, 18, 38),
 }
 
 
