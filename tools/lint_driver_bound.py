@@ -26,15 +26,27 @@ fixed the same round —
   doc id (~n/4 rows) into a Python set purely to assert a set-equality
   witness; rewritten as two distributed key-only anti-joins + counts.
 
+Second class, same discipline: PER-GROUP materializations
+(``collect_list`` / ``collect_set``) build one aggregation buffer per
+key on a single executor — one hot key = one fat buffer, the
+executor-OOM twin of the driver collect. All 13 sites audited bounded
+(:data:`AUDITED_GROUP`): caps applied BEFORE the collect (rank-16
+nulls, gram df cap, bucket cap), natural grains (order width, 30-min
+session, stopword-gap phrase, dimension tables), or the group being
+the operator's required output with a measured adversarial tier
+(semdedup's identical-vector groups).
+
 Known adjacent class, deliberately out of scope here: EXECUTOR-side
 broadcasts that scale with the corpus (e.g. extras55's uncapped n/50
 probe panel is crossJoin-broadcast, never collected). Those are plan
 shapes, not driver materializations; the sf1 probe tier and the plan
 census own them (extras55 is the round-13 candidate).
 
-Site keys are ``relpath::qualname#ordinal`` — the ordinal is the
-call's index among matches WITHIN that function, so line drift never
-invalidates the audit but a new call in the same function does.
+Site keys are ``relpath::qualname#ordinal`` (driver class) or
+``relpath::qualname@ordinal`` (group class) — the ordinal is the
+call's index among same-class matches WITHIN that function, so line
+drift never invalidates the audit but a new call in the same function
+does.
 
 Usage:
   python tools/lint_driver_bound.py             # lint; exit 1 on findings
@@ -53,6 +65,14 @@ SRC_ROOT = os.path.join(REPO, "self_healing_data_pipeline_spark")
 
 #: Methods that materialize a distributed result on the driver.
 DRIVER_CALLS = {"collect", "toPandas", "toLocalIterator"}
+
+#: Aggregate functions that materialize a GROUP on one executor: an
+#: unbounded per-group list is the executor-OOM twin of the driver
+#: collect (one hot key = one fat aggregation buffer). Bounds here are
+#: per-group, not global: a cap applied BEFORE the collect, a natural
+#: grain (order width, stopword-gap phrase, 30-min session), or the
+#: group being the operator's required output.
+GROUP_CALLS = {"collect_list", "collect_set"}
 
 #: Receivers that are never Spark DataFrames.
 IGNORED_RECEIVERS = {"gc"}
@@ -151,13 +171,69 @@ AUDITED: dict[str, str] = {
 }
 
 
+#: site-key (``@`` ordinal) -> PER-GROUP boundedness justification.
+AUDITED_GROUP: dict[str, str] = {
+    "operators/dedup.py::pairs_within_buckets@0": (
+        "buckets capped before pair generation (on_oversize drop/error; "
+        "max_bucket knob test pins bands x C(cap,2))"
+    ),
+    "operators/dedup.py::pairs_within_buckets@1": (
+        "same capped buckets, payload-carrying variant"
+    ),
+    "operators/similarity.py::semdedup_drops@0": (
+        "identical-vector value groups; member ids ARE the survivor "
+        "output grain — hot-vector adversarial tier measured linear"
+    ),
+    "queries/extras8.py::q_inverted_index@0": (
+        "postings head <= 16 ids: when() nulls rows past rank 16 and "
+        "collect_list skips nulls"
+    ),
+    "queries/extras82.py::q_array_hof_predicates@0": (
+        "per-order line list — bounded by order width (7 in TPC-H; "
+        "order grain at any corpus scale)"
+    ),
+    "queries/extras.py::q_agg_listagg@0": (
+        "LISTAGG demo: n_name per region — <= 25 nations per group "
+        "(dimension grain)"
+    ),
+    "queries/analytics2.py::q_sequence_match@0": (
+        "per (user, day) event string — calendar-day grain; skewed "
+        "users bounded by events/user/day"
+    ),
+    "queries/extras61.py::q_feature_hash_audit@0": (
+        "feature names per hash bucket — catalog grain (|columns|), "
+        "not data grain"
+    ),
+    "queries/extras30.py::q_text_keyphrase@0": (
+        "tokens per stopword-gap phrase run — doc-length bounded, "
+        "long-doc tier measured; plen filter 2.._MAX_PHRASE"
+    ),
+    "queries/extras12.py::q_survival_km@0": (
+        "one global Kaplan-Meier curve over the DISTINCT duration "
+        "domain (day grain), not event rows"
+    ),
+    "queries/analytics.py::q_events_top_paths@0": (
+        "events per 30-min-gap session — session grain; skew-safe "
+        "sessionization tier covers hot users"
+    ),
+    "queries/llm_ops.py::q_contamination@0": (
+        "<= _CONTAM_GRAM_DF_CAP doc ids per gram: window df filter "
+        "lands BEFORE the set-collect"
+    ),
+    "queries/llm_ops.py::q_contamination@1": (
+        "same pre-capped gram groups, non-probe side"
+    ),
+}
+
+
 def _qualname(stack: list[str]) -> str:
     return ".".join(stack) if stack else "<module>"
 
 
 def find_sites(tree: ast.AST):
-    """Yield (qualname, ordinal, lineno, method) for driver calls."""
-    counts: dict[str, int] = {}
+    """Yield (qualname, ordinal, lineno, method, cls) for driver- and
+    group-materialization calls; ordinals count per (qualname, cls)."""
+    counts: dict[tuple[str, str], int] = {}
     stack: list[str] = []
 
     class V(ast.NodeVisitor):
@@ -172,6 +248,7 @@ def find_sites(tree: ast.AST):
 
         def visit_Call(self, node):
             f = node.func
+            cls = None
             if (
                 isinstance(f, ast.Attribute)
                 and f.attr in DRIVER_CALLS
@@ -182,19 +259,23 @@ def find_sites(tree: ast.AST):
                     and f.value.id in IGNORED_RECEIVERS
                 )
             ):
+                cls = "driver"
+            elif isinstance(f, ast.Attribute) and f.attr in GROUP_CALLS:
+                cls = "group"
+            if cls is not None:
                 q = _qualname(stack)
-                i = counts.get(q, 0)
-                counts[q] = i + 1
-                sites.append((q, i, node.lineno, f.attr))
+                i = counts.get((q, cls), 0)
+                counts[(q, cls)] = i + 1
+                sites.append((q, i, node.lineno, f.attr, cls))
             self.generic_visit(node)
 
-    sites: list[tuple[str, int, int, str]] = []
+    sites: list[tuple[str, int, int, str, str]] = []
     V().visit(tree)
     return sites
 
 
 def census(src_root: str = SRC_ROOT):
-    """All driver-materialization sites under ``src_root``."""
+    """All driver- and group-materialization sites under ``src_root``."""
     out = []
     for dirpath, _dirnames, filenames in os.walk(src_root):
         for fn in sorted(filenames):
@@ -207,25 +288,31 @@ def census(src_root: str = SRC_ROOT):
                     tree = ast.parse(f.read())
                 except SyntaxError:
                     continue
-            for q, i, lineno, meth in find_sites(tree):
+            for q, i, lineno, meth, cls in find_sites(tree):
                 out.append(
                     {
-                        "key": f"{rel}::{q}#{i}",
+                        "key": f"{rel}::{q}#{i}"
+                        if cls == "driver"
+                        else f"{rel}::{q}@{i}",
                         "file": rel,
                         "line": lineno,
                         "method": meth,
+                        "cls": cls,
                     }
                 )
     return out
 
 
-def lint(src_root: str = SRC_ROOT, audited: dict | None = None):
-    """(unaudited sites, stale audit keys)."""
+def lint(src_root: str = SRC_ROOT, audited: dict | None = None,
+         audited_group: dict | None = None):
+    """(unaudited sites, stale audit keys) across both classes."""
     audited = AUDITED if audited is None else audited
+    audited_group = AUDITED_GROUP if audited_group is None else audited_group
+    merged = {**audited, **audited_group}
     sites = census(src_root)
     seen = {s["key"] for s in sites}
-    unaudited = [s for s in sites if s["key"] not in audited]
-    stale = sorted(k for k in audited if k not in seen)
+    unaudited = [s for s in sites if s["key"] not in merged]
+    stale = sorted(k for k in merged if k not in seen)
     return unaudited, stale
 
 
@@ -256,12 +343,27 @@ def _selftest() -> int:
                     """
                 )
             )
-        un, stale = lint(td, audited={"mod.py::bad#0": "seeded"})
+        un, stale = lint(
+            td, audited={"mod.py::bad#0": "seeded"}, audited_group={}
+        )
         keys = sorted(s["key"] for s in un)
         assert keys == ["mod.py::bad#1", "mod.py::bad2#0"], keys
         assert stale == [], stale
-        un2, stale2 = lint(td, audited={"mod.py::ghost#0": "gone"})
+        un2, stale2 = lint(
+            td, audited={"mod.py::ghost#0": "gone"}, audited_group={}
+        )
         assert len(un2) == 3 and stale2 == ["mod.py::ghost#0"]
+        with open(os.path.join(td, "grp.py"), "w") as f:
+            f.write(
+                "from pyspark.sql import functions as F\n"
+                "def agg1(df):\n"
+                "    return df.groupBy('k').agg("
+                "F.collect_list('v'), F.collect_set('v'))\n"
+            )
+        un3, _ = lint(td, audited={"mod.py::bad#0": "s", "mod.py::bad#1": "s",
+                                   "mod.py::bad2#0": "s"},
+                      audited_group={"grp.py::agg1@0": "seeded"})
+        assert sorted(s["key"] for s in un3) == ["grp.py::agg1@1"], un3
     print("selftest OK")
     return 0
 
@@ -270,8 +372,9 @@ def main(argv) -> int:
     if "--selftest" in argv:
         return _selftest()
     if "--list" in argv:
+        merged = {**AUDITED, **AUDITED_GROUP}
         for s in census():
-            mark = " " if s["key"] in AUDITED else "!"
+            mark = " " if s["key"] in merged else "!"
             print(f"{mark} {s['key']}  ({s['method']} @ line {s['line']})")
         return 0
     unaudited, stale = lint()
