@@ -1,0 +1,193 @@
+"""Executed broadcast-growth census (round 12).
+
+A broadcast ships its build side to EVERY executor and pins it in
+memory. At 100 TB the question per broadcast is not "is it small at
+the fixture SF" but "does it GROW with the corpus": nation/region,
+sketch summaries, probe panels, and k-row grids stay constant;
+customer/supplier/part-grain relations scale with SF and stop being
+broadcastable three decades before 100 TB (TPC-H supplier at SF 100k
+is ~10^9 rows). A forced ``F.broadcast()`` on a growing relation is
+therefore a latent cluster OOM the fixture can never show.
+
+This census answers the question with EXECUTED truth, the plan-census
+discipline: run every ``queries()`` key at two SFs (default sf0.001
+and sf0.01 — the fixture decade for orders/lineitem/customer/
+supplier/part), walk each executed plan (AQE stages, reused
+exchanges, cached subtrees unwrapped; nodes deduped by plan id), and
+record every BroadcastExchange's ``numOutputRows``. A broadcast whose
+row count grows >= GROWTH_FLAG (default 3x) across the decade is
+corpus-growing and lands in the report's ``growing`` section for
+audit: either the broadcast is AQE's own choice (fine — at real scale
+AQE sizes it out and plans a shuffle join instead) or the code forces
+it via ``F.broadcast`` / ``broadcast()`` hint on a scaling relation
+(a bug at 100 TB; drop the hint or bound the build side).
+
+Embeddings/documents keys mostly don't move across this decade (both
+fixtures carry 500 vectors), so vector-side broadcasts are judged by
+the sf0.01 -> sf0.1 decade instead when ``--hi`` is given.
+
+Usage:
+  python tools/broadcast_census.py                  # full census -> JSON
+  python tools/broadcast_census.py q_key1 q_key2    # subset
+  python tools/broadcast_census.py --lo /root/testdata/sf0.01 \
+      --hi /root/testdata/sf0.1                     # other decade
+Writes ``broadcast_census.json`` next to this file and prints the
+growing-broadcast report; exit 0 always (an audit tool, not a gate —
+the CI pin lives in tests/test_broadcast_census.py for the keys whose
+broadcasts must stay CONSTANT).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GROWTH_FLAG = 3.0
+#: broadcasts smaller than this at the HIGH SF are noise (grids,
+#: scalar frames) no matter the ratio.
+MIN_ROWS = 64
+
+
+def walk_plan(p, seen: set):
+    """Yield (node, simpleName) over the EXECUTED plan tree, unwrapping
+    adaptive plans, query stages, exchange reuse, and cached subtrees;
+    every node yielded once (plan id dedup)."""
+    name = p.getClass().getSimpleName()
+    pid = p.id()
+    if pid in seen:
+        return
+    seen.add(pid)
+    yield p, name
+    if name == "AdaptiveSparkPlanExec":
+        yield from walk_plan(p.executedPlan(), seen)
+        return
+    if name.endswith("QueryStageExec"):
+        yield from walk_plan(p.plan(), seen)
+        return
+    if name == "ReusedExchangeExec":
+        yield from walk_plan(p.child(), seen)
+        return
+    if name == "InMemoryTableScanExec":
+        try:
+            yield from walk_plan(p.relation().cachedPlan(), seen)
+        except Exception:
+            pass
+    ch = p.children()
+    for i in range(ch.size()):
+        yield from walk_plan(ch.apply(i), seen)
+
+
+def broadcast_rows(df) -> list[int]:
+    """Sorted (desc) numOutputRows of every distinct BroadcastExchange
+    in ``df``'s executed plan. Call AFTER an action so AQE has final
+    stages and metrics are populated."""
+    plan = df._jdf.queryExecution().executedPlan()
+    rows = []
+    for node, name in walk_plan(plan, set()):
+        if "BroadcastExchange" in name:
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                rows.append(int(m.apply("numOutputRows").value()))
+    return sorted(rows, reverse=True)
+
+
+def run_census(spark, keys, lo_dir: str, hi_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, dict] = {}
+    for k in keys:
+        fn = qs[k]
+        rec: dict = {}
+        try:
+            for tag, d in (("lo", lo_dir), ("hi", hi_dir)):
+                df = fn(spark, d)
+                df.collect()
+                rec[tag] = broadcast_rows(df)
+        except Exception as exc:  # record, keep sweeping
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        out[k] = rec
+    return out
+
+
+def growing(census: dict) -> list[dict]:
+    """Flag keys with a broadcast whose row count grew >= GROWTH_FLAG
+    across the decade (positional compare of the sorted row lists —
+    plans are SF-invariant in shape for every registry key)."""
+    flagged = []
+    for k, rec in sorted(census.items()):
+        lo, hi = rec.get("lo"), rec.get("hi")
+        if not lo or not hi:
+            continue
+        for i, h in enumerate(hi):
+            l = lo[i] if i < len(lo) else None
+            if l and h >= MIN_ROWS and h / l >= GROWTH_FLAG:
+                flagged.append(
+                    {"key": k, "rows_lo": l, "rows_hi": h,
+                     "ratio": round(h / l, 2)}
+                )
+                break
+    return flagged
+
+
+def main(argv) -> int:
+    lo_dir, hi_dir = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    keys, forced_only = [], False
+    it = iter(argv)
+    for a in it:
+        if a == "--lo":
+            lo_dir = next(it)
+        elif a == "--hi":
+            hi_dir = next(it)
+        elif a == "--forced-only":
+            forced_only = True
+        else:
+            keys.append(a)
+
+    from self_healing_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("broadcast_census")
+    if forced_only:
+        # Disable SIZE-based broadcast selection in both the static
+        # planner and AQE's runtime re-plan: any BroadcastExchange that
+        # still executes was FORCED by an explicit broadcast() hint —
+        # the discriminator between "AQE chose it at this fixture SF
+        # (fine: at real scale AQE sizes it out)" and "the code forces
+        # it no matter the size (a cluster OOM at 100 TB if the build
+        # side grows with the corpus)".
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    if not keys:
+        keys = list(entrymod.queries())
+    census = run_census(spark, keys, lo_dir, hi_dir)
+    out_name = (
+        "broadcast_census_forced.json" if forced_only
+        else "broadcast_census.json"
+    )
+    out_path = os.path.join(os.path.dirname(__file__), out_name)
+    flagged = growing(census)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"lo": lo_dir, "hi": hi_dir, "growth_flag": GROWTH_FLAG,
+             "min_rows": MIN_ROWS, "flagged": flagged, "census": census},
+            f, indent=1, sort_keys=True,
+        )
+    errs = {k: r["error"] for k, r in census.items() if "error" in r}
+    print(f"censused {len(census)} keys -> {out_path}; "
+          f"{len(flagged)} growing, {len(errs)} errors")
+    for rec in flagged:
+        print(f"  GROWING {rec['key']}: {rec['rows_lo']} -> "
+              f"{rec['rows_hi']} rows ({rec['ratio']}x)")
+    for k, e in errs.items():
+        print(f"  ERROR {k}: {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
