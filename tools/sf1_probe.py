@@ -134,6 +134,9 @@ PROBE_KEYS = [
     "q_agg_approx_percentile",
     "q_tpch_q21",
     "q_tpch_q16",
+    # round-12 addition: the last bench heavy with no SCALE.md row —
+    # 3-epoch exact-dedup registry (state = fingerprint grain).
+    "q_dedup_registry",
 ]
 
 #: Skew-adversarial tier (r7 verdict task 6): same 10× volume as the
