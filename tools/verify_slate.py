@@ -234,6 +234,17 @@ def refresh() -> int:
     if snapshot.get("refreshed_round") == rnd and keys:
         print(f"already refreshed for round {rnd}; nothing to do")
         return 0
+    changed = sources_changed_since_artifact(rnd)
+    if changed and "--force" not in sys.argv:
+        print(
+            f"REFUSING refresh: query sources changed since "
+            f"CORRECTNESS_r{rnd:02d} was recorded — a refresh now would "
+            "stamp post-verdict edits as driver-verified. Revert or "
+            "re-verify these first (--force to override):"
+        )
+        for p in changed:
+            print(f"  {p}")
+        return 1
     n = 0
     for key, verdict in data.items():
         if isinstance(verdict, dict) and _green(verdict) and key in current:
@@ -245,6 +256,43 @@ def refresh() -> int:
         f.write("\n")
     print(f"refreshed {n} keys from CORRECTNESS_r{rnd:02d}")
     return n
+
+
+def sources_changed_since_artifact(rnd: int) -> list[str]:
+    """Query-source paths edited since ``CORRECTNESS_r{rnd}.json`` was
+    recorded — the refresh safety guard. The driver verifies the tree
+    as COMMITTED at round end, so:
+
+    * artifact tracked at commit C -> any committed or worktree change
+      to the package / ``__spark_entry__.py`` after C is post-verdict;
+    * artifact still untracked (driver wrote it, round-start commit
+      pending) -> the verified tree is HEAD's, so only DIRTY worktree
+      sources are post-verdict.
+
+    Returns [] when git is unavailable (degrades to the old behavior).
+    """
+    import subprocess
+
+    paths = ["self_healing_data_pipeline_spark", "__spark_entry__.py"]
+
+    def _git(*args) -> str | None:
+        try:
+            r = subprocess.run(
+                ["git", *args], cwd=REPO, capture_output=True, text=True,
+                timeout=30,
+            )
+        except Exception:
+            return None
+        return r.stdout if r.returncode == 0 else None
+
+    art = f"CORRECTNESS_r{rnd:02d}.json"
+    commit = _git("log", "--diff-filter=A", "--format=%H", "-1", "--", art)
+    commit = (commit or "").strip()
+    ref = commit if commit else "HEAD"
+    out = _git("diff", "--name-only", ref, "--", *paths)
+    if out is None:
+        return []
+    return sorted(p for p in out.split("\n") if p.strip())
 
 
 def bootstrap() -> None:
