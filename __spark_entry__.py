@@ -106,6 +106,13 @@ _CHANGED_SINCE_VERDICT = (
     "q_percentile_bands",
     "q_sample_weighted",
     "q_time_to_convert",
+    # Round 12: the full-registry sf0.1 oracle sweep caught
+    # q_inventory_floor's window order not being total (the fixture's
+    # (l_orderkey, l_linenumber) is not unique) — delta appended as
+    # the final tie-break on both engines; q_events_heatmap is the
+    # extras40 module co-flag.
+    "q_inventory_floor",
+    "q_events_heatmap",
     # Round 12: _catalog_key now fingerprints parquet directories one
     # level deep (r11 advisor item) — catalog_queries module co-flags.
     "q_join_discovery",
