@@ -141,6 +141,95 @@ _CHANGED_SINCE_VERDICT = (
     "q_text_rollup",
     "q_text_token_count",
     "q_text_tokens",
+    # ---- Round 12 OPTIMIZATION batch (appended risk-ordered AFTER the
+    # r11-verdict task-1 slate above, which keeps its driver-prefix
+    # priority). All keys below are locally hash-verified against the
+    # DuckDB oracle at sf0.01 this round (see OPTIMIZATION_r12.md);
+    # the slate exceeds one 50-key driver sample, so the tail carries
+    # to the next round's prefix — nothing falls back to the vintage
+    # queue until a fresh driver verdict lands.
+    # (1) real plan rewrites (results proven identical vs oracle):
+    "q_join_range",  # theta BNLJ -> banded equi-join (range_join)
+    "q_ann_recall_at_k",  # probe panel capped at _PANEL_CAP=40
+    # (2) forced corpus-growing broadcast hints removed (join strategy
+    # is result-invariant; AQE re-chooses broadcast at fixture SF):
+    "q_assoc_pmi",
+    "q_cohort_ltv",
+    "q_did_uplift",
+    "q_dq_fk_orphans",
+    "q_feature_hash_audit",
+    "q_gini_concentration",
+    "q_hhi_concentration",
+    "q_lorenz_curve",
+    "q_price_relatives",
+    "q_price_volume_bridge",
+    "q_segment_migration",
+    "q_supplier_scorecard",
+    "q_target_encoding",
+    "q_tpch_q11",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_wilson_ranking",
+    # (3) module/deps-hash co-flags of the edited files (byte-level
+    # co-residents; their own callables and oracles are untouched):
+    "q_bloom_join",
+    "q_bot_regularity",
+    "q_cumulative_distinct",
+    "q_customer_rfm",
+    "q_dq_benford",
+    "q_dq_category_drift",
+    "q_dq_expectations",
+    "q_dq_freshness",
+    "q_dq_outlier_mad",
+    "q_dq_route_quarantine",
+    "q_dq_temporal_consistency",
+    "q_dq_type_inference",
+    "q_dq_uniqueness",
+    "q_ema",
+    "q_events_attribution",
+    "q_heavy_hitters",
+    "q_incremental_join_view",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_l_diversity",
+    "q_new_vs_returning",
+    "q_pareto_frontier",
+    "q_period_growth",
+    "q_regr_slope",
+    "q_revenue_bridge",
+    "q_seasonal_anomaly",
+    "q_semdedup",
+    "q_sequence_match",
+    "q_session_cooccurrence",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_sort_multi",
+    "q_sparse_dot_topk",
+    "q_topk",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_weighted_median",
+    "q_word_burstiness",
 )
 
 

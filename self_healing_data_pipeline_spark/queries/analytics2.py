@@ -763,7 +763,7 @@ def q_cohort_ltv(spark, sf_dir):
             month.alias("month"),
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
-        .join(F.broadcast(firsts), "o_custkey")
+        .join(firsts, "o_custkey")
         .select(
             "cohort",
             (mnum(F.col("month")) - mnum(F.col("cohort"))).alias("month_age"),

@@ -121,10 +121,13 @@ def q_dq_fk_orphans(spark, sf_dir):
     """Referential-integrity audit over the full FK graph that
     ``q_join_discovery`` recovers: per relation, child rows vs orphans
     (child keys with no parent). All THREE lineitem FKs audit in ONE
-    scan — a single join chain (orders via the one big↔big shuffle,
-    part/supplier broadcast) feeding one aggregate that counts the
-    three orphan kinds, unpivoted to per-relation rows. The remaining
-    relations are one broadcast LEFT JOIN + ungrouped aggregate each.
+    scan — a single join chain (orders via the one big↔big shuffle;
+    the part/supplier key sets are size-chosen by AQE, broadcast at
+    fixture SF, shuffle at corpus scale — only the fixed-grain
+    nation/region parents keep a forced hint) feeding one aggregate
+    that counts the three orphan kinds, unpivoted to per-relation
+    rows. The remaining relations are one LEFT JOIN + ungrouped
+    aggregate each.
     Orphan counting — not just existence — so the report quantifies
     damage."""
 
@@ -159,9 +162,10 @@ def q_dq_fk_orphans(spark, sf_dir):
     r = read_table(spark, sf_dir, "region")
 
     # all three lineitem FKs audited in ONE scan: chain the parent key
-    # sets onto one pass (orders via the single big-big shuffle, part/
-    # supplier broadcast) and count the three orphan kinds in one
-    # aggregate, then unpivot the counter row into per-relation rows
+    # sets onto one pass (orders via the single big-big shuffle; part/
+    # supplier join strategy left to AQE — they scale with the corpus,
+    # so a forced broadcast is a cluster OOM at real SF) and count the
+    # three orphan kinds in one aggregate, then unpivot into rows
     li3 = (
         li.select("l_orderkey", "l_partkey", "l_suppkey")
         .join(
@@ -170,12 +174,12 @@ def q_dq_fk_orphans(spark, sf_dir):
             "left",
         )
         .join(
-            F.broadcast(p.select("p_partkey").distinct()),
+            p.select("p_partkey").distinct(),
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
         .join(
-            F.broadcast(s.select("s_suppkey").distinct()),
+            s.select("s_suppkey").distinct(),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left",
         )
@@ -224,7 +228,7 @@ def q_dq_fk_orphans(spark, sf_dir):
         audit(n, "n_regionkey", r, "r_regionkey",
               "nation.n_regionkey->region", True),
         audit(o, "o_custkey", c, "c_custkey",
-              "orders.o_custkey->customer", True),
+              "orders.o_custkey->customer", False),
     ]
     out = parts[0]
     for q in parts[1:]:

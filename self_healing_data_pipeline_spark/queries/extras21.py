@@ -86,7 +86,7 @@ def q_supplier_scorecard(spark, sf_dir):
         )
     )
     return (
-        per.join(F.broadcast(s), per.suppkey == s.s_suppkey)
+        per.join(s, per.suppkey == s.s_suppkey)
         .select(
             "suppkey",
             "s_name",

@@ -224,12 +224,12 @@ def q_item_cf(spark, sf_dir):
     )
     scored = (
         co.join(
-            F.broadcast(freq.select(F.col("pk"), F.col("n").alias("n_a"))),
+            freq.select(F.col("pk"), F.col("n").alias("n_a")),
             F.col("part_a") == F.col("pk"),
         )
         .drop("pk")
         .join(
-            F.broadcast(freq.select(F.col("pk"), F.col("n").alias("n_b"))),
+            freq.select(F.col("pk"), F.col("n").alias("n_b")),
             F.col("part_b") == F.col("pk"),
         )
         .drop("pk")

@@ -155,7 +155,11 @@ def q_segment_migration(spark, sf_dir):
 
     Scale shape: customer-grain spend collapse (one keyed shuffle),
     two-phase rank (partitioned windows only), full-outer key join of
-    two customer-grain frames, bounded 16-cell rollup."""
+    two customer-grain frames, bounded 16-cell rollup. The offsets /
+    totals broadcasts KEEP their hints: (yr, cents>>16) is a value-
+    domain grain — 2 fixed years × a spend-bucket count that saturates
+    because per-customer yearly spend does not grow with SF — audited
+    in tools/broadcast_census.py::BOUNDED_BUILD with decade evidence."""
     o = read_table(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
     spend = (

@@ -158,7 +158,7 @@ def q_gini_concentration(spark, sf_dir):
     cust = read_table(spark, sf_dir, "customer")
     rev = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == cust["c_custkey"],
         )
         .groupBy(

@@ -66,7 +66,7 @@ def q_target_encoding(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == cust["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("segment"),
@@ -140,7 +140,7 @@ def q_assoc_pmi(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == cust["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("segment"),

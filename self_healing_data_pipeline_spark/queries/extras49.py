@@ -69,7 +69,7 @@ def q_did_uplift(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == cust["c_custkey"],
     ).select(
         (F.col("c_mktsegment") == "BUILDING").alias("treated"),

@@ -61,7 +61,7 @@ def q_hhi_concentration(spark, sf_dir):
     supp = read_table(spark, sf_dir, "supplier")
     rev = (
         li.join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == supp["s_suppkey"],
         )
         .groupBy(

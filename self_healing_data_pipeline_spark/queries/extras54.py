@@ -81,7 +81,7 @@ def q_price_volume_bridge(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit(f"{int(_Y2) + 1}-01-01"))
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li["l_partkey"] == part["p_partkey"],
         )
         .select(

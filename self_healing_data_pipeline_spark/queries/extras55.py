@@ -21,6 +21,15 @@ from self_healing_data_pipeline_spark.sources.readers import read_table
 _K = 10
 _N_PROBE = 8
 _N_CENTROIDS = 16
+# Probe panel = the FIRST 40 of the every-50th sample (orderBy+limit →
+# TakeOrderedAndProject), the q_ann_two_stage/extras72 discipline: an
+# eval workload is a FIXED SAMPLE, not a corpus fraction. Uncapped, the
+# panel is n/50 rows crossJoin-broadcast against the corpus — executor
+# memory and eval cost that GROW with the corpus (10/10/40 probes at
+# the driver SFs, 2×10⁷ at 10⁹ vectors). The cap is bit-identical at
+# every driver SF (panels never exceeded 40 there); the oracle carries
+# the same ORDER BY vec_id LIMIT in lockstep.
+_PANEL_CAP = 40
 # Label-clustered fixture embeddings put most of a probe's true top-k
 # inside its nearest lists; the witness floor is deliberately below
 # the observed recall so it flags structural regressions, not noise.
@@ -56,6 +65,7 @@ WITH ed AS (
 ), probes AS (
   SELECT vec_id AS probe_id, embedding AS pv
   FROM embeddings WHERE vec_id % 50 = 0
+  ORDER BY vec_id LIMIT {_PANEL_CAP}
 ), cent AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
          list_transform(x, v -> v / (CASE WHEN nrm = 0 THEN 1.0
@@ -129,7 +139,8 @@ FROM hits ORDER BY probe_id
     oracle=_ANN_RECALL_ORACLE,
 )
 def q_ann_recall_at_k(spark, sf_dir):
-    """ANN RECALL@10 over a probe panel (every 50th vector): IVF with
+    """ANN RECALL@10 over a probe panel (first ``_PANEL_CAP`` of the
+    every-50th sample — a fixed eval panel, not a corpus fraction): IVF with
     a deterministic coarse quantizer probes its 8 nearest of
     16 inverted lists; the exact brute-force top-10 is the
     per-probe ground truth; the report is per-probe overlap and
@@ -152,9 +163,14 @@ def q_ann_recall_at_k(spark, sf_dir):
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
+    probes = (
+        emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+        .orderBy("vec_id")
+        .limit(_PANEL_CAP)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
     )
     # Exact ground truth: probe-panel crossJoin + per-probe rank.
     scored = emb.crossJoin(F.broadcast(probes)).select(

@@ -85,7 +85,7 @@ def q_wilson_ranking(spark, sf_dir):
     return (
         s.withColumn("phat", phat)
         .withColumn("wilson_lb", lb)
-        .join(F.broadcast(sup), F.col("suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("suppkey") == F.col("s_suppkey"))
         .select("suppkey", "s_name", "n_lines", "kept", "phat", "wilson_lb")
         .orderBy(F.col("wilson_lb").desc(), "suppkey")
         .limit(_TOP)
@@ -136,6 +136,11 @@ def q_lorenz_curve(spark, sf_dir):
     offsets over BOUNDED band rows, + within-band row_number
     partitioned by band). Deciles come from pure integer math on
     (rank, n); the final cumulative window runs over exactly 10 rows.
+    The band-offset frame KEEPS its broadcast hint: bands are value-
+    domain grain (customer lifetime cents >> _BAND_SHIFT) and the spend
+    distribution is SF-invariant, so the band count saturates at the
+    fixed spend range rather than growing with the corpus — audited in
+    tools/broadcast_census.py::BOUNDED_BUILD with decade evidence.
     Oracle keeps the plain ROW_NUMBER formulation."""
     orders = read_table(spark, sf_dir, "orders")
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(

@@ -204,7 +204,7 @@ def q_feature_hash_audit(spark, sf_dir):
     )
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     crossed = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.concat_ws(
                 "|", "p_brand", "l_returnflag", "l_linestatus"

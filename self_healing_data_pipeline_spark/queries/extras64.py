@@ -66,7 +66,7 @@ def q_price_relatives(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cell = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_format("l_shipdate", "yyyy-MM").alias("month"),

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.functions.scalar import dec, dsum, ts_str
-from self_healing_data_pipeline_spark.operators.relational import asof_join, top_k
+from self_healing_data_pipeline_spark.operators.relational import (
+    asof_join,
+    range_join,
+    top_k,
+)
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
 
@@ -122,16 +126,41 @@ def q_join_semi_anti(spark, sf_dir):
     """,
 )
 def q_join_range(spark, sf_dir):
-    """Non-equi (band) range join. Expressed as a theta join here; the
-    scale path bucketizes both sides on floor(acctbal/width) so Catalyst
-    gets an equi-join (see operators.relational.range_join)."""
-    s = read_table(spark, sf_dir, "supplier")
-    c = read_table(spark, sf_dir, "customer")
+    """Non-equi (band) range join via ``operators.relational.range_join``:
+    both sides bucketize on floor(acctbal/band_width), the supplier side
+    explodes into its bucket and both neighbors, and Catalyst gets an
+    EQUI-join (bucket equality + residual BETWEEN) it can shuffle-hash.
+    The plain theta-join form plans BroadcastNestedLoopJoin with the
+    corpus-growing CUSTOMER side as the build relation — an O(n·m)
+    compare and a cluster OOM at real scale; the banded form compares
+    each supplier only against the ≤3 buckets that can hold a match.
+    LEFT semantics (suppliers with zero close customers) come back via
+    a supplier-grain left join onto the banded inner-join counts —
+    identical to counting over the outer theta join, because COUNT(c)
+    ignores the NULL row a matchless supplier gets there."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     cond = c["c_acctbal"].between(s["s_acctbal"] - 50, s["s_acctbal"] + 50)
+    matched = range_join(
+        s,
+        c,
+        cond,
+        left_value=s["s_acctbal"],
+        right_value=c["c_acctbal"],
+        band_width=50.0,
+    )
+    counts = matched.groupBy("s_suppkey").agg(
+        F.count("c_custkey").alias("n")
+    )
     return (
-        s.join(c, cond, "left")
-        .groupBy("s_suppkey")
-        .agg(F.count("c_custkey").alias("n_close_customers"))
+        s.select("s_suppkey")
+        .join(counts, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                "n_close_customers"
+            ),
+        )
     )
 
 

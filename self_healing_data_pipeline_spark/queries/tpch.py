@@ -160,7 +160,7 @@ def q_tpch_q14(spark, sf_dir):
     )
     zero = F.lit(0).cast("decimal(12,2)")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
             (
                 F.lit(100.0)
@@ -273,7 +273,7 @@ def q_tpch_q5(spark, sf_dir):
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(l, o["o_orderkey"] == l["l_orderkey"])
         .join(
-            F.broadcast(s),
+            s,
             (l["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -474,7 +474,7 @@ def q_tpch_q7(spark, sf_dir):
         (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
     )
     return (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
@@ -553,8 +553,8 @@ def q_tpch_q8(spark, sf_dir):
     )
     zero = F.lit(0).cast("decimal(12,2)")
     flat = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))

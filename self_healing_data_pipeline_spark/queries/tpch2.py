@@ -81,7 +81,7 @@ def q_tpch_q2(spark, sf_dir):
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     eligible = (
-        sp.join(F.broadcast(s), sp["l_suppkey"] == s["s_suppkey"])
+        sp.join(s, sp["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(
@@ -102,7 +102,7 @@ def q_tpch_q2(spark, sf_dir):
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
         .drop("best_partkey")
-        .join(F.broadcast(p), F.col("part_key") == p["p_partkey"])
+        .join(p, F.col("part_key") == p["p_partkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "s_suppkey")
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
         .limit(100)
@@ -145,8 +145,8 @@ def q_tpch_q9(spark, sf_dir):
         "decimal(12,2)"
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -189,9 +189,9 @@ def q_tpch_q11(spark, sf_dir):
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     stock = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("val"))
     )
@@ -344,7 +344,7 @@ def q_tpch_q15(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -391,8 +391,8 @@ def q_tpch_q16(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        sp.join(F.broadcast(bad), sp["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        sp.join(bad, sp["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -492,7 +492,7 @@ def q_tpch_q20(spark, sf_dir):
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     qualifying = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity", precision=18)).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -583,7 +583,7 @@ def q_tpch_q21(spark, sf_dir):
         base.filter(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("s_name")

@@ -58,10 +58,19 @@ def test_committed_artifacts_match_documented_findings():
     )
     assert len(full["census"]) == 384
     assert not any("error" in r for r in full["census"].values())
-    # SCALE.md round-12 numbers: 78 growing, 28 of them forced.
-    assert len(full["flagged"]) == 78
-    assert len(forced["flagged"]) == 28
-    # forced findings are a subset of the growing set
-    assert {f["key"] for f in forced["flagged"]} <= {
-        f["key"] for f in full["flagged"]
-    }
+    assert len(forced["census"]) == 384
+    assert not any("error" in r for r in forced["census"].values())
+    # Post-fix state (the 28 forced corpus-growing hints found by the
+    # round-12 census were removed this round): with size-based
+    # selection disabled, NO forced broadcast of a growing relation
+    # remains; the only growing forced builds are the audited bounded
+    # grains (BOUNDED_BUILD), reported separately with their bounds.
+    assert forced["flagged"] == []
+    bounded_keys = {f["key"] for f in forced["audited_bounded"]}
+    assert bounded_keys <= set(bc.BOUNDED_BUILD)
+    # Default-mode growth stays allowed: AQE choosing broadcast at the
+    # fixture SF is the design (it sizes those out at real scale). The
+    # census just has to exist for every key; its flagged set only
+    # contains AQE choices or audited-bounded builds now.
+    assert not ({f["key"] for f in full["flagged"]}
+                & {f["key"] for f in forced["flagged"]})
