@@ -55,6 +55,17 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # Operator-level A/B rig (guide §1: measure, don't guess): extra
+    # session configs from the environment, `k=v;k=v`. Default EMPTY so
+    # the driver's bench methodology is unchanged; used by the
+    # optimization rounds to measure candidate configs (e.g. join
+    # strategy preferences) against the same bench before adopting
+    # them as code.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

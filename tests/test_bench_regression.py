@@ -124,6 +124,17 @@ SENTINEL_CONTENTION = 1.5
 #: this factor is physically inconsistent (isolation can only remove
 #: contention) -> the retime window itself was contended.
 ISOLATION_SANITY = 1.05
+#: Hypervisor steal (%) measured over the retime window above which the
+#: window is proven externally contended: the host ran a co-tenant
+#: while our vCPUs wanted to run. Sentinel calibration cannot see this
+#: case when the co-tenant load is bursty or preferentially hits
+#: sustained all-core work (long Python-worker stages) over short JVM
+#: bursts — round-12 observed 10.9% steal under load with sentinels
+#: re-timing at 1.0x while two Python-heavy keys stayed 1.6-1.7x. A
+#: quiet host shows ~0-1%, so this gate is inert exactly when a red
+#: verdict is trustworthy. Steal can only DEFER a red (invalid-window,
+#: re-run/skip path) — never turn one green.
+STEAL_CONTENTION_PCT = 5.0
 
 
 def _load(path: str) -> tuple[dict[str, float], set[str]]:
@@ -180,6 +191,7 @@ def _stage2_judge(
     fresh: dict[str, float],
     sentinels: list[str],
     suite_sentinel_drift: float | None = None,
+    steal_pct: float | None = None,
 ) -> tuple[dict, dict, float]:
     """Pure stage-2 judgment over one retime window. Returns
     ``(regressed, invalid, retime_cal)``:
@@ -239,6 +251,17 @@ def _stage2_judge(
         }
         if fresh[k] > suite_run * ISOLATION_SANITY:
             invalid[k] = rec
+        elif steal_pct is not None and steal_pct > STEAL_CONTENTION_PCT:
+            # The retime window itself was externally contended —
+            # /proc/stat charged >STEAL_CONTENTION_PCT of the window's
+            # CPU time to the hypervisor running someone else. A "still
+            # breaching" verdict measured under proven steal is not
+            # adjudicable (sentinels may calibrate clean when the
+            # co-tenant burst hits sustained all-core work but not the
+            # short JVM sentinels). Defer: the caller's re-run/skip
+            # path re-measures, and a real regression still reds on
+            # the next quiet host run.
+            invalid[k] = {**rec, "steal_pct": steal_pct}
         else:
             regressed[k] = rec
     return regressed, invalid, retime_cal
@@ -326,6 +349,54 @@ def test_stage2_judge_global_regression_not_normalized_away():
         ["q_x"], suspects, baseline, fresh, ["q_agg_groupby", "q_join_inner"],
     )
     assert cal2 == RETIME_CAL_LIMIT and list(regressed2) == ["q_x"]
+
+
+def test_stage2_judge_steal_defers_red_but_never_greens():
+    """A retime window with proven hypervisor steal (>5% of the
+    window's CPU time charged to co-tenants) cannot produce a RED
+    verdict — the breaching key defers to the invalid/re-run path with
+    the steal evidence attached. Below the threshold the same numbers
+    stay red, and a key that calibrates clean is green regardless of
+    steal (the gate only reclassifies reds)."""
+    baseline = {"q_py": 1.0, "q_agg_groupby": 0.5, "q_join_inner": 0.4}
+    suspects = {"q_py": (1.0, 1.9)}
+    # sentinels clean (short JVM bursts dodge the co-tenant), suspect
+    # 1.7x — the exact round-12 signature under 10.9% measured steal
+    fresh = {"q_py": 1.7, "q_agg_groupby": 0.5, "q_join_inner": 0.4}
+    sents = ["q_agg_groupby", "q_join_inner"]
+    regressed, invalid, _ = _stage2_judge(
+        ["q_py"], suspects, baseline, fresh, sents, steal_pct=10.9
+    )
+    assert not regressed and list(invalid) == ["q_py"]
+    assert invalid["q_py"]["steal_pct"] == 10.9
+    # quiet host: same numbers must stay red
+    regressed2, invalid2, _ = _stage2_judge(
+        ["q_py"], suspects, baseline, fresh, sents, steal_pct=0.4
+    )
+    assert list(regressed2) == ["q_py"] and not invalid2
+    # and steal never flips a passing key either way
+    fresh_ok = {"q_py": 1.1, "q_agg_groupby": 0.5, "q_join_inner": 0.4}
+    regressed3, invalid3, _ = _stage2_judge(
+        ["q_py"], suspects, baseline, fresh_ok, sents, steal_pct=10.9
+    )
+    assert not regressed3 and not invalid3
+
+
+def test_retime_reports_steal_pct():
+    """tools/retime.py's steal meter reads /proc/stat correctly: over
+    any window the percentage is 0-100 (or None where unsupported)."""
+    import time
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import retime as rt
+
+    pct_fn = rt.steal_window()
+    # burn a little CPU so dtotal > 0 even on a fast sample
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 0.05:
+        pass
+    pct = pct_fn()
+    assert pct is None or 0.0 <= pct <= 100.0
 
 
 def test_no_per_query_bench_regression():
@@ -427,6 +498,7 @@ def test_no_per_query_bench_regression():
         regressed, invalid, _ = _stage2_judge(
             pending, suspects, baseline, info["queries"], sentinels,
             suite_sentinel_drift=suite_sentinel_drift,
+            steal_pct=info.get("steal_pct"),
         )
         if not invalid:
             break

@@ -82,6 +82,45 @@ def _bench_session():
     return get_spark("retime")
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line,
+    or None where unavailable (non-Linux). Steal is time the hypervisor
+    ran SOMEONE ELSE while this VM's vCPUs wanted to run — the one
+    environment signal that is externally imposed, unfakeable by our
+    own code, and invisible to `ps` inside the guest."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:  # pragma: no cover - non-Linux
+        return None
+    if not parts or parts[0] != "cpu" or len(parts) < 9:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def steal_window():
+    """Context-free steal meter: call once to start, call the returned
+    closure to get the steal percentage (0-100) of all CPU time elapsed
+    since the start. Used to stamp each retime window so the tripwire
+    can tell 'this key is slower' from 'the hypervisor gave this VM
+    less CPU during the measurement' (co-tenant load that sentinel
+    calibration misses when the sentinels are short JVM bursts and the
+    suspect is sustained all-core work)."""
+    t0 = _cpu_ticks()
+
+    def pct() -> float | None:
+        t1 = _cpu_ticks()
+        if t0 is None or t1 is None:
+            return None
+        dsteal, dtotal = t1[0] - t0[0], t1[1] - t0[1]
+        if dtotal <= 0:
+            return None
+        return round(100.0 * dsteal / dtotal, 2)
+
+    return pct
+
+
 def retime(keys: list[str], passes: int = 3, spark=None) -> dict[str, float]:
     """Return {key: min-of-passes seconds} for each bench key, isolated.
 
@@ -154,7 +193,9 @@ def main() -> int:
         print(__doc__)
         return 2
     spark = _bench_session()
+    steal = steal_window()
     timed = retime(keys, spark=spark) if keys else {}
+    steal_pct = steal()
     if patch:
         _splice(os.path.join(REPO, "bench_queries.json"), timed, tag_isolated=True)
     if patch_baseline:
@@ -171,6 +212,7 @@ def main() -> int:
                 "master": spark.sparkContext.master,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "queries": timed,
+                "steal_pct": steal_pct,
             }
         )
     )
