@@ -230,6 +230,28 @@ _CHANGED_SINCE_VERDICT = (
     "q_tpch_q6",
     "q_weighted_median",
     "q_word_burstiness",
+    # ---- Round 12 shingle-pass batch (one materialized explode per
+    # prefix-filter query, operators/shingle_pass.py; results proven
+    # identical vs oracle at sf0.001/0.01/0.1 — see OPTIMIZATION_r12.md).
+    # (1) plan rewrites:
+    "q_dedup_containment",
+    "q_dedup_jaccard_prefix",
+    "q_dedup_threshold_sweep",
+    "q_doc_novelty",
+    # (2) module/deps-hash co-flags of the edited files (extras8/59/
+    # 65/68 co-residents; their callables and oracles are untouched):
+    "q_abc_classification",
+    "q_chunk_coverage_audit",
+    "q_dict_candidates",
+    "q_forecast_backtest",
+    "q_inverted_index",
+    "q_minhash_accuracy",
+    "q_scan_api_source",
+    "q_scan_binaryfile",
+    "q_source_coverage",
+    "q_stream_heavy_hitters",
+    "q_stream_quantiles",
+    "q_time_travel",
 )
 
 

@@ -81,26 +81,25 @@ def q_dedup_containment(spark, sf_dir):
     arrays and checks 5·|A∩B| ≥ 4·|A| in exact integers. The oracle
     is the complete shared-shingle formulation over ALL ordered
     pairs — equality proves the prefix filter lost nothing."""
-    from self_healing_data_pipeline_spark.operators.dedup import (
-        prefix_rows,
-        shingle_exploded,
-        shingle_grain,
-        shingle_sets,
+    from self_healing_data_pipeline_spark.operators.dedup import prefix_rows
+    from self_healing_data_pipeline_spark.operators.shingle_pass import (
+        shingle_frames,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    # Shared shingle prep (operators/dedup): the contained side keeps
-    # its 0.8-threshold prefix; the container side is the FULL posting
-    # list (asymmetric PPJoin containment variant).
-    prefix = prefix_rows(shingle_grain(docs), 4, 5)
-    sh = shingle_exploded(docs)
+    # Shared shingle prep from ONE materialized pass (round-12 plan
+    # audit: the independent grain/exploded/sets calls re-ran the
+    # normalize+shingle chain 4x — see shingle_frames): the contained
+    # side keeps its 0.8-threshold prefix; the container side is the
+    # FULL posting list (asymmetric PPJoin containment variant).
+    sh, grain, sets = shingle_frames(docs)
+    prefix = prefix_rows(grain, 4, 5)
     post = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(post, (prefix.sh == post.sh2) & (prefix.doc_id != post.d2))
         .select(F.col("doc_id").alias("contained_id"), F.col("d2").alias("container_id"))
         .distinct()
     )
-    sets = shingle_sets(docs)
     return (
         cand.join(
             sets.select(

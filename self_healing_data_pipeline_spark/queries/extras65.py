@@ -182,7 +182,11 @@ def q_doc_novelty(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    sh = shingle_exploded(docs, out_col="s")
+    # The exploded frame feeds BOTH the first-seen MIN and the
+    # join-back; materialize it once (round-12: without this the
+    # normalize+shingle chain ran twice — one full extra corpus pass
+    # at scale).
+    sh = shingle_exploded(docs, out_col="s").localCheckpoint(eager=True)
     first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
     per_doc = (
         sh.join(first_seen, "s")

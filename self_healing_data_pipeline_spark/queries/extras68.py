@@ -159,23 +159,23 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     for 0.7 — s − ceil(0.7·s) + 1 rarest shingles — then ONE
     conditional-aggregate collapse to a single row of four exact
     counters. No per-threshold rescans."""
-    from self_healing_data_pipeline_spark.operators.dedup import (
-        prefix_rows,
-        shingle_grain,
-        shingle_sets,
+    from self_healing_data_pipeline_spark.operators.dedup import prefix_rows
+    from self_healing_data_pipeline_spark.operators.shingle_pass import (
+        shingle_frames,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    # Shared shingle prep (operators/dedup); prefix sized for J >= 0.7
-    # (the loosest swept threshold), exact integer ceil inside.
-    prefix = prefix_rows(shingle_grain(docs), 7, 10)
+    # Shared shingle prep from ONE materialized pass (round-12:
+    # shingle_frames); prefix sized for J >= 0.7 (the loosest swept
+    # threshold), exact integer ceil inside.
+    _, grain, sets = shingle_frames(docs)
+    prefix = prefix_rows(grain, 7, 10)
     p2 = prefix.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(p2, (prefix.sh == p2.sh2) & (prefix.doc_id < p2.d2))
         .select(F.col("doc_id").alias("d1"), "d2")
         .distinct()
     )
-    sets = shingle_sets(docs)
     j = (
         cand.join(
             sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("a")),

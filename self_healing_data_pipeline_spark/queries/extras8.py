@@ -342,24 +342,25 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     only for the reported jaccard). The oracle is the complete
     shared-shingle formulation — equality proves the prefix filter
     lost nothing."""
-    from self_healing_data_pipeline_spark.operators.dedup import (
-        prefix_rows,
-        shingle_grain,
-        shingle_sets,
+    from self_healing_data_pipeline_spark.operators.dedup import prefix_rows
+    from self_healing_data_pipeline_spark.operators.shingle_pass import (
+        shingle_frames,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    # Shared shingle prep (operators/dedup.shingle_grain): (doc_id, sh,
-    # df, s) in two window exchanges; prefix_rows keeps each doc's
-    # s - ceil(0.8*s) + 1 rarest shingles with the exact-integer ceil.
-    prefix = prefix_rows(shingle_grain(docs), 4, 5)
+    # Shared shingle prep from ONE materialized pass (round-12:
+    # shingle_frames — the separate grain/sets calls re-ran the
+    # shingle chain 3x): (doc_id, sh, df, s) in two window exchanges;
+    # prefix_rows keeps each doc's s - ceil(0.8*s) + 1 rarest shingles
+    # with the exact-integer ceil.
+    _, grain, sets = shingle_frames(docs)
+    prefix = prefix_rows(grain, 4, 5)
     p2 = prefix.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = (
         prefix.join(p2, (prefix.sh == p2.sh2) & (prefix.doc_id < p2.d2))
         .select(F.col("doc_id").alias("d1"), "d2")
         .distinct()
     )
-    sets = shingle_sets(docs)
     verified = (
         cand.join(
             sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("a")), "d1"

@@ -173,6 +173,11 @@ AUDITED: dict[str, str] = {
 
 #: site-key (``@`` ordinal) -> PER-GROUP boundedness justification.
 AUDITED_GROUP: dict[str, str] = {
+    "operators/shingle_pass.py::shingle_frames@0": (
+        "per-doc distinct shingle set rebuilt from the materialized "
+        "explode — bounded by the doc's token count, the same bound as "
+        "shingle_sets' row-wise arrays (long-doc tier measured linear)"
+    ),
     "operators/dedup.py::pairs_within_buckets@0": (
         "buckets capped before pair generation (on_oversize drop/error; "
         "max_bucket knob test pins bands x C(cap,2))"
