@@ -74,6 +74,26 @@ def _merge_side(
     return kept.unionByName(upserts)
 
 
+def _commit_snapshot(
+    spark: SparkSession, df: DataFrame, store_dir: str, epoch_id: int
+) -> DataFrame:
+    """Write one epoch snapshot and return the REREAD frame.
+
+    Round-12 optimization (guide §5: materialise what is reused): each
+    epoch used to keep the merged side as a lazy plan — read prev
+    snapshot → window-collapse → anti-join → union — that re-executed
+    once for the side's own write AND again inside the join view's
+    lineage (the view joins the merged sides), roughly doubling the
+    per-epoch work. The snapshot parquet is written anyway; committing
+    it FIRST and handing consumers the reread frame makes the on-disk
+    state the single execution of the merge chain and truncates the
+    view's lineage to parquet scans. Bytes on disk are identical —
+    same rows through the same write."""
+    path = os.path.join(store_dir, f"batch={epoch_id}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def apply_join_delta_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -115,7 +135,9 @@ def apply_join_delta_batch(
         if delta.isEmpty():
             continue
         d1 = _collapse_delta(delta.select("op", "seq", *cols[side]), key)
-        sides[side] = _merge_side(sides[side], d1, key)
+        sides[side] = _commit_snapshot(
+            spark, _merge_side(sides[side], d1, key), dirs[side], epoch_id
+        )
 
         # delta-join: retract every pair carrying a touched key, then
         # add fresh pairs from the upserted rows against the CURRENT
@@ -142,7 +164,11 @@ def apply_join_delta_batch(
             )
 
     for s in _SIDES:
-        if sides[s] is not None:
+        # A side with a delta was committed inside the loop; an
+        # unchanged non-empty side still carries forward into this
+        # epoch's directory (prior behavior, replay-compatible).
+        committed = os.path.isdir(os.path.join(dirs[s], f"batch={epoch_id}"))
+        if sides[s] is not None and not committed:
             sides[s].write.mode("overwrite").parquet(
                 os.path.join(dirs[s], f"batch={epoch_id}")
             )
@@ -262,10 +288,14 @@ def apply_fact_dim_delta_batch(
     view = read_latest_snapshot(spark, dirs["join"], before_epoch=epoch_id)
 
     # --- fact delta first (joins see this epoch's facts below) ---
+    fact_committed = dim_committed = False
     fd = batch.filter(F.col("side") == "fact")
     if not fd.isEmpty():
         d1 = _collapse_delta(fd.select("op", "seq", *fact_cols), fact_key)
-        facts = _merge_side(facts, d1, fact_key)
+        facts = _commit_snapshot(
+            spark, _merge_side(facts, d1, fact_key), dirs["fact"], epoch_id
+        )
+        fact_committed = True
         touched = d1.select(fact_key)
         if view is not None:
             view = view.join(F.broadcast(touched), fact_key, "left_anti")
@@ -280,7 +310,10 @@ def apply_fact_dim_delta_batch(
     dd = batch.filter(F.col("side") == "dim")
     if not dd.isEmpty():
         d1 = _collapse_delta(dd.select("op", "seq", *dim_cols), dim_key)
-        dims = _merge_side(dims, d1, dim_key)
+        dims = _commit_snapshot(
+            spark, _merge_side(dims, d1, dim_key), dirs["dim"], epoch_id
+        )
+        dim_committed = True
         touched = d1.select(dim_key)
         if view is not None:
             # alias the probe column: the view carries dim_key itself
@@ -303,11 +336,11 @@ def apply_fact_dim_delta_batch(
             )
             view = fresh if view is None else view.unionByName(fresh)
 
-    if facts is not None:
+    if facts is not None and not fact_committed:
         facts.write.mode("overwrite").parquet(
             os.path.join(dirs["fact"], f"batch={epoch_id}")
         )
-    if dims is not None:
+    if dims is not None and not dim_committed:
         dims.write.mode("overwrite").parquet(
             os.path.join(dirs["dim"], f"batch={epoch_id}")
         )
