@@ -127,6 +127,7 @@ def apply_join_delta_batch(
     )
     cols = {"left": left_cols, "right": right_cols}
 
+    committed: set[str] = set()
     for side, key, other in (
         ("left", left_key, "right"),
         ("right", right_key, "left"),
@@ -138,6 +139,7 @@ def apply_join_delta_batch(
         sides[side] = _commit_snapshot(
             spark, _merge_side(sides[side], d1, key), dirs[side], epoch_id
         )
+        committed.add(side)
 
         # delta-join: retract every pair carrying a touched key, then
         # add fresh pairs from the upserted rows against the CURRENT
@@ -166,9 +168,11 @@ def apply_join_delta_batch(
     for s in _SIDES:
         # A side with a delta was committed inside the loop; an
         # unchanged non-empty side still carries forward into this
-        # epoch's directory (prior behavior, replay-compatible).
-        committed = os.path.isdir(os.path.join(dirs[s], f"batch={epoch_id}"))
-        if sides[s] is not None and not committed:
+        # epoch's directory (prior behavior, replay-compatible — a
+        # stale partial dir from a crashed attempt is overwritten, not
+        # trusted, which is why this tracks commits explicitly rather
+        # than probing the directory).
+        if sides[s] is not None and s not in committed:
             sides[s].write.mode("overwrite").parquet(
                 os.path.join(dirs[s], f"batch={epoch_id}")
             )
