@@ -65,95 +65,30 @@ def _latest_verdicts() -> dict[str, tuple[bool, int, bool]]:
 
 #: Output contract or implementation changed since the key's latest
 #: recorded verdict — re-verify ahead of the vintage queue (see
-#: queries() docstring). Round 11 changed: the six graph keys gained
-#: eager localCheckpoint lineage truncation (93df3cf), q_window_exclude
-#: was rewritten as prefix-sum + boundary probes (eebe8e2),
-#: q_window_range_interval / q_ann_ivfadc / q_catalog_graph(+_impact)
-#: were restructured in the eval-tail trim (68d48b1). All are locally
-#: hash-green via tools/check_oracle.py; the driver record is what
-#: counts, so they head the r12 sample. (q_tablesample_stable, the r10
-#: entry, got its fresh verdict in CORRECTNESS_r11 and dropped off.)
-#: Maintained mechanically by tools/verify_slate.py.
+#: queries() docstring). Maintained mechanically by
+#: tools/verify_slate.py; refreshed at each round start.
 _CHANGED_SINCE_VERDICT = (
-    "q_khop_reach",
-    "q_label_propagation",
-    "q_part_triangles",
-    "q_graph_neighbor_jaccard",
-    "q_degree_distribution",
-    "q_item_cf",
-    "q_window_exclude",
-    "q_window_range_interval",
-    "q_ann_ivfadc",
-    "q_catalog_graph",
-    "q_catalog_graph_impact",
-    # Round 12: the dhash law's square is now computed mod-2^32-reduced
-    # in uint64/HUGEINT (identical values, total past doc_id 28,662 —
-    # r11 advisor item). q_image_dhash's oracle text changed; the other
-    # three are module-grain co-flags from tools/verify_slate.py.
-    "q_image_dhash",
-    "q_embedding_pq",
-    "q_gdpr_erasure",
-    "q_split_temporal",
-    # Round 12: the driver-collect boundedness census
-    # (tools/lint_driver_bound.py) found q_neardup_registry collecting
-    # every accepted doc id (~n/4 rows) to the driver for a set-equality
-    # witness; rewritten as two key-only anti-joins. extras6 module
-    # co-flags follow.
-    "q_neardup_registry",
-    "q_dedup_registry",
-    "q_embedding_quantize",
-    "q_order_cadence",
-    "q_percentile_bands",
-    "q_sample_weighted",
-    "q_time_to_convert",
-    # Round 12: the full-registry sf0.1 oracle sweep caught
-    # q_inventory_floor's window order not being total (the fixture's
-    # (l_orderkey, l_linenumber) is not unique) — delta appended as
-    # the final tie-break on both engines; q_events_heatmap is the
-    # extras40 module co-flag.
-    "q_inventory_floor",
-    "q_events_heatmap",
-    # Round 12: _catalog_key now fingerprints parquet directories one
-    # level deep (r11 advisor item) — catalog_queries module co-flags.
-    "q_join_discovery",
-    "q_join_discovery_sketch",
-    "q_lineage_downstream",
-    "q_dedup_keep_best",
-    "q_profile_topk_values",
-    # Round 12: q_dedup_embedding moved to value-grain survivors after
-    # the sf1 probe measured 15.8× wall at 10× data (same output,
-    # vector-grain oracle unchanged); tier_c module co-flags follow.
-    "q_dedup_embedding",
-    "q_dedup_keep_first_docs",
-    "q_dedup_minhash",
-    "q_dedup_normalized",
-    "q_dedup_pairs",
-    "q_pandas_udf",
-    "q_sim_ann_lsh",
-    "q_sim_ivf",
-    "q_sim_join",
-    "q_sim_join_lsh",
-    "q_sim_range",
-    "q_sim_topk",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_rollup",
-    "q_text_token_count",
-    "q_text_tokens",
-    # ---- Round 12 OPTIMIZATION batch (appended risk-ordered AFTER the
-    # r11-verdict task-1 slate above, which keeps its driver-prefix
-    # priority). All keys below are locally hash-verified against the
-    # DuckDB oracle at sf0.01 this round (see OPTIMIZATION_r12.md);
-    # the slate exceeds one 50-key driver sample, so the tail carries
-    # to the next round's prefix — nothing falls back to the vintage
-    # queue until a fresh driver verdict lands.
-    # (1) real plan rewrites (results proven identical vs oracle):
-    "q_join_range",  # theta BNLJ -> banded equi-join (range_join)
-    "q_ann_recall_at_k",  # probe panel capped at _PANEL_CAP=40
-    # (2) forced corpus-growing broadcast hints removed (join strategy
-    # is result-invariant; AQE re-chooses broadcast at fixture SF):
-    "q_assoc_pmi",
+    # Round-13 slate (refreshed from CORRECTNESS_r12 via
+    # tools/verify_slate.py --refresh at round start): the 90 keys whose
+    # round-12 edits still lack a post-change driver verdict — the r12
+    # 50-key sample covered the first 50 of 110 flagged keys. Ordered
+    # risk-first: (1) real plan rewrites (shingle-pass sharing,
+    # incremental-join commit-then-reread), (2) forced corpus-growing
+    # broadcast-hint removals (result-invariant strategy edits),
+    # (3) module/deps-hash co-flags (callables and oracles untouched).
+    # All were locally hash-verified vs the DuckDB oracle in round 12
+    # (OPTIMIZATION_r12.md); round-13 changes append below.
+    "q_dedup_containment",
+    "q_dedup_jaccard_prefix",
+    "q_dedup_threshold_sweep",
+    "q_doc_novelty",
+    "q_incremental_join_view",
+    # ---- Round-13 tie-order batch (r12 queue item 2): ORDER BY /
+    # window-order totalization in engine+oracle lockstep; re-verified
+    # hash-green at sf0.001/0.01/0.1 this round.
+    "q_preview_limit",
+    "q_fifo_allocation",
+    "q_array_hof_predicates",
     "q_cohort_ltv",
     "q_did_uplift",
     "q_dq_fk_orphans",
@@ -161,6 +96,7 @@ _CHANGED_SINCE_VERDICT = (
     "q_gini_concentration",
     "q_hhi_concentration",
     "q_lorenz_curve",
+    "q_pareto_frontier",
     "q_price_relatives",
     "q_price_volume_bridge",
     "q_segment_migration",
@@ -178,12 +114,13 @@ _CHANGED_SINCE_VERDICT = (
     "q_tpch_q8",
     "q_tpch_q9",
     "q_wilson_ranking",
-    # (3) module/deps-hash co-flags of the edited files (byte-level
-    # co-residents; their own callables and oracles are untouched):
+    "q_abc_classification",
     "q_bloom_join",
     "q_bot_regularity",
+    "q_chunk_coverage_audit",
     "q_cumulative_distinct",
     "q_customer_rfm",
+    "q_dict_candidates",
     "q_dq_benford",
     "q_dq_category_drift",
     "q_dq_expectations",
@@ -195,19 +132,22 @@ _CHANGED_SINCE_VERDICT = (
     "q_dq_uniqueness",
     "q_ema",
     "q_events_attribution",
+    "q_forecast_backtest",
     "q_heavy_hitters",
-    "q_incremental_join_view",
+    "q_inverted_index",
     "q_join_asof",
     "q_join_broadcast",
     "q_join_inner",
     "q_join_outer",
     "q_join_semi_anti",
     "q_l_diversity",
+    "q_minhash_accuracy",
     "q_new_vs_returning",
-    "q_pareto_frontier",
     "q_period_growth",
     "q_regr_slope",
     "q_revenue_bridge",
+    "q_scan_api_source",
+    "q_scan_binaryfile",
     "q_seasonal_anomaly",
     "q_semdedup",
     "q_sequence_match",
@@ -216,7 +156,11 @@ _CHANGED_SINCE_VERDICT = (
     "q_set_intersect",
     "q_set_union",
     "q_sort_multi",
+    "q_source_coverage",
     "q_sparse_dot_topk",
+    "q_stream_heavy_hitters",
+    "q_stream_quantiles",
+    "q_time_travel",
     "q_topk",
     "q_tpch_q10",
     "q_tpch_q12",
@@ -230,28 +174,34 @@ _CHANGED_SINCE_VERDICT = (
     "q_tpch_q6",
     "q_weighted_median",
     "q_word_burstiness",
-    # ---- Round 12 shingle-pass batch (one materialized explode per
-    # prefix-filter query, operators/shingle_pass.py; results proven
-    # identical vs oracle at sf0.001/0.01/0.1 — see OPTIMIZATION_r12.md).
-    # (1) plan rewrites:
-    "q_dedup_containment",
-    "q_dedup_jaccard_prefix",
-    "q_dedup_threshold_sweep",
-    "q_doc_novelty",
-    # (2) module/deps-hash co-flags of the edited files (extras8/59/
-    # 65/68 co-residents; their callables and oracles are untouched):
-    "q_abc_classification",
-    "q_chunk_coverage_audit",
-    "q_dict_candidates",
-    "q_forecast_backtest",
-    "q_inverted_index",
-    "q_minhash_accuracy",
-    "q_scan_api_source",
-    "q_scan_binaryfile",
-    "q_source_coverage",
-    "q_stream_heavy_hitters",
-    "q_stream_quantiles",
-    "q_time_travel",
+    # ---- Round-13 module/deps co-flags of the tie-order batch and
+    # the incremental-join machinery edit (callables and oracles
+    # untouched; all re-verified hash-green at sf0.01 this round).
+    "q_agg_unpivot",
+    "q_basket_pairs",
+    "q_cast",
+    "q_dedup_clusters",
+    "q_events_anomaly",
+    "q_explode_outer",
+    "q_filter_pred",
+    "q_groupwise_argmax",
+    "q_join_bucketed",
+    "q_label_balance",
+    "q_oov_rate",
+    "q_part_triangles",
+    "q_profile_histogram",
+    "q_project",
+    "q_rowcount",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_parquet",
+    "q_scan_partition_pruned",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
+    "q_stratified_cap",
+    "q_text_ngrams",
+    "q_try_divide",
 )
 
 

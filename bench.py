@@ -107,6 +107,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "steal_pct": _steal(),
+        # A/B env-injected session configs (session.py SPARK_GRAFT_CONF):
+        # stamped into the repo-local per-key artifacts ONLY (the
+        # driver-facing final summary line keeps its exact shape) so a
+        # contaminated run is detectable after the fact (round-12
+        # advisor item). Empty string when unset.
+        "graft_conf": os.environ.get("SPARK_GRAFT_CONF", ""),
     }
     # Full per-query detail first (stdout + file), compact summary LAST:
     # output-tail capture then always holds one complete ~100-byte JSON

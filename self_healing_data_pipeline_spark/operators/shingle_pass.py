@@ -57,6 +57,23 @@ def shingle_frames(
       order immaterial. Per-group state is one doc's distinct
       shingles — the same bound as the arrays ``shingle_sets`` already
       built row-wise (audited in tools/lint_driver_bound.py).
+
+    Preconditions and retention contract (round-12 advisor items):
+
+    - ``id_col`` must be UNIQUE in ``docs``. ``sets`` groups by id, so
+      duplicate input rows sharing an id would collapse into one merged
+      shingle set, where the row-wise ``shingle_sets`` builder emitted
+      one row per input row. The fixture corpus (and the oracle's
+      ``GROUP BY doc_id`` grain) satisfy this; callers feeding dirty
+      data must dedupe by id first.
+    - The eager ``localCheckpoint`` pins the exploded rows in executor
+      MEMORY_AND_DISK until the returned frames are garbage-collected
+      driver-side (``bench.py`` runs ``gc.collect()`` between keys;
+      long-lived library consumers should drop references — or call
+      ``DataFrame.unpersist()`` on ``exploded`` — after the consuming
+      action). A lost executor fails the query instead of recomputing:
+      acceptable for a derived single-query intermediate, by the same
+      trade the graph family documents.
     """
     exploded = shingle_exploded(docs, id_col, text_col, n, sh_col)
     exploded = exploded.localCheckpoint(eager=True)

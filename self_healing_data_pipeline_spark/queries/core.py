@@ -69,16 +69,22 @@ def q_scan_json(spark, sf_dir):
     "q_preview_limit",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 10
     """,
 )
 def q_preview_limit(spark, sf_dir):
     """SELECT * LIMIT n preview read-back (reference pgliteService.ts:81-101)
-    under a total order so the preview is deterministic."""
+    under a total order so the preview is deterministic. The fixture's
+    (l_orderkey, l_linenumber) is NOT unique (the q_inventory_floor
+    round-12 find), so the sort extends to every selected column —
+    rows equal on all four are interchangeable in a LIMIT, making the
+    preview layout-independent on both engines (round-12 queued
+    tie-order batch)."""
     return (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .limit(10)
     )
 

@@ -37,14 +37,14 @@ _BAND = 256
              SUM(qty) OVER w AS rcum,
              SUM(qty) OVER w - qty AS rprev
       FROM mv WHERE is_recv
-      WINDOW w AS (PARTITION BY sk ORDER BY o1, o2, o3
+      WINDOW w AS (PARTITION BY sk ORDER BY o1, o2, o3, qty
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), issu AS (
       SELECT sk, qty,
              SUM(qty) OVER w AS icum,
              SUM(qty) OVER w - qty AS iprev
       FROM mv WHERE NOT is_recv
-      WINDOW w AS (PARTITION BY sk ORDER BY o1, o2, o3
+      WINDOW w AS (PARTITION BY sk ORDER BY o1, o2, o3, qty
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), alloc AS (
       SELECT r.sk,
@@ -79,6 +79,12 @@ def q_fifo_allocation(spark, sf_dir):
     and issue iff their [prev, cum) intervals overlap, with matched
     qty = interval overlap — exact integers end to end.
 
+    The arrival order appends qty as the final window key (round-12
+    queued tie-order batch): the fixture's (l_orderkey, l_linenumber)
+    is not unique, and two same-side rows tying on every ordering key
+    INCLUDING qty occupy interchangeable cumulative intervals, so the
+    allocation report is layout-independent on both engines.
+
     Scale shape: cumulative sums are per-supplier windows
     (q_inventory_floor's pass); the candidate join BANDS the
     cumulative axis (each interval explodes to its ≤1+qty/256 bands;
@@ -95,7 +101,7 @@ def q_fifo_allocation(spark, sf_dir):
         F.col("l_orderkey").alias("o2"),
         F.col("l_linenumber").alias("o3"),
     )
-    w = Window.partitionBy("sk").orderBy("o1", "o2", "o3").rowsBetween(
+    w = Window.partitionBy("sk").orderBy("o1", "o2", "o3", "qty").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
 

@@ -62,7 +62,8 @@ def q_explode_outer(spark, sf_dir):
     oracle="""
     WITH arr AS (
       SELECT l_orderkey,
-             LIST(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber) AS qtys
+             LIST(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys
       FROM lineitem WHERE l_orderkey % 101 = 0
       GROUP BY l_orderkey
     )
@@ -79,8 +80,12 @@ def q_array_hof_predicates(spark, sf_dir):
     over each order's line-quantity array (§2.8 shipped transform/
     aggregate; the predicate members are what JSON-ish schemas lean
     on). Arrays are bounded (≤7 lines per order) and built under an
-    explicit line-number sort, so contents are deterministic; all
-    outputs are booleans/ints.
+    explicit (line-number, quantity) sort — the struct sort_array here
+    and the oracle's two-key LIST ORDER BY state the same total-enough
+    order, since (l_orderkey, l_linenumber) is not unique in the
+    fixture (round-12 queued tie-order batch; the predicate outputs are
+    permutation-invariant, so this pins layout-independence rather
+    than fixing a live divergence). All outputs are booleans/ints.
 
     Scale shape: one groupBy collect per order (bounded arrays), then
     row-local JVM higher-order functions — no UDF, no second

@@ -21,7 +21,16 @@ State layout: three epoch-snapshot stores under one root
 ``streaming/snapshots.py`` resolution — replay reads strictly-prior
 epochs and skips footerless partial writes, so at-least-once
 foreachBatch delivery re-derives identical bytes (same crash-safety
-discipline CDC and rollup use).
+discipline CDC and rollup use). Snapshots are SPARSE per store: an
+epoch that carried no delta for a side writes nothing there (rewriting
+an untouched side per epoch is a full-side copy at warehouse scale);
+resolution is gap-tolerant, returning the newest committed epoch below
+the anchor. Consequently per-store "latest" epochs can differ —
+cross-store consumers needing a consistent (sides, view) triple must
+pin a common epoch: read the join store's newest committed epoch E
+first (``snapshots.committed_epochs``), then pass ``before_epoch=E+1``
+to the side reads; the join snapshot at E was derived from exactly the
+side snapshots resolvable below E+1.
 
 Keys are unique per side (dimension/keyed-entity semantics, the same
 contract as CDC apply-changes); deletes are tombstones by key.
@@ -127,19 +136,25 @@ def apply_join_delta_batch(
     )
     cols = {"left": left_cols, "right": right_cols}
 
-    committed: set[str] = set()
+    # ONE pass over the delta batch decides which sides are present
+    # (round-13, guide §1.2 step 1): the per-side ``isEmpty()`` probes
+    # each ran their own job over the batch — two scans of every delta
+    # to learn two booleans. The distinct side set is ≤2 rows at any
+    # batch size.
+    present = {
+        r["side"] for r in batch.select("side").distinct().collect()
+    }
     for side, key, other in (
         ("left", left_key, "right"),
         ("right", right_key, "left"),
     ):
-        delta = batch.filter(F.col("side") == side).drop("side")
-        if delta.isEmpty():
+        if side not in present:
             continue
+        delta = batch.filter(F.col("side") == side).drop("side")
         d1 = _collapse_delta(delta.select("op", "seq", *cols[side]), key)
         sides[side] = _commit_snapshot(
             spark, _merge_side(sides[side], d1, key), dirs[side], epoch_id
         )
-        committed.add(side)
 
         # delta-join: retract every pair carrying a touched key, then
         # add fresh pairs from the upserted rows against the CURRENT
@@ -165,17 +180,18 @@ def apply_join_delta_batch(
                 fresh if join_view is None else join_view.unionByName(fresh)
             )
 
-    for s in _SIDES:
-        # A side with a delta was committed inside the loop; an
-        # unchanged non-empty side still carries forward into this
-        # epoch's directory (prior behavior, replay-compatible — a
-        # stale partial dir from a crashed attempt is overwritten, not
-        # trusted, which is why this tracks commits explicitly rather
-        # than probing the directory).
-        if sides[s] is not None and s not in committed:
-            sides[s].write.mode("overwrite").parquet(
-                os.path.join(dirs[s], f"batch={epoch_id}")
-            )
+    # An unchanged side is NOT rewritten into this epoch's directory
+    # (round-13, guide §5/§6: the carry-forward copied the full side
+    # snapshot per epoch — at warehouse scale a complete rewrite of an
+    # untouched dimension every batch). Snapshot resolution is
+    # gap-tolerant: ``read_latest_snapshot(before_epoch=N)`` returns the
+    # newest committed epoch < N, so readers and the next epoch's merge
+    # find the older snapshot. Cross-store consistency contract: per-
+    # store "latest" epochs can now differ, so a consumer reading a
+    # (side, view) pair must pin a common epoch — read the join store's
+    # newest committed epoch E first and pass ``before_epoch=E+1`` to
+    # the side reads (the join snapshot at E was derived from exactly
+    # the side snapshots resolvable below E+1).
     if join_view is not None:
         join_view.write.mode("overwrite").parquet(
             os.path.join(dirs["join"], f"batch={epoch_id}")
@@ -291,15 +307,19 @@ def apply_fact_dim_delta_batch(
     dims = read_latest_snapshot(spark, dirs["dim"], before_epoch=epoch_id)
     view = read_latest_snapshot(spark, dirs["join"], before_epoch=epoch_id)
 
+    # ONE pass over the delta batch decides which sides are present
+    # (round-13; see apply_join_delta_batch).
+    present = {
+        r["side"] for r in batch.select("side").distinct().collect()
+    }
+
     # --- fact delta first (joins see this epoch's facts below) ---
-    fact_committed = dim_committed = False
-    fd = batch.filter(F.col("side") == "fact")
-    if not fd.isEmpty():
+    if "fact" in present:
+        fd = batch.filter(F.col("side") == "fact")
         d1 = _collapse_delta(fd.select("op", "seq", *fact_cols), fact_key)
         facts = _commit_snapshot(
             spark, _merge_side(facts, d1, fact_key), dirs["fact"], epoch_id
         )
-        fact_committed = True
         touched = d1.select(fact_key)
         if view is not None:
             view = view.join(F.broadcast(touched), fact_key, "left_anti")
@@ -311,13 +331,12 @@ def apply_fact_dim_delta_batch(
             view = fresh if view is None else view.unionByName(fresh)
 
     # --- dim delta: re-pair every referencing fact ---
-    dd = batch.filter(F.col("side") == "dim")
-    if not dd.isEmpty():
+    if "dim" in present:
+        dd = batch.filter(F.col("side") == "dim")
         d1 = _collapse_delta(dd.select("op", "seq", *dim_cols), dim_key)
         dims = _commit_snapshot(
             spark, _merge_side(dims, d1, dim_key), dirs["dim"], epoch_id
         )
-        dim_committed = True
         touched = d1.select(dim_key)
         if view is not None:
             # alias the probe column: the view carries dim_key itself
@@ -340,14 +359,10 @@ def apply_fact_dim_delta_batch(
             )
             view = fresh if view is None else view.unionByName(fresh)
 
-    if facts is not None and not fact_committed:
-        facts.write.mode("overwrite").parquet(
-            os.path.join(dirs["fact"], f"batch={epoch_id}")
-        )
-    if dims is not None and not dim_committed:
-        dims.write.mode("overwrite").parquet(
-            os.path.join(dirs["dim"], f"batch={epoch_id}")
-        )
+    # Unchanged sides are not carried forward (round-13; see
+    # apply_join_delta_batch — snapshot resolution is gap-tolerant, and
+    # rewriting an untouched fact or dimension store per epoch is a
+    # full-side copy at warehouse scale).
     if view is not None:
         view.write.mode("overwrite").parquet(
             os.path.join(dirs["join"], f"batch={epoch_id}")

@@ -211,6 +211,11 @@ def main() -> int:
             {
                 "master": spark.sparkContext.master,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                # A/B env-injected session configs (session.py
+                # SPARK_GRAFT_CONF): stamped so a contaminated
+                # measurement window is detectable after the fact
+                # (round-12 advisor item). Empty string when unset.
+                "graft_conf": os.environ.get("SPARK_GRAFT_CONF", ""),
                 "queries": timed,
                 "steal_pct": steal_pct,
             }
