@@ -89,6 +89,18 @@ _CHANGED_SINCE_VERDICT = (
     "q_preview_limit",
     "q_fifo_allocation",
     "q_array_hof_predicates",
+    # ---- Round-13 graph-family pair-build rewrite (operators/graph.py
+    # co_order_pairs: within-order self-join -> basket-array explode;
+    # q_basket_pairs multiset twin; q_basket_rules stages the basket
+    # grain once). Real-rewrite keys verified hash-green at
+    # sf0.001/0.01/0.1 this round:
+    "q_basket_pairs",
+    "q_basket_rules",
+    "q_khop_reach",
+    "q_part_triangles",
+    "q_pagerank",
+    "q_graph_neighbor_jaccard",
+    "q_label_propagation",
     "q_cohort_ltv",
     "q_did_uplift",
     "q_dq_fk_orphans",
@@ -178,7 +190,6 @@ _CHANGED_SINCE_VERDICT = (
     # the incremental-join machinery edit (callables and oracles
     # untouched; all re-verified hash-green at sf0.01 this round).
     "q_agg_unpivot",
-    "q_basket_pairs",
     "q_cast",
     "q_dedup_clusters",
     "q_events_anomaly",
@@ -188,7 +199,6 @@ _CHANGED_SINCE_VERDICT = (
     "q_join_bucketed",
     "q_label_balance",
     "q_oov_rate",
-    "q_part_triangles",
     "q_profile_histogram",
     "q_project",
     "q_rowcount",
@@ -202,6 +212,19 @@ _CHANGED_SINCE_VERDICT = (
     "q_stratified_cap",
     "q_text_ngrams",
     "q_try_divide",
+    # ---- Round-13 module/deps co-flags of the graph pair-build
+    # rewrite (callables and oracles untouched; re-verified hash-green
+    # at sf0.01 this round).
+    "q_changepoint_cusum",
+    "q_dow_seasonality",
+    "q_fd_discovery",
+    "q_interpolate_hourly",
+    "q_join_asof_fwd",
+    "q_revenue_trend",
+    "q_roc_auc",
+    "q_seasonal_decompose",
+    "q_skew_report",
+    "q_type_weekday_chisq",
 )
 
 

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from self_healing_data_pipeline_spark.operators.graph import (
     CO_PAIR_CTE_SQL as _CO_PAIR_CTE,
-    co_order_pairs,
-    order_part_grain,
+    co_pairs_from_baskets,
+    order_baskets,
 )
 from self_healing_data_pipeline_spark.registry import query
 from self_healing_data_pipeline_spark.sources.readers import read_table
@@ -137,22 +137,24 @@ def q_basket_rules(spark, sf_dir):
     P(B|A) and lift P(AB)/(P(A)P(B)) — the Apriori output one level up
     from the existing ``q_basket_pairs`` co-occurrence counts.
 
-    Plan: the (order, part) grain self-joins within order (Σ|basket|²
-    bounded, as q_basket_pairs), pair counts collapse map-side, the
-    per-item counts join back on the item keys, and the basket total
-    is a broadcast 1-row scalar. All masses exact integers; confidence
-    and lift are one IEEE division each (integer cross-products as
-    numerator/denominator). Top-100 with a full deterministic
-    tie-break chain -> TakeOrdered, no global sort."""
+    Plan (round-13): the BASKET grain (per-order sorted distinct part
+    array, one collect_set shuffle) is materialized ONCE and serves all
+    three masses — the basket total is its row count, per-item order
+    counts explode it (each part appears once per basket, so this IS
+    pp's per-part count), and pairs come from the bounded in-array
+    explode (operators.graph.co_pairs_from_baskets) instead of the
+    previous within-order self-join. One staging pass where the old
+    plan derived the pp distinct three times. All masses exact
+    integers; confidence and lift are one IEEE division each (integer
+    cross-products as numerator/denominator). Top-100 with a full
+    deterministic tie-break chain -> TakeOrdered, no global sort."""
     li = read_table(spark, sf_dir, "lineitem")
-    pp = order_part_grain(li)
-    nb = pp.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("nb")
-    )
-    item = pp.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("np")
-    )
-    pair = co_order_pairs(li)
+    baskets = order_baskets(li).localCheckpoint(eager=True)
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    item = baskets.select(
+        F.explode("parts").alias("p")
+    ).groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    pair = co_pairs_from_baskets(baskets)
     rules = pair.select(
         F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"),
         F.col("w").alias("nab"),

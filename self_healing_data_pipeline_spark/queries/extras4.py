@@ -290,22 +290,34 @@ def q_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: part pairs bought in the same order,
     ranked by frequency — the 'discover relationships in the data'
     capability the reference's vision assigns to the engine
-    (README.md:21). Self-join on the basket key shuffles each side once
-    on l_orderkey; the pair blow-up is bounded by per-order basket size
-    (≤ ~7 here), so output is Σ|basket|² — linear in orders, never n².
-    Top-k via TakeOrderedAndProject with full tie-break."""
+    (README.md:21).
+
+    Round-13 plan rewrite (guide §1.2 step 1, §2.4): the basket-key
+    self-join (two exchanges of the line grain plus two sorts) is now
+    one partial-aggregated ``collect_list`` shuffle keyed on the order
+    followed by a bounded in-array pair explode — the
+    ``co_order_pairs`` basket discipline, MULTISET variant: the sorted
+    list keeps duplicate (order, part) lines, positional pairs with a
+    ``p1 <> p2`` filter are exactly the oracle's ``a.l_partkey <
+    b.l_partkey`` pairs (the list is sorted, so a later element is
+    value-greater unless equal), and multiplicities multiply as the
+    self-join did. Pair volume is still Σ|basket|² (baskets ≤ ~7
+    lines), output identical. Top-k via TakeOrderedAndProject with
+    full tie-break."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    pair_expr = (
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts) - i - 1),"
+        " y -> struct(x AS p1, y AS p2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .where(F.col("pr.p1") != F.col("pr.p2"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pr.p1").alias("part_a"),
+            F.col("pr.p2").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_co"))
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")

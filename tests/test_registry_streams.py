@@ -192,3 +192,113 @@ def test_neardup_registry_stream_with_watermark_equals_batch_twin(
         for r in read_neardup_registry(spark, trdir).collect()
     }
     assert got_reg == want_reg
+
+
+def test_session_window_stream_equals_batch_lag_cumsum(spark, tmp_path):
+    """q_stream_session's streaming twin (round-11 judge task 9): a true
+    ``readStream`` + ``withWatermark`` + ``F.session_window`` aggregation
+    over the sf0.001 events fixture, drained multi-epoch with
+    availableNow, must emit exactly the sessions the batch lag/cumsum
+    form (operators.windows.sessionize — the declared q_stream_session
+    shape) derives, for every session the final watermark has closed.
+
+    Boundary preconditions made explicit rather than assumed: the batch
+    form starts a new session when gap > 30 min (strict), while
+    session_window's half-open [ts, ts+gap) merges only gaps < 30 min —
+    the two agree unless some same-user consecutive gap is EXACTLY the
+    gap, which the first assertion rules out on this fixture. Sessions
+    still open at the final watermark (end + gap > max ts) legitimately
+    stay in state and are excluded from the comparison on the batch
+    side."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_spark.operators.windows import (
+        sessionize,
+    )
+    from self_healing_data_pipeline_spark.sources.readers import read_table
+
+    gap_s = 30 * 60
+    # withWatermark requires TIMESTAMP (not the fixture's
+    # TIMESTAMP_NTZ); the session timezone is pinned to UTC, so the
+    # cast is a deterministic relabeling shared by both sides.
+    ev = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    )
+
+    # precondition: no exact-gap tie on this data (strict-vs-half-open
+    # boundary equivalence)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exact_boundary = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .where(
+            (F.col("ts") - F.col("prev")) == F.expr("INTERVAL 30 MINUTES")
+        )
+        .count()
+    )
+    assert exact_boundary == 0, "fixture hit the exact-gap boundary"
+
+    # batch twin: the declared lag/cumsum sessionization
+    sess = sessionize(
+        ev, key="user_id", ts="ts", tie_break="event_id", gap_minutes=30
+    )
+    batch = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+    )
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(seconds=gap_s)
+    want = {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n_events"])
+        for r in batch.collect()
+        if r["s_end"] <= horizon
+    }
+
+    # streaming side: two time-ordered source files -> one epoch each
+    src = tmp_path / "events_src"
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("s_start"),
+        F.max("ts").alias("s_end"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+
+    got = {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n_events"])
+        for r in spark.table("sess_stream_out").collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got == want, (
+        f"streaming sessions diverge: only-stream="
+        f"{sorted(got - want)[:5]} only-batch={sorted(want - got)[:5]}"
+    )

@@ -98,6 +98,14 @@ AUDITED: dict[str, str] = {
     "queries/extras6.py::q_dedup_registry#0": (
         "scalar max(doc_id) — epoch cut points"
     ),
+    "streaming/incremental_join.py::apply_join_delta_batch#0": (
+        "distinct 'side' values of the delta batch — ≤2 rows at any "
+        "batch size (round-13 one-pass side-presence probe)"
+    ),
+    "streaming/incremental_join.py::apply_fact_dim_delta_batch#0": (
+        "distinct 'side' values of the delta batch — ≤2 rows at any "
+        "batch size (round-13 one-pass side-presence probe)"
+    ),
     "queries/analytics2.py::q_pareto_frontier#0": (
         "one aggregate row: global min/max of the spend domain"
     ),
@@ -184,6 +192,15 @@ AUDITED_GROUP: dict[str, str] = {
     ),
     "operators/dedup.py::pairs_within_buckets@1": (
         "same capped buckets, payload-carrying variant"
+    ),
+    "operators/graph.py::order_baskets@0": (
+        "per-order distinct part set — bounded by lines-per-order "
+        "(≤ ~7 on TPC-H-shaped data), the bound the previous "
+        "self-join's Σ|basket|² argument already relied on"
+    ),
+    "queries/extras4.py::q_basket_pairs@0": (
+        "per-order part multiset (collect_list) — bounded by "
+        "lines-per-order (≤ ~7), the multiset twin of order_baskets"
     ),
     "operators/similarity.py::semdedup_drops@0": (
         "identical-vector value groups; member ids ARE the survivor "
