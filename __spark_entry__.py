@@ -101,6 +101,8 @@ _CHANGED_SINCE_VERDICT = (
     "q_pagerank",
     "q_graph_neighbor_jaccard",
     "q_label_propagation",
+    "q_item_cf",
+    "q_recursive_reach",
     "q_cohort_ltv",
     "q_did_uplift",
     "q_dq_fk_orphans",

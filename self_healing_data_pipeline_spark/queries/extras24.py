@@ -200,25 +200,40 @@ def q_item_cf(spark, sf_dir):
     (score desc, co desc, neighbor id). Squared cosine preserves the
     cosine ORDER while avoiding engine-varying sqrt-last-ulp risk.
 
-    Scale shape: the pair grain is the q_basket_pairs Σ|basket|²
-    bound (baskets are small; a degenerate mega-basket would be
-    capped upstream); frequencies join back via the (part) key —
-    dim-sized, broadcastable; the final rank window partitions by
-    part_a. No global sort, no SinglePartition stage."""
+    Scale shape (round-13, the co_order_pairs basket discipline): the
+    per-order distinct part BASKET is staged once (one collect_set
+    shuffle — the in-group DISTINCT the old checkpointed grain
+    expressed as a distinct exchange), co-purchase pairs come from a
+    bounded in-array explode of BOTH directions (the old within-order
+    self-join's two extra exchanges are gone; pair volume is still the
+    q_basket_pairs Σ|basket|² bound, baskets ≤ ~7 parts), and the part
+    frequencies explode the same staged baskets. Frequencies join back
+    via the (part) key — dim-sized, broadcastable; the final rank
+    window partitions by part_a. No global sort, no SinglePartition
+    stage."""
     li = read_table(spark, sf_dir, "lineitem")
-    # (ok, pk) grain feeds the frequency table AND both pair sides:
-    # materialize it once (round-11 lineage-truncation convention —
-    # AQE defeats ReuseExchange on duplicate subtrees)
-    grain = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=True)
-    freq = grain.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = grain.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = grain.select(F.col("ok"), F.col("pk").alias("part_b"))
+    from self_healing_data_pipeline_spark.operators.graph import (
+        order_baskets,
+    )
+
+    baskets = order_baskets(li).localCheckpoint(eager=True)
+    freq = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # both directed pairs per basket: x paired with every OTHER member
+    pair_expr = (
+        "flatten(transform(parts, x ->"
+        " transform(filter(parts, y -> y != x),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
     co = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") != F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
         .filter(F.col("co") >= 3)
     )

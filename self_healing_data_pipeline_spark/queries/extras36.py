@@ -104,10 +104,23 @@ def q_recursive_reach(spark, sf_dir):
     materialized 2·|edges| relation instead (round-10 bench-tail
     trim; results and the single-statement oracle are byte-identical,
     and at 100 TB you would stage the adjacency exactly once too)."""
+    from self_healing_data_pipeline_spark.operators.graph import (
+        co_order_edges,
+    )
+    from pyspark.sql import functions as F
+
     li = read_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_rcte")
-    adj = spark.sql(_GRAPH_SQL.format(tbl="lineitem_rcte")).localCheckpoint(
-        eager=True
+    # Graph build via the shared basket-form builder (round 13 —
+    # co_order_edges is the one Spark definition of the cop CTE, two
+    # exchanges and no self-join); the RECURSION below stays the same
+    # SQL text both engines evaluate, which is the surface this key
+    # pins. _GRAPH_SQL remains the build's SQL statement of record
+    # (the oracle composes the identical CTE text).
+    e = co_order_edges(li)
+    adj = (
+        e.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint(eager=True)
     )
     adj.createOrReplaceTempView("adj_rcte")
     return spark.sql(
